@@ -1,0 +1,97 @@
+"""Local replica of the driver's DuckDB-oracle compare, so every query id
+can be verified before the round gate runs it at sf0.01.
+
+Compare contract (per __spark_entry__ docstring): row count + schema
+(column names, sorted) + order-insensitive value comparison. Floats are
+compared with a tiny absolute tolerance — the queries themselves round
+any aggregate so the driver's exact hash also matches.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, Decimal):
+        return ("f", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", v)
+    if isinstance(v, int):
+        return ("f", float(v))
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, _dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(_norm(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _norm(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _approx_eq(a, b, tol=1e-6):
+    if a == b:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        if a and a[0] == "f" and b[0] == "f":
+            x, y = a[1], b[1]
+            return abs(x - y) <= tol * max(1.0, abs(x), abs(y))
+        return all(_approx_eq(x, y, tol) for x, y in zip(a, b))
+    return False
+
+
+def compare(spark_df, con, sql: str, tol: float = 1e-6) -> tuple[bool, str]:
+    """Compare a Spark DataFrame result with a DuckDB oracle result."""
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.execute(sql)
+    d_cols = [c[0].lower() for c in rel.description]
+    d_rows = rel.fetchall()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    s_ms = _rows_to_multiset(s_rows, s_cols)
+    d_ms = _rows_to_multiset(d_rows, d_cols)
+    for i, (a, b) in enumerate(zip(s_ms, d_ms)):
+        if not _approx_eq(a, b, tol):
+            return False, f"value mismatch at sorted row {i}:\n  spark={a}\n  duck ={b}"
+    return True, "ok"
