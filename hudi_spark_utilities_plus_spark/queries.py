@@ -9,8 +9,11 @@ hash-compares against at sf0.01.
 Conventions:
 - every computed column is aliased identically in the Spark plan and the
   oracle SQL (the driver sorts columns by name before hashing);
-- aggregates over doubles are rounded (ROUND(CAST(x AS DECIMAL(28,8)), 2..6)) so partial-sum
-  association differences between engines can't flip the hash;
+- money/double aggregates use the exact-decimal pattern
+  ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`` (helper ``dsum``):
+  each addend is snapped to an exact decimal, summed exactly (order
+  independent), and emitted as a bit-identical double in both engines —
+  no float-association or rounding-mode mismatch can flip the hash;
 - all plans are shuffle-bounded DataFrame transforms — nothing collects
   to the driver; joins against dimension tables are broadcast.
 """
@@ -44,6 +47,16 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark, sf_dir, *names):
     return load_tables(spark, sf_dir, list(names), register=False)
+
+
+def dsum(col, scale: int = 2):
+    """Order-independent money sum: round each addend to an exact DECIMAL,
+    sum exactly (no float association), emit DOUBLE. Bit-identical across
+    engines and partition counts — the registry's convention for every
+    aggregate the oracle hash-compares. Oracle mirror:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +147,7 @@ def filter_null(spark, sf_dir):
     "join_inner",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(28,8)), 2) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -155,9 +168,9 @@ def join_inner(spark, sf_dir):
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -168,7 +181,7 @@ def join_inner(spark, sf_dir):
     oracle="""
     SELECT c_custkey,
            COUNT(o_orderkey) AS n_orders,
-           ROUND(CAST(COALESCE(SUM(o_totalprice), 0) AS DECIMAL(28,8)), 2) AS spend
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -182,7 +195,11 @@ def join_left(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("spend"),
         )
     )
 
@@ -300,7 +317,7 @@ def join_range(spark, sf_dir):
 @query(
     "join_broadcast",
     oracle="""
-    SELECT n_name, COUNT(*) AS n_customers, ROUND(CAST(AVG(c_acctbal) AS DECIMAL(28,8)), 2) AS avg_bal
+    SELECT n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -315,7 +332,7 @@ def join_broadcast(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            (dsum("c_acctbal") / F.count("*")).alias("avg_bal"),
         )
     )
 
@@ -329,13 +346,13 @@ def join_broadcast(spark, sf_dir):
     "agg_group",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,8)), 2) AS sum_qty,
-           ROUND(CAST(SUM(l_extendedprice) AS DECIMAL(28,8)), 2) AS sum_base_price,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(28,8)), 2) AS sum_disc_price,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(28,8)), 2) AS sum_charge,
-           ROUND(CAST(AVG(l_quantity) AS DECIMAL(28,8)), 2) AS avg_qty,
-           ROUND(CAST(AVG(l_extendedprice) AS DECIMAL(28,8)), 2) AS avg_price,
-           ROUND(CAST(AVG(l_discount) AS DECIMAL(28,8)), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -346,13 +363,13 @@ def agg_group(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price, 4).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+        (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        (dsum("l_discount") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -389,7 +406,7 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_rollup",
     oracle="""
     SELECT r_name, n_name, COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(c_acctbal) AS DECIMAL(28,8)), 2) AS total_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -406,7 +423,7 @@ def agg_rollup(spark, sf_dir):
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        dsum("c_acctbal").alias("total_bal"),
     )
 
 
@@ -414,7 +431,7 @@ def agg_rollup(spark, sf_dir):
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,8)), 2) AS sum_qty, COUNT(*) AS n
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -422,7 +439,7 @@ def agg_cube(spark, sf_dir):
     """B11: cube."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum("l_quantity").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -499,8 +516,8 @@ def win_lag(spark, sf_dir):
     "win_running_sum",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,8)), 2) AS running_total
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
     FROM events
     """,
 )
@@ -515,7 +532,10 @@ def win_running_sum(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("running_total"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -709,10 +729,10 @@ def null_funcs(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05) AS abs_d,
-           FLOOR(l_quantity) AS floor_q,
-           CEIL(l_extendedprice) AS ceil_p,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS floor_q,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p,
            l_orderkey % 7 AS key_mod,
-           ROUND(CAST(SQRT(l_extendedprice) AS DECIMAL(28,8)), 6) AS sqrt_p
+           FLOOR(SQRT(l_extendedprice) * 1000000 + 0.5) / 1000000 AS sqrt_p
     FROM lineitem
     """,
 )
@@ -726,7 +746,9 @@ def math_funcs(spark, sf_dir):
         F.floor("l_quantity").alias("floor_q"),
         F.ceil("l_extendedprice").alias("ceil_p"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_p"),
+        (F.floor(F.sqrt("l_extendedprice") * 1000000 + 0.5) / 1000000).alias(
+            "sqrt_p"
+        ),
     )
 
 
@@ -870,7 +892,7 @@ def cte(spark, sf_dir):
     "transform_sql",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS cnt,
-           ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,8)), 2) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -881,7 +903,8 @@ def transform_sql(spark, sf_dir):
         spark,
         li,
         "SELECT l_returnflag, COUNT(*) AS cnt, "
-        "ROUND(CAST(SUM(l_quantity) AS DECIMAL(28,8)), 2) AS total_qty FROM <SRC> GROUP BY l_returnflag",
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+        "FROM <SRC> GROUP BY l_returnflag",
     )
 
 
@@ -975,7 +998,7 @@ def flatten_cartesian(spark, sf_dir):
     "hudi_upsert",
     oracle="""
     WITH updates AS (
-      SELECT o_orderkey, ROUND(CAST(o_totalprice * 1.1 AS DECIMAL(28,8)), 2) AS o_totalprice,
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
              o_orderdate + INTERVAL 1 DAY AS o_orderdate, 1 AS src
       FROM orders WHERE o_orderkey % 10 = 0
     ),
@@ -1000,7 +1023,7 @@ def hudi_upsert(spark, sf_dir):
     base = o.withColumn("src", F.lit(0))
     updates = (
         o.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
         .withColumn("src", F.lit(1))
     )
@@ -1044,7 +1067,8 @@ def cdc_apply(spark, sf_dir):
     "stream_tumbling",
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
-           COUNT(*) AS n, ROUND(CAST(SUM(value) AS DECIMAL(28,8)), 2) AS total_value
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1054,7 +1078,7 @@ def stream_tumbling(spark, sf_dir):
     e = _t(spark, sf_dir, "events")["events"]
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
