@@ -9,9 +9,21 @@ parquet tables).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Make the engine importable from any cwd — on the driver (sys.path) and,
+# when the SparkContext hasn't started yet, on python workers (PYTHONPATH).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,338 @@
+"""Deduplication operators for LLM-data pipelines at 100 TB scale.
+
+Four families, each a shuffle-bounded DataFrame program (no driver
+collect, no cartesian products):
+
+- **exact**: hash-groupBy on a SHA-256 fingerprint (32 bytes/doc through
+  the shuffle instead of full bodies).
+- **n-gram Jaccard**: inverted-index candidate join on shared shingles —
+  pairs sharing no shingle are never materialized — then exact Jaccard
+  verification on shingle sets.
+- **MinHash + LSH**: k minhashes from a single 64-bit base hash
+  (xxhash64) via independent affine rehashes; band signatures bucket the
+  join so candidate generation is O(near-dup pairs), not O(n²); verified
+  with exact Jaccard. The scale path: at 100 TB the inverted index on raw
+  shingles skews on hot shingles, while band buckets stay balanced.
+- **SimHash**: 64-bit signature via per-token hash bit-voting (JVM-side
+  bit ops), Hamming-ball pairing via 4×16-bit band buckets.
+
+Plus embedding near-dup pairing (cosine ≥ τ) in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import sha_fingerprint, ws_tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id + copy count.
+    Group key is the SHA-256 of the text, so the shuffle moves 32-byte
+    keys; min/count are partial-aggregated map-side."""
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), sha_fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (the min id) per distinct text value."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Documents shorter than n words get a
+    single whole-text shingle so they still participate."""
+    toks = ws_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dedup (inverted-index exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    Candidate generation is an inverted-index self-join: explode shingles,
+    join on the shingle hash (8-byte keys through the shuffle), count
+    common shingles per pair — only pairs that actually share a shingle
+    ever exist. |common| then gives exact Jaccard via
+    ``common / (|A| + |B| - common)``.
+
+    Scale: the shingle join is the only wide stage; at high doc-frequency
+    skew, swap in minhash_lsh_pairs (band buckets bound the fan-out).
+    """
+    s = _shingled(df, text_col, id_col, n)
+    posts = s.select(
+        "doc", "n_sh", F.explode("sh").alias("shingle")
+    ).withColumn("shingle", F.xxhash64("shingle"))
+    a = posts.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = posts.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Affine rehash family over one xxhash64 base: h_i(x) = a_i * x + b_i
+# (mod 2^64, Spark's native long overflow is the modulus). Constants are
+# fixed odd multipliers — deterministic across runs and executors.
+_MINHASH_K = 32
+_LSH_ROWS = 2  # rows per band
+_LSH_BANDS = _MINHASH_K // _LSH_ROWS  # 16 bands → P(miss | j=0.8) < 1e-7
+
+
+# Affine family modulus: Mersenne prime 2^31-1. Base hashes and affine
+# coefficients stay below 2^31, so a*h+b < 2^62 — no ANSI long overflow.
+_MINHASH_P = 2**31 - 1
+
+
+def _mix(i: int) -> int:
+    """splitmix64-style scramble → deterministic coefficient in [1, P)."""
+    x = (i * 0x9E3779B97F4A7C15) % (2**64)
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) % (2**64)
+    x ^= x >> 31
+    return x % (_MINHASH_P - 1) + 1
+
+
+def _affine(a: int, b: int):
+    # Closure factory: a plain `lambda h, a=a: ...` confuses PySpark's
+    # higher-order-function arity inspection (defaults count as params).
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+
+def _minhash_signature(sh_hashed: Column) -> Column:
+    """Array of k minhashes from an array of bounded base shingle hashes."""
+    sigs = []
+    for i in range(_MINHASH_K):
+        sigs.append(
+            F.array_min(F.transform(sh_hashed, _affine(_mix(2 * i + 1), _mix(2 * i + 2))))
+        )
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, n_sh, sh_hashed, sig) — signature column is array<long>[k]."""
+    s = _shingled(df, text_col, id_col, n)
+    hashed = s.withColumn(
+        "sh_hashed",
+        F.transform("sh", lambda x: F.pmod(F.xxhash64(x), F.lit(_MINHASH_P))),
+    )
+    return hashed.withColumn("sig", _minhash_signature(F.col("sh_hashed")))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, exact-Jaccard verified.
+
+    Pipeline: shingle → k=32 minhashes → 16 bands of 2 rows → explode
+    band keys → self-join on (band, band-hash) → distinct candidate
+    pairs → verify true Jaccard on the (distinct-)shingle sets via
+    array_intersect. Verification makes the output exactly the ≥threshold
+    pair set whenever banding recall holds (P(miss) < 1e-7 at τ=0.8),
+    so the DuckDB brute-force oracle is the same relation.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    bands = sigs.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", i * _LSH_ROWS + r + 1)
+                            for r in range(_LSH_ROWS)
+                        ]
+                    )
+                    for i in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sets = sigs.select("doc", "sh", "n_sh")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column) -> Column:
+    """64-bit SimHash from whitespace tokens, fully JVM-side.
+
+    For each bit j: sum over tokens of ±1 by bit j of xxhash64(token);
+    bit set iff the vote is positive. Expressed as a fold over the token
+    array with bitwise ops — no Python UDF in the path.
+    """
+    tok_hashes = F.transform(ws_tokens(text), lambda t: F.xxhash64(t))
+
+    def _vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(64):
+        vote = F.aggregate(tok_hashes, F.lit(0), _vote(j))
+        bits.append(
+            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2**j % (2**63)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    # bit 63 would overflow a positive long multiplier; fold it via minimum
+    # long semantics: use bitwise OR accumulation instead of sum.
+    out = bits[0]
+    for b in bits[1:63]:
+        out = out.bitwiseOR(b)
+    sign_bit = F.aggregate(tok_hashes, F.lit(0), _vote(63))
+    return F.when(sign_bit > 0, out.bitwiseOR(F.lit(-(2**63)))).otherwise(out)
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Candidate pairs with Hamming distance ≤ max_hamming via 4×16-bit
+    band buckets (pigeonhole: distance ≤ 6 < 4 bands ⇒ pairs at distance
+    ≤6 share at least one intact 16-bit band... guaranteed only for
+    distance ≤ 3; larger distances are best-effort recall, standard for
+    SimHash banding). Distance verified exactly with bit_count."""
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sim")
+    )
+    bands = sigs.select(
+        "doc",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

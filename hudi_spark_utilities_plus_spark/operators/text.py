@@ -1,0 +1,125 @@
+"""Text-analysis operators for LLM-data pipelines, 100 TB-scale design.
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen, no
+Python round-trips): tokenization via split/regexp, language-ID via
+stopword-hit counting, quality scoring via length/punct/stopword ratios,
+fingerprinting via SHA-256 and a Karp-Rabin rolling hash expressed with
+``F.aggregate`` (a fold executed inside codegen, not a UDF).
+
+Everything is a narrow per-row transform — embarrassingly parallel, no
+shuffle — so throughput scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Stopword marker substrings per language for the n-gram/stopword-hit
+# language heuristic. Space-delimited so they only match whole words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " que "],
+    "fr": [" le ", " et ", " les "],
+    "zh": [" de ", " shi ", " le "],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via regexp pre-tokenization (JVM-side)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), 0))
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring —
+    (len(x) - len(replace(x, s))) / len(s), identical math in any engine."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit score per language over ' '-padded text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(occurrences(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax of stopword hits (ties broken by the
+    fixed language order en>de>es>fr>zh, so the result is deterministic)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    # Build reversed CASE chain: earlier languages win ties.
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit("[.!?,;:]"), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality facets: exact integer counts + ratios formed
+    by single double divisions (bit-identical across engines)."""
+    n_chars = F.length(text)
+    n_words = token_count_ws(text)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": n_chars.cast("double") / n_words,
+        "punct_ratio": punct_count(text).cast("double") / n_chars,
+        "stopword_ratio": occurrences(
+            F.concat(F.lit(" "), F.lower(text), F.lit(" ")), " the "
+        ).cast("double")
+        / n_words,
+    }
+
+
+def sha_fingerprint(text: Column) -> Column:
+    """SHA-256 hex fingerprint (exact-dedup key at scale: 32 bytes/doc
+    instead of shuffling full document bodies)."""
+    return F.sha2(text.cast("binary"), 256)
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Karp-Rabin rolling hash over characters: fold (acc*31 + code) mod p.
+
+    Expressed with ``F.aggregate`` so it runs inside codegen — no UDF.
+    Empty-string splits are filtered to keep engine-agnostic semantics.
+    """
+    codes = F.transform(
+        F.filter(F.split(text, ""), lambda ch: ch != ""), lambda ch: F.ascii(ch)
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )

@@ -1086,3 +1086,8 @@ def stream_tumbling(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# Import-time registration of the LLM-pipeline queries (dedup, similarity,
+# text analysis, multimodal) — see queries_llm.py.
+from . import queries_llm  # noqa: E402,F401  (registry side effects)

@@ -1,0 +1,297 @@
+"""LLM-data-pipeline query registrations (dedup / similarity / text /
+multimodal) over the ``documents`` and ``embeddings`` fixtures.
+
+Oracle strategy: every operator whose semantics are deterministic
+relational/scalar math gets a DuckDB brute-force oracle (the LSH/banded
+implementations are *verified* against exact Jaccard/cosine, so their
+output relation equals the brute-force one whenever recall holds — recall
+shortfall probability < 1e-7 at the configured thresholds). Engine-
+specific signatures (SimHash values, LSH probing) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_tables
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as T
+from .queries import query
+
+
+def _t(spark, sf_dir, *names):
+    return load_tables(spark, sf_dir, list(names), register=False)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup + fingerprints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on SHA-256(text) — 32-byte keys
+    through the shuffle, map-side partial agg."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.exact_dedup_groups(d, "text", "doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           sha256(text) AS sha_fp,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
+             (acc, x) -> (acc * {T.ROLLING_BASE} + x) % {T.ROLLING_MOD}
+           ) AS rolling_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: SHA-256 + Karp-Rabin rolling hash, both
+    computed inside codegen (F.sha2 / F.aggregate fold)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        T.sha_fingerprint(F.col("text")).alias("sha_fp"),
+        T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{T.BPE_TOKEN_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regexp pre-tokenizer."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           length(text) / len(regexp_split_to_array(trim(text), '\s+')) AS avg_word_len,
+           len(regexp_extract_all(text, '[.!?,;:]')) / length(text) AS punct_ratio,
+           ((length(' ' || lower(text) || ' ')
+             - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring facets: length/punct/stopword ratios (single
+    double divisions over exact integer counts — bit-stable)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_m"),
+        feats["n_words"].alias("n_words"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    def occ(m):
+        return (
+            f"((length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)})"
+        )
+
+    scores = {
+        lang: " + ".join(occ(m) for m in ms) for lang, ms in T.LANG_MARKERS.items()
+    }
+    langs = list(T.LANG_MARKERS)
+    expr = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        conds = " AND ".join(
+            f"({scores[lang]}) >= ({scores[o]})" for o in langs if o != lang
+        )
+        expr = f"CASE WHEN {conds} THEN '{lang}' ELSE {expr} END"
+    return f"SELECT doc_id, lang, {expr} AS pred_lang FROM documents"
+
+
+@query("lang_id", oracle=_lang_oracle())
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of per-language stopword hits
+    (n-gram/marker counting, pure string ops in codegen)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# near-dedup: n-gram Jaccard (inverted index) and MinHash-LSH
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                  THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+                  ELSE list_distinct([
+                    array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                    for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)
+                  ])
+             END AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (τ=0.8) via inverted-index
+    candidate join — no O(n²) stage; oracle is DuckDB brute force."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32)+LSH(16×2) banded candidates, exact-Jaccard verified —
+    the 100 TB near-dedup path. Verified output equals the brute-force
+    ≥0.8 pair set (banding miss probability < 1e-7 at τ=0.8), so it
+    shares the exact-Jaccard oracle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@query("dedup_simhash")  # rows-only: 64-bit signature values are engine-specific
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates within Hamming ≤ 6 via 16-bit band
+    buckets; exact bit_count verification."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip({a}::DOUBLE[], {b}::DOUBLE[]), p -> p[1] * p[2])), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "embedding_similar_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def embedding_similar_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.45): double-precision
+    left-fold dot products — bit-identical to the oracle's list_reduce."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return S.similar_pairs(e, threshold=0.45)
+
+
+@query(
+    "ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0)
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           {_cos('q.embedding', 'd.embedding')} AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos('q.embedding', 'd.embedding')} DESC, d.vec_id
+           ) AS INT) AS rnk
+    FROM embeddings d JOIN q ON d.vec_id <> q.vec_id
+    QUALIFY rnk <= 5
+    """,
+)
+def ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query (queries = vec_id % 50 == 0):
+    broadcast queries, one corpus scan, per-query window top-k."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk_bruteforce(e, qs, k=5)
+
+
+@query("ann_topk_lsh")  # rows-only: approximate recall is probe-dependent
+def ann_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random hyperplanes + multiprobe) — the
+    sublinear scale path; recall vs brute force asserted in tests."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    return S.ann_topk_lsh(e, qs, dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def mm_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas feature extraction (byte length + checksum here; a real
+    codec slots into the same batch loop)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    feats = M.extract_features(M.attach_payload(d))
+    return feats.select("doc_id", "n_bytes", "payload_sha")
+
+
+@query("mm_frame_sample")  # rows-only: frame slicing is payload-layout specific
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: ≤8 fixed-stride byte-slice 'frames' per
+    payload, one row per frame (video pipeline shape)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return M.sample_frames(M.attach_payload(d)).select(
+        "doc_id", "frame_no", F.octet_length("frame").alias("frame_bytes")
+    )
