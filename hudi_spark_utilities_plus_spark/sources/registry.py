@@ -1,0 +1,108 @@
+"""Connector registry: one declarative entry point for every source.
+
+Reference parity: each importer builds ``spark.read.format(<fmt>)``,
+routes prefix-namespaced extra options to the reader, and loads
+(A3-A11). This registry generalizes that shape: ``read_source(spark,
+kind, options)``. Network connectors (jdbc/mongo/es) forward options to
+the corresponding Spark data source; their connector jars aren't in this
+container, so tests exercise them through local stand-ins while the
+option routing/validation logic is fully covered.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .excel import read_excel
+
+# JDBC dialect whitelist (HoodieJDBCImporter.scala:140-152).
+JDBC_DIALECTS = (
+    "mysql",
+    "postgresql",
+    "db2",
+    "sqlserver",
+    "oracle",
+    "teradata",
+    "h2",
+    "derby",
+    "dm",
+)
+
+
+def validate_jdbc_url(url: str) -> str:
+    """jdbc:<dialect>:... with the reference's dialect whitelist."""
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"not a jdbc url: {url}")
+    dialect = url.split(":", 2)[1].lower()
+    if dialect not in JDBC_DIALECTS:
+        raise ValueError(
+            f"unsupported jdbc dialect '{dialect}' (supported: {JDBC_DIALECTS})"
+        )
+    return dialect
+
+
+def read_jdbc(
+    spark: SparkSession, options: dict[str, str]
+) -> DataFrame:
+    """Spark JDBC scan (A4-A6): dialect validation, dbtable/query
+    mutual exclusivity, partitioned-read + pushdown options forwarded."""
+    url = options.get("url") or ""
+    validate_jdbc_url(url)
+    if bool(options.get("dbtable")) == bool(options.get("query")):
+        raise ValueError("exactly one of dbtable/query must be set")
+    return spark.read.format("jdbc").options(**options).load()
+
+
+def read_mongo(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """Mongo scan (A7-A8): credential splicing into the URI
+    (HoodieMongoBatch.scala:101-111) + option forwarding."""
+    opts = dict(options)
+    uri = opts.get("uri", "")
+    user, password = opts.pop("username", None), opts.pop("password", None)
+    if user and password and "://" in uri and "@" not in uri:
+        scheme, rest = uri.split("://", 1)
+        opts["uri"] = f"{scheme}://{user}:{password}@{rest}"
+    return spark.read.format("mongodb").options(**opts).load()
+
+
+def read_es(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    """Elasticsearch scan (A9-A10): es.* option family forwarded
+    (query DSL pushdown, array includes, field excludes, SSL/auth)."""
+    return spark.read.format("es").options(**options).load()
+
+
+def _file_reader(fmt: str):
+    def read(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+        opts = dict(options)
+        path = opts.pop("path")
+        return spark.read.format(fmt).options(**opts).load(path)
+
+    return read
+
+
+def _excel_reader(spark: SparkSession, options: dict[str, str]) -> DataFrame:
+    opts = dict(options)
+    path = opts.pop("path")
+    return read_excel(spark, path, opts)
+
+
+SOURCES: dict[str, Callable[[SparkSession, dict[str, str]], DataFrame]] = {
+    "excel": _excel_reader,
+    "csv": _file_reader("csv"),
+    "json": _file_reader("json"),
+    "parquet": _file_reader("parquet"),
+    "orc": _file_reader("orc"),
+    "jdbc": read_jdbc,
+    "mongo": read_mongo,
+    "es": read_es,
+}
+
+
+def read_source(
+    spark: SparkSession, kind: str, options: dict[str, str]
+) -> DataFrame:
+    if kind not in SOURCES:
+        raise ValueError(f"unknown source '{kind}' (have: {sorted(SOURCES)})")
+    return SOURCES[kind](spark, options)

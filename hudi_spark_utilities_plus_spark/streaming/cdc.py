@@ -1,0 +1,77 @@
+"""CDC change-event model + apply semantics (binlog emulation).
+
+Reference parity: the binlog streamer consumes MySQL binlog events keyed
+by (db, table) regex patterns and materializes latest-state Hudi tables
+via recordkey + precombine (``HoodieBinlogDeltaStreamer.scala:77-89``,
+``hoodie_table_meta.properties:3-4``). No MySQL exists here, so the
+source is emulated as a file-based Structured Streaming source carrying
+the same envelope (FIXTURES.md F5):
+
+    op: insert|update|delete, db, table, id (record key),
+    data (payload JSON), ts (binlog position / precombine)
+
+``read_cdc_stream`` yields the unbounded DataFrame; ``apply_cdc_batch``
+applies one micro-batch to a keyed table: within-batch latest-wins
+compaction first (a batch may hold several ops per key), then upsert the
+non-deletes and delete the delete-keys — idempotent, so checkpoint replay
+after failure converges to the same state (at-least-once delivery +
+idempotent apply ⇒ exactly-once table state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..lake import HudiTable
+
+CDC_SCHEMA = (
+    "op STRING, db STRING, `table` STRING, id BIGINT, data STRING, ts TIMESTAMP"
+)
+
+
+def read_cdc_stream(
+    spark: SparkSession,
+    path: str,
+    database_pattern: str = ".*",
+    table_pattern: str = ".*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based CDC source with the reference's db/table regex routing
+    (comma lists rewritten to alternation, HoodieBinlogDeltaStreamer
+    .scala:85)."""
+    reader = spark.readStream.schema(CDC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.json(path)
+    db_re = "|".join(p.strip() for p in database_pattern.split(","))
+    tbl_re = "|".join(p.strip() for p in table_pattern.split(","))
+    return df.filter(
+        F.col("db").rlike(f"^({db_re})$") & F.col("table").rlike(f"^({tbl_re})$")
+    )
+
+
+def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> DataFrame:
+    """Within-batch latest-wins: keep only the last op per key."""
+    w = Window.partitionBy(record_key).orderBy(F.col(precombine).desc())
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc_batch(
+    table: HudiTable, batch_df: DataFrame, spark: SparkSession
+) -> None:
+    """Apply one micro-batch of change events to a keyed lake table."""
+    compacted = compact_batch(batch_df, table.record_key, table.precombine).persist()
+    try:
+        upserts = compacted.filter(F.col("op") != "delete").drop("op", "db", "table")
+        deletes = compacted.filter(F.col("op") == "delete").select(table.record_key)
+        if not upserts.isEmpty():
+            table.upsert(upserts, spark)
+        if not deletes.isEmpty():
+            table.delete(deletes, spark)
+    finally:
+        compacted.unpersist()

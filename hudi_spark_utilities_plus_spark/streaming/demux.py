@@ -1,0 +1,120 @@
+"""Multi-table streaming demux sink ("binlog-hudi" equivalent).
+
+Reference parity: the sink format ``binlog-hudi`` routes one CDC stream
+into many Hudi tables, resolving per-table config from
+``${db}.${table}.hoodie.*`` namespaces and a path template like
+``option.hoodie.path=/hudi/tmp/a/{db}/ods_{db}_{table}``
+(``HoodieBinlogDeltaStreamerSuite.scala:31-44``,
+``docs/binlog/01.Binary Logs Ingestion.md:48-51``). Output mode append,
+processing-time trigger (default 60 s), mandatory checkpointLocation
+(``HoodieBinlogDeltaStreamer.scala:91-101``).
+
+PySpark-native realization: ``writeStream.foreachBatch`` — per
+micro-batch, discover the (db, table) pairs present (metadata-sized
+collect), resolve each pair's HudiTable from the config namespaces, and
+run the idempotent CDC apply. Offsets commit to the checkpoint after the
+batch, giving the reference's recovery contract.
+
+Scale notes: the batch is persisted once and filtered per table (K
+filters over one cached micro-batch beat K full re-reads); each table's
+upsert is an independent keyed shuffle, so hot tables don't serialize
+cold ones behind a global key shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..lake import (
+    PRECOMBINE_FIELD,
+    RECORDKEY_FIELD,
+    HudiTable,
+)
+from .cdc import apply_cdc_batch
+
+PATH_TEMPLATE_KEY = "option.hoodie.path"
+DEFAULT_TRIGGER_SECONDS = 60  # HoodieBinlogDeltaStreamer.scala:243-245
+
+
+def resolve_table_config(
+    props: dict[str, str], db: str, table: str
+) -> HudiTable:
+    """Resolve ``${db}.${table}.hoodie.*`` overrides + the global path
+    template into a HudiTable (hoodie_table_meta.properties shape)."""
+    prefix = f"{db}.{table}."
+    scoped = {
+        k[len(prefix) :]: v for k, v in props.items() if k.startswith(prefix)
+    }
+    template = props.get(PATH_TEMPLATE_KEY, scoped.get(PATH_TEMPLATE_KEY, ""))
+    path = scoped.get(
+        "hoodie.path", template.replace("{db}", db).replace("{table}", table)
+    )
+    if not path:
+        raise ValueError(f"no path configured for {db}.{table}")
+    return HudiTable(
+        path=path,
+        record_key=scoped.get(RECORDKEY_FIELD, "id"),
+        precombine=scoped.get(PRECOMBINE_FIELD, "ts"),
+        table_name=scoped.get("hoodie.table.name", f"ods_{db}_{table}"),
+        options=scoped,
+    )
+
+
+def demux_batch(
+    spark: SparkSession, batch_df: DataFrame, props: dict[str, str]
+) -> None:
+    """Route one micro-batch to per-(db, table) keyed lake tables."""
+    batch_df.persist()
+    try:
+        # Metadata-sized collect: the distinct routing keys, not the data.
+        pairs = [
+            (r["db"], r["table"])
+            for r in batch_df.select("db", "table").distinct().collect()
+        ]
+        for db, table in pairs:
+            target = resolve_table_config(props, db, table)
+            part = batch_df.filter(
+                (batch_df["db"] == db) & (batch_df["table"] == table)
+            )
+            apply_cdc_batch(target, part, spark)
+    finally:
+        batch_df.unpersist()
+
+
+def start_binlog_streamer(
+    spark: SparkSession,
+    source: DataFrame,
+    props: dict[str, str],
+    checkpoint_location: str,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+    query_name: str = "binlog-hudi-demux",
+) -> StreamingQuery:
+    """writeStream: append mode + processing-time trigger + mandatory
+    checkpoint, demuxing via foreachBatch (A12/C1-C5)."""
+
+    def _on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        demux_batch(spark, batch_df, props)
+
+    return (
+        source.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .foreachBatch(_on_batch)
+        .start()
+    )
+
+
+def start_console_debug(
+    source: DataFrame, num_rows: int = 100000
+) -> StreamingQuery:
+    """--debug path: streaming console sink with numRows=100000
+    (HoodieBinlogDeltaStreamer.scala:119-130)."""
+    return (
+        source.writeStream.outputMode("append")
+        .format("console")
+        .option("numRows", num_rows)
+        .option("truncate", False)
+        .start()
+    )

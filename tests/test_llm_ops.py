@@ -1,0 +1,104 @@
+"""Behavioral tests for the LLM-pipeline operators beyond oracle parity:
+LSH recall vs brute force, near-dup detection on planted duplicates,
+multimodal stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hudi_spark_utilities_plus_spark.operators import dedup as D
+from hudi_spark_utilities_plus_spark.operators import multimodal as M
+from hudi_spark_utilities_plus_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different words about spark and large scale data systems"),
+        (4, "another unrelated document mentioning lakes tables and columns"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_one_copy(spark, docs):
+    out = D.exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 (exact dup of 0) dropped
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup: jaccard 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs  # near dup
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # verification makes precision exact; banding recall should hold here
+    assert lsh == exact
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text → identical signature
+    assert (0, 2) in pairs  # near dup within the Hamming ball
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_lsh(
+            emb, qs, dim=64, k=5, n_planes=12, max_probe_hamming=6
+        ).collect()
+    }
+    # These embeddings are near-random (top-5 cosine ~0.3-0.5, no planted
+    # clusters), the hard case for hyperplane LSH — wide multiprobe
+    # recovers most of the exact top-k; tight near-dup clusters (the
+    # actual dedup workload) land in identical buckets at narrow probes.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"xxx")
+
+
+def test_multimodal_frame_sampling_shape(spark, docs):
+    frames = M.sample_frames(M.attach_payload(docs), every_n_bytes=16, max_frames=3)
+    rows = frames.filter(F.col("doc_id") == 0).collect()
+    assert 1 <= len(rows) <= 3
+    assert all(len(bytes(r["frame"])) <= 16 for r in rows)
+
+
+def test_multimodal_metadata_struct(spark, docs):
+    out = M.attach_payload(docs).select("doc_id", "media_meta.n_bytes").collect()
+    by_id = {r["doc_id"]: r["n_bytes"] for r in out}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert by_id[0] == len(texts[0].encode())

@@ -1,0 +1,135 @@
+"""End-to-end importer pipeline tests (SURVEY §3.1 lifecycle): read →
+flatten → transform → keyed write, plus the JDBC path against the
+Derby engine bundled with Spark (in-memory database, real format("jdbc")
+round trip)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_spark_utilities_plus_spark.pipelines.importer import run_import
+
+from .xlsx_util import write_xlsx
+
+
+def test_excel_import_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "stu.xlsx")
+    # F3 'stu' fixture shape
+    write_xlsx(
+        src,
+        [
+            ["id", "name", "age", "update_time"],
+            [1, "ss", 17, "2022-06-01 12:12:12"],
+            [2, "bb", 20, "2022-06-01 12:12:12"],
+        ],
+    )
+    lake = str(tmp_path / "lake_stu")
+    props = {
+        "path": lake,
+        "hoodie.table.name": "stu",
+        "hoodie.datasource.write.recordkey.field": "id",
+        "hoodie.datasource.write.precombine.field": "update_time",
+        "hoodie.deltastreamer.excel.extra.options.inferSchema": "true",
+        "hoodie.deltastreamer.transformer.sql": (
+            "SELECT id, UPPER(name) AS name, age, update_time FROM <SRC>"
+        ),
+    }
+    run_import(spark, "excel", {"path": src}, props)
+    out = {r["id"]: r["name"] for r in spark.read.parquet(lake).collect()}
+    assert out == {1: "SS", 2: "BB"}
+
+    # re-import with an updated row: upsert keeps latest by precombine
+    write_xlsx(
+        src,
+        [
+            ["id", "name", "age", "update_time"],
+            [1, "ss2", 18, "2022-06-02 00:00:00"],
+        ],
+    )
+    run_import(spark, "excel", {"path": src}, props)
+    out = {r["id"]: (r["name"], r["age"]) for r in spark.read.parquet(lake).collect()}
+    assert out == {1: ("SS2", 18), 2: ("BB", 20)}
+
+
+def test_import_debug_skips_write(spark, tmp_path):
+    src = str(tmp_path / "d.xlsx")
+    write_xlsx(src, [["a"], ["v"]])
+    lake = str(tmp_path / "lake_dbg")
+    props = {
+        "path": lake,
+        "hoodie.datasource.write.recordkey.field": "a",
+        "hoodie.datasource.write.precombine.field": "a",
+    }
+    run_import(spark, "excel", {"path": src}, props, debug=True)
+    import os
+
+    assert not os.path.exists(lake)
+
+
+def test_import_empty_source_aborts(spark, tmp_path):
+    src = str(tmp_path / "empty.xlsx")
+    write_xlsx(src, [["a"]])  # header only
+    with pytest.raises(ValueError, match="no rows"):
+        run_import(spark, "excel", {"path": src}, {"path": str(tmp_path / "x")})
+
+
+def test_json_source_auto_flatten(spark, tmp_path):
+    """Document sources flatten before write (HoodieMongoBatch:123-126)."""
+    import json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "d.json", "w") as f:
+        for i in range(2):
+            f.write(
+                json.dumps(
+                    {"id": i, "meta": {"who": {"uid": i * 10}}, "ts": i}
+                )
+                + "\n"
+            )
+    lake = str(tmp_path / "lake_json")
+    props = {
+        "path": lake,
+        "hoodie.datasource.write.recordkey.field": "id",
+        "hoodie.datasource.write.precombine.field": "ts",
+    }
+    run_import(spark, "json", {"path": str(src)}, props)
+    df = spark.read.parquet(lake)
+    assert "meta_who_uid" in df.columns
+
+
+@pytest.fixture(scope="module")
+def derby_table(spark):
+    """Create a real table in Spark's bundled Derby via JVM JDBC."""
+    url = "jdbc:derby:memory:hsu_test;create=true"
+    try:
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    except Exception as e:  # pragma: no cover — derby not on classpath
+        pytest.skip(f"derby unavailable: {e}")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE stu (id BIGINT PRIMARY KEY, name VARCHAR(50), age INT)"
+    )
+    st.execute("INSERT INTO stu VALUES (1, 'ss', 17), (2, 'bb', 20)")
+    conn.close()
+    return "jdbc:derby:memory:hsu_test"
+
+
+def test_jdbc_import_derby_end_to_end(spark, tmp_path, derby_table):
+    """A4/A6 driven through a real JDBC engine (Derby, in-memory)."""
+    lake = str(tmp_path / "lake_jdbc")
+    props = {
+        "path": lake,
+        "hoodie.datasource.write.recordkey.field": "ID",
+        "hoodie.datasource.write.precombine.field": "ID",
+        "hoodie.deltastreamer.jdbc.extra.options.fetchsize": "100",
+    }
+    run_import(
+        spark,
+        "jdbc",
+        {"url": derby_table, "query": "SELECT * FROM stu WHERE id IN (1, 2)"},
+        props,
+    )
+    out = {r["ID"]: r["NAME"] for r in spark.read.parquet(lake).collect()}
+    assert out == {1: "ss", 2: "bb"}

@@ -1,0 +1,232 @@
+"""Streaming tests: CDC multi-table demux end-to-end (with checkpoint
+restart) and event-time windowed aggregation — the SURVEY §2.C surface."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hudi_spark_utilities_plus_spark.streaming import (
+    read_cdc_stream,
+    start_binlog_streamer,
+    tumbling_counts,
+)
+
+
+def _write_events(path: str, name: str, events: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    os.rename(tmp, os.path.join(path, f"{name}.json"))
+
+
+def _props(base: str) -> dict[str, str]:
+    # hoodie_table_meta.properties shape: per-table namespaces + template.
+    return {
+        "option.hoodie.path": f"{base}/lake/{{db}}/ods_{{db}}_{{table}}",
+        "db1.person.hoodie.datasource.write.recordkey.field": "id",
+        "db1.person.hoodie.datasource.write.precombine.field": "ts",
+        "db2.student.hoodie.datasource.write.recordkey.field": "id",
+        "db2.student.hoodie.datasource.write.precombine.field": "ts",
+    }
+
+
+def _run_until(pred, timeout=30.0, interval=0.3):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+@pytest.mark.streaming
+def test_cdc_demux_and_checkpoint_restart(spark, tmp_path):
+    base = str(tmp_path)
+    src = f"{base}/cdc_in"
+    ckpt = f"{base}/ckpt"
+    props = _props(base)
+
+    _write_events(
+        src,
+        "batch1",
+        [
+            {"op": "insert", "db": "db1", "table": "person", "id": 1,
+             "data": '{"name":"ann"}', "ts": "2024-01-01T00:00:01"},
+            {"op": "insert", "db": "db1", "table": "person", "id": 2,
+             "data": '{"name":"bob"}', "ts": "2024-01-01T00:00:02"},
+            {"op": "insert", "db": "db2", "table": "student", "id": 10,
+             "data": '{"grade":1}', "ts": "2024-01-01T00:00:03"},
+        ],
+    )
+    stream = read_cdc_stream(spark, src, "db1,db2", "person,student")
+    q = start_binlog_streamer(spark, stream, props, ckpt, trigger_seconds=1)
+    try:
+        person = f"{base}/lake/db1/ods_db1_person"
+        student = f"{base}/lake/db2/ods_db2_student"
+        assert _run_until(
+            lambda: os.path.exists(person) and os.path.exists(student)
+        ), "tables not materialized"
+        q.processAllAvailable()
+        assert spark.read.parquet(person).count() == 2
+        assert spark.read.parquet(student).count() == 1
+
+        # batch 2: update person 1, delete person 2, insert student 11
+        _write_events(
+            src,
+            "batch2",
+            [
+                {"op": "update", "db": "db1", "table": "person", "id": 1,
+                 "data": '{"name":"ann2"}', "ts": "2024-01-01T00:01:00"},
+                {"op": "delete", "db": "db1", "table": "person", "id": 2,
+                 "data": None, "ts": "2024-01-01T00:01:01"},
+                {"op": "insert", "db": "db2", "table": "student", "id": 11,
+                 "data": '{"grade":2}', "ts": "2024-01-01T00:01:02"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = {r["id"]: r for r in spark.read.parquet(person).collect()}
+        assert set(rows) == {1}, f"delete not applied: {rows}"
+        assert json.loads(rows[1]["data"])["name"] == "ann2"
+        assert spark.read.parquet(student).count() == 2
+    finally:
+        q.stop()
+
+    # restart from the checkpoint: old batches must NOT reapply (state
+    # unchanged), new batches must flow.
+    stream2 = read_cdc_stream(spark, src, "db1,db2", "person,student")
+    q2 = start_binlog_streamer(spark, stream2, props, ckpt, trigger_seconds=1)
+    try:
+        _write_events(
+            src,
+            "batch3",
+            [
+                {"op": "insert", "db": "db1", "table": "person", "id": 3,
+                 "data": '{"name":"cay"}', "ts": "2024-01-01T00:02:00"},
+            ],
+        )
+        q2.processAllAvailable()
+        ids = sorted(r["id"] for r in spark.read.parquet(person).collect())
+        assert ids == [1, 3], f"restart broke state: {ids}"
+    finally:
+        q2.stop()
+
+
+@pytest.mark.streaming
+def test_cdc_within_batch_compaction(spark, tmp_path):
+    """Several ops for one key inside a single micro-batch: only the
+    latest wins (insert→update→delete ⇒ key absent)."""
+    base = str(tmp_path)
+    src = f"{base}/cdc_in"
+    props = _props(base)
+    _write_events(
+        src,
+        "batch1",
+        [
+            {"op": "insert", "db": "db1", "table": "person", "id": 1,
+             "data": '{"v":1}', "ts": "2024-01-01T00:00:01"},
+            {"op": "update", "db": "db1", "table": "person", "id": 1,
+             "data": '{"v":2}', "ts": "2024-01-01T00:00:02"},
+            {"op": "delete", "db": "db1", "table": "person", "id": 1,
+             "data": None, "ts": "2024-01-01T00:00:03"},
+            {"op": "insert", "db": "db1", "table": "person", "id": 2,
+             "data": '{"v":9}', "ts": "2024-01-01T00:00:04"},
+        ],
+    )
+    stream = read_cdc_stream(spark, src)
+    q = start_binlog_streamer(spark, stream, props, f"{base}/ckpt", 1)
+    try:
+        q.processAllAvailable()
+        person = f"{base}/lake/db1/ods_db1_person"
+        ids = sorted(r["id"] for r in spark.read.parquet(person).collect())
+        assert ids == [2], f"compaction wrong: {ids}"
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_cdc_pattern_routing(spark, tmp_path):
+    """db/table regex patterns filter the stream (comma → alternation)."""
+    base = str(tmp_path)
+    src = f"{base}/cdc_in"
+    props = _props(base)
+    _write_events(
+        src,
+        "batch1",
+        [
+            {"op": "insert", "db": "db1", "table": "person", "id": 1,
+             "data": "{}", "ts": "2024-01-01T00:00:01"},
+            {"op": "insert", "db": "ignored_db", "table": "person", "id": 2,
+             "data": "{}", "ts": "2024-01-01T00:00:02"},
+        ],
+    )
+    stream = read_cdc_stream(spark, src, database_pattern="db1")
+    q = start_binlog_streamer(spark, stream, props, f"{base}/ckpt", 1)
+    try:
+        q.processAllAvailable()
+        person = f"{base}/lake/db1/ods_db1_person"
+        assert [r["id"] for r in spark.read.parquet(person).collect()] == [1]
+        assert not os.path.exists(f"{base}/lake/ignored_db")
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_tumbling_window_with_watermark(spark, tmp_path):
+    """Event-time tumbling windows over a file stream; update-mode memory
+    sink; counts match a batch groupBy of the same data."""
+    base = str(tmp_path)
+    src = f"{base}/events_in"
+    rows = [
+        {"event_type": "view", "ts": "2024-01-01T10:05:00"},
+        {"event_type": "view", "ts": "2024-01-01T10:55:00"},
+        {"event_type": "click", "ts": "2024-01-01T10:20:00"},
+        {"event_type": "view", "ts": "2024-01-01T11:10:00"},
+    ]
+    _write_events(src, "b1", rows)
+    stream = spark.readStream.schema("event_type STRING, ts TIMESTAMP").json(src)
+    agg = tumbling_counts(stream, window_size="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tumbling_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].isoformat(), r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+        assert got[("2024-01-01T10:00:00", "view")] == 2
+        assert got[("2024-01-01T10:00:00", "click")] == 1
+        assert got[("2024-01-01T11:00:00", "view")] == 1
+    finally:
+        q.stop()
+
+
+def test_session_window_batch(spark):
+    """Session windows (gap merge) in batch mode over literal events."""
+    from hudi_spark_utilities_plus_spark.streaming import session_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01T10:00:00"),
+            (1, "2024-01-01T10:10:00"),  # same session (gap 30m)
+            (1, "2024-01-01T11:30:00"),  # new session
+            (2, "2024-01-01T10:00:00"),
+        ],
+        "user_id LONG, ts_s STRING",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = session_counts(df, gap="30 minutes")
+    got = sorted(
+        (r["user_id"], r["n"]) for r in out.collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]

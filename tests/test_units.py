@@ -1,0 +1,294 @@
+"""Unit tests: config routing (A14/A15), flatten (A2 on the F4 fixture
+shapes), lake upsert semantics (§1.2), excel reader (A3), jdbc
+validation (A4), transform gating (A1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hudi_spark_utilities_plus_spark.config import (
+    extra_options,
+    parse_properties,
+    prefix_options,
+    resolve_props,
+)
+from hudi_spark_utilities_plus_spark.lake import HudiTable, merge_latest_wins
+from hudi_spark_utilities_plus_spark.operators.flatten import flatten
+from hudi_spark_utilities_plus_spark.operators.transform import (
+    maybe_transform,
+    transform,
+)
+from hudi_spark_utilities_plus_spark.sources.excel import read_excel
+from hudi_spark_utilities_plus_spark.sources.registry import (
+    read_jdbc,
+    validate_jdbc_url,
+)
+
+from .xlsx_util import write_xlsx
+
+# ---------------------------------------------------------------------------
+# config (A14/A15)
+# ---------------------------------------------------------------------------
+
+
+def test_properties_precedence(tmp_path):
+    f = tmp_path / "p.properties"
+    f.write_text("# comment\na=file\nb=file\n")
+    props = resolve_props(
+        explicit={"a": "explicit", "c": "explicit"},
+        props_file=str(f),
+        cli_overrides=["b=cli", "d=cli"],
+    )
+    # explicit < file < cli (HoodieExcelImporter.scala:45-57)
+    assert props == {"a": "file", "b": "cli", "c": "explicit", "d": "cli"}
+
+
+def test_properties_parser_comments_and_colons():
+    props = parse_properties("! bang\n#hash\nk1=v1\nk2: v2\n\nnoise\n")
+    assert props == {"k1": "v1", "k2": "v2"}
+
+
+def test_extra_options_prefix_routing():
+    props = {
+        "hoodie.deltastreamer.jdbc.extra.options.fetchsize": "1000",
+        "hoodie.deltastreamer.jdbc.extra.options.numPartitions": "8",
+        "hoodie.table.name": "t",
+    }
+    assert extra_options(props, "jdbc") == {
+        "fetchsize": "1000",
+        "numPartitions": "8",
+    }
+    assert prefix_options(props, "hoodie.deltastreamer.mongo.extra.options.") == {}
+
+
+# ---------------------------------------------------------------------------
+# flatten (A2) — F4 fixture shapes
+# ---------------------------------------------------------------------------
+
+
+def test_flatten_struct_promotion_rename(spark):
+    df = spark.createDataFrame(
+        [(1.0, ("oid1",), [("l1", 1.0, 2.0)])],
+        "id double, `_id` struct<oid: string>, "
+        "locs array<struct<loc_id: string, x: double, y: double>>",
+    )
+    out = flatten(df)
+    # rename rule TransformUtils.scala:69 + docs worked example
+    assert out.columns == ["id", "_id_oid", "locs_loc_id", "locs_x", "locs_y"]
+    assert out.collect()[0]["locs_loc_id"] == "l1"
+
+
+def test_flatten_empty_array_keeps_parent(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, [("a",)])], "id int, arr array<struct<s: string>>"
+    )
+    out = flatten(df).orderBy("id")
+    rows = out.collect()
+    # explode_outer: id=1 survives with NULL child
+    assert [(r["id"], r["arr_s"]) for r in rows] == [(1, None), (2, "a")]
+
+
+def test_flatten_two_arrays_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, [("a",), ("b",)], [("x",), ("y",), ("z",)])],
+        "id int, l1 array<struct<s: string>>, l2 array<struct<t: string>>",
+    )
+    out = flatten(df)
+    # documented cartesian (MongoDB Ingestion.md:134-147): 2×3 = 6 rows
+    assert out.count() == 6
+    assert set(out.columns) == {"id", "l1_s", "l2_t"}
+
+
+def test_flatten_name_normalization(spark):
+    df = spark.createDataFrame(
+        [((1,),)], "`a b-c` struct<`d.e`: int>"
+    )
+    out = flatten(df)
+    assert out.columns == ["a_b_c_d_e"]
+
+
+# ---------------------------------------------------------------------------
+# transform (A1)
+# ---------------------------------------------------------------------------
+
+
+def test_transform_src_substitution(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    out = transform(spark, df, "SELECT id * 2 AS id2 FROM <SRC> WHERE s = 'b'")
+    assert [r["id2"] for r in out.collect()] == [4]
+
+
+def test_transform_gating_documented_semantics(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    # no SQL key → pass-through (the Mongo/documented gate, not the
+    # reference's buggy null-gate in Excel/JDBC/ES)
+    assert maybe_transform(spark, df, {}) is df
+    out = maybe_transform(
+        spark,
+        df,
+        {"hoodie.deltastreamer.transformer.sql": "SELECT id + 1 AS id FROM <SRC>"},
+    )
+    assert out.collect()[0]["id"] == 2
+
+
+def test_transform_drops_temp_view(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    before = {t.name for t in spark.catalog.listTables()}
+    transform(spark, df, "SELECT * FROM <SRC>").collect()
+    after = {t.name for t in spark.catalog.listTables()}
+    assert before == after
+
+
+# ---------------------------------------------------------------------------
+# lake (§1.2)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_latest_wins_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)],
+        "k int, v string, pre int",
+    )
+    out = merge_latest_wins(df, "k", "pre")
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: "new", 2: "only"}
+
+
+def test_hudi_table_upsert_delete_roundtrip(spark, tmp_path):
+    t = HudiTable(path=str(tmp_path / "t"), record_key="id", precombine="ver")
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "id int, ver int, v string"))
+    # stale update (ver 0) must lose; new key inserts
+    t.upsert(spark.createDataFrame([(1, 0, "STALE"), (3, 1, "c")], "id int, ver int, v string"))
+    state = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert state == {1: "a", 2: "b", 3: "c"}
+    t.delete(spark.createDataFrame([(2,)], "id int"))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_hudi_table_partitioned_layout(spark, tmp_path):
+    t = HudiTable(
+        path=str(tmp_path / "p"),
+        record_key="id",
+        precombine="ver",
+        partition_field="dt",
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "2024-01-01"), (2, 1, "2024-01-02")], "id int, ver int, dt string"
+        )
+    )
+    dirs = {d for d in os.listdir(t.path) if d.startswith("dt=")}
+    assert dirs == {"dt=2024-01-01", "dt=2024-01-02"}
+    # partition pruning visible in the plan
+    plan = t.read(spark).filter(F.col("dt") == "2024-01-01")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dt=2024-01-01" not in plan
+
+
+def test_hudi_table_from_props(tmp_path):
+    t = HudiTable.from_props(
+        {
+            "path": str(tmp_path / "x"),
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.datasource.write.precombine.field": "ts",
+            "hoodie.datasource.write.partitionpath.field": "",
+            "hoodie.table.name": "tbl",
+        }
+    )
+    assert t.record_key == "id" and t.partition_field is None
+    assert t.table_name == "tbl"
+
+
+# ---------------------------------------------------------------------------
+# excel reader (A3)
+# ---------------------------------------------------------------------------
+
+
+def test_excel_simple_header_infer(spark, tmp_path):
+    # F1 'simple' fixture shape
+    p = str(tmp_path / "simple.xlsx")
+    write_xlsx(p, [["col1", "col2", "col3"], ["foo", "bar", 1], ["baz", "qux", 2]])
+    df = read_excel(spark, p, {"inferSchema": "true"})
+    assert df.columns == ["col1", "col2", "col3"]
+    assert dict(df.dtypes)["col3"] == "bigint"
+    assert df.count() == 2
+
+
+def test_excel_strings_by_default(spark, tmp_path):
+    p = str(tmp_path / "s.xlsx")
+    write_xlsx(p, [["a", "b"], [1, 2.5]])
+    df = read_excel(spark, p)
+    assert dict(df.dtypes) == {"a": "string", "b": "string"}
+    assert df.collect()[0]["b"] == "2.5"
+
+
+def test_excel_no_header(spark, tmp_path):
+    p = str(tmp_path / "nh.xlsx")
+    write_xlsx(p, [["x", "y"], ["u", "v"]])
+    df = read_excel(spark, p, {"header": "false"})
+    assert df.columns == ["_c0", "_c1"]
+    assert df.count() == 2
+
+
+def test_excel_data_address_range(spark, tmp_path):
+    p = str(tmp_path / "r.xlsx")
+    write_xlsx(
+        p,
+        [
+            ["junk", "junk", "junk"],
+            ["h1", "h2", "junk"],
+            ["a", 1, "junk"],
+            ["b", 2, "junk"],
+        ],
+    )
+    df = read_excel(spark, p, {"dataAddress": "'Sheet1'!A2:B4", "inferSchema": "true"})
+    assert df.columns == ["h1", "h2"]
+    assert [r["h2"] for r in df.orderBy("h1").collect()] == [1, 2]
+
+
+def test_excel_ignore_after_header(spark, tmp_path):
+    p = str(tmp_path / "iah.xlsx")
+    write_xlsx(p, [["h"], ["skip1"], ["skip2"], ["keep"]])
+    df = read_excel(spark, p, {"ignoreAfterHeader": "2"})
+    assert [r["h"] for r in df.collect()] == ["keep"]
+
+
+def test_excel_glob_multi_file(spark, tmp_path):
+    for i in (1, 2):
+        write_xlsx(str(tmp_path / f"f{i}.xlsx"), [["k"], [f"v{i}"]])
+    df = read_excel(spark, str(tmp_path / "f*.xlsx"))
+    assert sorted(r["k"] for r in df.collect()) == ["v1", "v2"]
+
+
+def test_excel_empty_as_null(spark, tmp_path):
+    p = str(tmp_path / "e.xlsx")
+    write_xlsx(p, [["a", "b"], ["", "x"]])
+    df = read_excel(spark, p)
+    row = df.collect()[0]
+    assert row["a"] is None and row["b"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# jdbc validation (A4)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_dialect_whitelist():
+    assert validate_jdbc_url("jdbc:mysql://h/db") == "mysql"
+    assert validate_jdbc_url("jdbc:derby:memory:x") == "derby"
+    with pytest.raises(ValueError, match="unsupported jdbc dialect"):
+        validate_jdbc_url("jdbc:sqlite:x.db")
+    with pytest.raises(ValueError, match="not a jdbc url"):
+        validate_jdbc_url("mysql://h/db")
+
+
+def test_jdbc_dbtable_query_exclusive(spark):
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jdbc(spark, {"url": "jdbc:mysql://h/db"})
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jdbc(
+            spark,
+            {"url": "jdbc:mysql://h/db", "dbtable": "t", "query": "SELECT 1"},
+        )
