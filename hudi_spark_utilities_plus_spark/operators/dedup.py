@@ -73,8 +73,20 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def scatter(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before CPU-heavy per-row work.
+
+    Small-file inputs (one parquet file → one scan partition) would
+    otherwise serialize shingling/hashing on a single core; one cheap
+    round-robin shuffle of the raw rows unlocks full parallelism. At real
+    lake scale the scan already has thousands of partitions and this is a
+    near-no-op (repartition to the same default parallelism).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    return scatter(df).select(
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
@@ -83,6 +95,44 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dedup (inverted-index exact)
 # ---------------------------------------------------------------------------
+
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to their shingle sets and
+    keep pairs with exact Jaccard ≥ threshold.
+
+    The sets side is broadcast: candidates can outnumber docs 50:1, and
+    shipping KB-sized shingle arrays through a shuffle per candidate
+    dwarfs the map-side hash join. (Above broadcast capacity — billions
+    of docs — drop the hint and this becomes a sort-merge join on doc id,
+    shuffling each array once.)"""
+    sets = F.broadcast(sets)
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 def ngram_jaccard_pairs(
@@ -94,39 +144,39 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
-    Candidate generation is an inverted-index self-join: explode shingles,
-    join on the shingle hash (8-byte keys through the shuffle), count
-    common shingles per pair — only pairs that actually share a shingle
-    ever exist. |common| then gives exact Jaccard via
-    ``common / (|A| + |B| - common)``.
+    Candidate generation uses **prefix filtering** (PPJoin-style): sort
+    each doc's shingle hashes and index only its first
+    ``⌊(1-τ)·|sh|⌋ + 1`` shingles — two docs with Jaccard ≥ τ MUST share
+    at least one prefix shingle (otherwise their intersection is too
+    small), so the candidate set is lossless while the inverted index
+    shrinks ~(1-τ)× and hot-shingle fan-out collapses. Candidates are
+    then verified with exact Jaccard on the full shingle sets.
 
-    Scale: the shingle join is the only wide stage; at high doc-frequency
-    skew, swap in minhash_lsh_pairs (band buckets bound the fan-out).
+    Scale: postings are 8-byte hashes; the only wide stages are the
+    prefix join and the verify join — both shuffle-bounded, no O(n²).
     """
-    s = _shingled(df, text_col, id_col, n)
+    s = _shingled(df, text_col, id_col, n).withColumn(
+        "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
+    )
+    # The prefix join and the verify join each reference this subtree
+    # twice; persist so shingling runs once, not 4x (executor-memory
+    # cache of hashed shingle sets — ~100 bytes/shingle, spills to disk).
+    # count() populates the cache eagerly: otherwise the broadcast-build
+    # job and the postings job race and each recomputes the subtree.
+    s = s.persist()
+    s.count()
+    prefix_len = F.floor(F.size("shh") * (1.0 - threshold)).cast("int") + 1
     posts = s.select(
-        "doc", "n_sh", F.explode("sh").alias("shingle")
-    ).withColumn("shingle", F.xxhash64("shingle"))
-    a = posts.select(
-        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+        "doc", F.explode(F.slice("shh", 1, prefix_len)).alias("shingle")
     )
-    b = posts.select(
-        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    cand = (
+        posts.alias("x")
+        .join(posts.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
     )
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
-    return (
-        common.withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, s.select("doc", "sh", "n_sh"), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -155,20 +205,31 @@ def _mix(i: int) -> int:
     return x % (_MINHASH_P - 1) + 1
 
 
-def _affine(a: int, b: int):
-    # Closure factory: a plain `lambda h, a=a: ...` confuses PySpark's
-    # higher-order-function arity inspection (defaults count as params).
-    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
-
-
 def _minhash_signature(sh_hashed: Column) -> Column:
-    """Array of k minhashes from an array of bounded base shingle hashes."""
-    sigs = []
-    for i in range(_MINHASH_K):
-        sigs.append(
-            F.array_min(F.transform(sh_hashed, _affine(_mix(2 * i + 1), _mix(2 * i + 2))))
+    """Array of k minhashes from an array of bounded base shingle hashes.
+
+    Single fold over the shingle array: the accumulator is the length-k
+    signature; each shingle hash h updates all k lanes via
+    ``zip_with(acc, affine_k(h), least)`` — one pass instead of k array
+    traversals (k× less codegen work per row at 100 TB).
+    """
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(_mix(2 * i + 1)).alias("a"), F.lit(_mix(2 * i + 2)).alias("b")
+            )
+            for i in range(_MINHASH_K)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MINHASH_P).cast("long"), _MINHASH_K)
+
+    def step(acc, h):
+        lane = F.transform(
+            coeffs, lambda c: (h * c["a"] + c["b"]) % F.lit(_MINHASH_P)
         )
-    return F.array(*sigs)
+        return F.zip_with(acc, lane, lambda m, v: F.least(m, v))
+
+    return F.aggregate(sh_hashed, init, step)
 
 
 def minhash_signatures(
@@ -199,7 +260,10 @@ def minhash_lsh_pairs(
     pair set whenever banding recall holds (P(miss) < 1e-7 at τ=0.8),
     so the DuckDB brute-force oracle is the same relation.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n)
+    # Signature computation feeds both sides of the band self-join and
+    # the verify join — persist to compute shingles+signatures once.
+    sigs = minhash_signatures(df, text_col, id_col, n).persist()
+    sigs.count()  # eager cache fill — see ngram_jaccard_pairs
     bands = sigs.select(
         "doc",
         F.posexplode(
@@ -227,33 +291,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    sets = sigs.select("doc", "sh", "n_sh")
-    verified = (
-        cand.join(
-            sets.select(
-                F.col("doc").alias("doc_a"),
-                F.col("sh").alias("sh_a"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc").alias("doc_b"),
-                F.col("sh").alias("sh_b"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return _verify_jaccard(cand, sigs.select("doc", "sh", "n_sh"), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -299,9 +337,11 @@ def simhash_pairs(
     ≤6 share at least one intact 16-bit band... guaranteed only for
     distance ≤ 3; larger distances are best-effort recall, standard for
     SimHash banding). Distance verified exactly with bit_count."""
-    sigs = df.select(
+    sigs = scatter(df).select(
         F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sim")
     )
+    sigs = sigs.persist()
+    sigs.count()  # eager cache fill
     bands = sigs.select(
         "doc",
         "sim",

@@ -21,6 +21,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _scatter(df: DataFrame) -> DataFrame:
+    """Round-robin the corpus before vector math — single-file inputs
+    otherwise pin the whole scan (and all dot products) to one core."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -54,7 +60,7 @@ def cosine_topk_bruteforce(
     ``queries`` is broadcast — the corpus is scanned once, never
     shuffled; ranking ties break on neighbor id for determinism.
     """
-    docs = embeddings.select(
+    docs = _scatter(embeddings).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("d_vec")
     )
     qs = queries.select(
@@ -86,9 +92,9 @@ def similar_pairs(
     side). The 100 TB path replaces the join with LSH buckets
     (ann_lsh_candidates) — same verify step, bounded candidates.
     """
-    side = embeddings.select(
+    side = _scatter(embeddings).select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).persist()
     a = side.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = side.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
@@ -152,7 +158,7 @@ def ann_topk_lsh(
     At corpus scale the signature join replaces the full scan: candidates
     per query ≈ corpus / 2^(planes - probe_width).
     """
-    docs = embeddings.select(
+    docs = _scatter(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("d_vec"),
     ).withColumn("d_sig", lsh_signature(F.col("d_vec"), dim, n_planes))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_tables
 from .operators import dedup as D
+from .operators.dedup import scatter
 from .operators import multimodal as M
 from .operators import similarity as S
 from .operators import text as T
@@ -40,7 +41,7 @@ def _t(spark, sf_dir, *names):
 def dedup_exact(spark, sf_dir):
     """Exact dedup groups: hash-groupBy on SHA-256(text) — 32-byte keys
     through the shuffle, map-side partial agg."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return D.exact_dedup_groups(d, "text", "doc_id")
 
 
@@ -60,7 +61,7 @@ def dedup_exact(spark, sf_dir):
 def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: SHA-256 + Karp-Rabin rolling hash, both
     computed inside codegen (F.sha2 / F.aggregate fold)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return d.select(
         "doc_id",
         T.sha_fingerprint(F.col("text")).alias("sha_fp"),
@@ -84,7 +85,7 @@ def doc_fingerprint(spark, sf_dir):
 )
 def token_counts(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regexp pre-tokenizer."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return d.select(
         "doc_id",
         T.token_count_ws(F.col("text")).alias("n_ws_tokens"),
@@ -109,7 +110,7 @@ def token_counts(spark, sf_dir):
 def text_quality(spark, sf_dir):
     """Quality scoring facets: length/punct/stopword ratios (single
     double divisions over exact integer counts — bit-stable)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     feats = T.quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -145,7 +146,7 @@ def _lang_oracle() -> str:
 def lang_id(spark, sf_dir):
     """Language-ID heuristic: argmax of per-language stopword hits
     (n-gram/marker counting, pure string ops in codegen)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -178,7 +179,7 @@ _JACCARD_ORACLE = r"""
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs (τ=0.8) via inverted-index
     candidate join — no O(n²) stage; oracle is DuckDB brute force."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
@@ -188,7 +189,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     the 100 TB near-dedup path. Verified output equals the brute-force
     ≥0.8 pair set (banding miss probability < 1e-7 at τ=0.8), so it
     shares the exact-Jaccard oracle."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return D.minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
@@ -196,7 +197,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates within Hamming ≤ 6 via 16-bit band
     buckets; exact bit_count verification."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return D.simhash_pairs(d, "text", "doc_id", max_hamming=6)
 
 
@@ -282,7 +283,7 @@ def mm_features(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (byte length + checksum here; a real
     codec slots into the same batch loop)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     feats = M.extract_features(M.attach_payload(d))
     return feats.select("doc_id", "n_bytes", "payload_sha")
 
@@ -291,7 +292,7 @@ def mm_features(spark, sf_dir):
 def mm_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: ≤8 fixed-stride byte-slice 'frames' per
     payload, one row per frame (video pipeline shape)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return M.sample_frames(M.attach_payload(d)).select(
         "doc_id", "frame_no", F.octet_length("frame").alias("frame_bytes")
     )
