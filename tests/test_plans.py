@@ -1,0 +1,72 @@
+"""Physical-plan guardrails: the properties that make these queries
+survive a 100× scale-up, pinned as tests so a refactor can't silently
+regress them (SURVEY §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_spark_utilities_plus_spark.plans import audit
+from hudi_spark_utilities_plus_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = QUERIES["filter_eq"](spark, sf_dir)
+    assert audit.has_pushed_filters(df), audit.executed_plan(df)
+
+
+def test_column_pruning_projects_only_needed(spark, sf_dir):
+    df = QUERIES["sort_limit_topk"](spark, sf_dir)
+    cols = audit.read_schema_columns(df)
+    # scan must read only the 2 needed of orders' 6 columns
+    assert set(cols) == {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_broadcast_join_for_small_dimension(spark, sf_dir):
+    df = QUERIES["join_broadcast"](spark, sf_dir)
+    assert audit.has_broadcast_hash_join(df), audit.executed_plan(df)
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = QUERIES["sort_limit_topk"](spark, sf_dir)
+    assert audit.has_take_ordered(df), audit.executed_plan(df)
+
+
+def test_agg_uses_partial_aggregation(spark, sf_dir):
+    plan = audit.executed_plan(QUERIES["agg_group"](spark, sf_dir))
+    # partial (map-side) agg before the exchange, final after
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2, plan
+
+
+def test_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "pp"),
+        record_key="id",
+        precombine="v",
+        partition_field="dt",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "2024-01-01"), (2, 1, "2024-01-02")], "id int, v int, dt string"
+        )
+    )
+    pruned = t.read(spark).filter(F.col("dt") == "2024-01-01")
+    assert audit.has_partition_filters(pruned), audit.executed_plan(pruned)
+
+
+def test_no_cartesian_in_near_dedup(spark, sf_dir):
+    plan = audit.executed_plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    plan2 = audit.executed_plan(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan2
+
+
+def test_flagship_join_plan_shape(spark, sf_dir):
+    """lineitem⋈orders⋈customer: both dimension joins broadcast (fact side
+    never shuffles for the join), all three scans pruned + filtered."""
+    plan = audit.executed_plan(QUERIES["join_inner"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("PushedFilters: [IsNotNull") == 3, plan
