@@ -1091,3 +1091,4 @@ def stream_tumbling(spark, sf_dir):
 # Import-time registration of the LLM-pipeline queries (dedup, similarity,
 # text analysis, multimodal) — see queries_llm.py.
 from . import queries_llm  # noqa: E402,F401  (registry side effects)
+from . import queries_extra  # noqa: E402,F401  (registry side effects)

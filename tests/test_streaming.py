@@ -230,3 +230,52 @@ def test_session_window_batch(spark):
         (r["user_id"], r["n"]) for r in out.collect()
     )
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+@pytest.mark.streaming
+def test_stateful_user_profile_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state persists across
+    micro-batches (counts accumulate, not reset)."""
+    from hudi_spark_utilities_plus_spark.streaming.stateful import (
+        user_profile_stream,
+    )
+
+    base = str(tmp_path)
+    src = f"{base}/ev_in"
+    _write_events(
+        src,
+        "b1",
+        [
+            {"user_id": 1, "value": 10.0, "ts": "2024-01-01T10:00:00"},
+            {"user_id": 1, "value": 5.0, "ts": "2024-01-01T10:01:00"},
+            {"user_id": 2, "value": 1.0, "ts": "2024-01-01T10:02:00"},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "user_id LONG, value DOUBLE, ts TIMESTAMP"
+    ).json(src)
+    out = user_profile_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(
+            src,
+            "b2",
+            [{"user_id": 1, "value": 2.5, "ts": "2024-01-01T11:00:00"}],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM profiles WHERE user_id = 1 ORDER BY n_events DESC"
+        ).collect()
+        latest = rows[0]
+        assert latest["n_events"] == 3  # state carried across batches
+        assert abs(latest["total_value"] - 17.5) < 1e-9
+        assert latest["last_ts"].isoformat() == "2024-01-01T11:00:00"
+    finally:
+        q.stop()
