@@ -68,6 +68,7 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -75,6 +76,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop per-query persisted intermediates so later queries aren't
+        # taxed by earlier queries' cache residency
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -101,6 +101,12 @@ def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataF
     """Join candidate (doc_a, doc_b) pairs back to their shingle sets and
     keep pairs with exact Jaccard ≥ threshold.
 
+    ``sets`` must carry (doc, shh: array<long> of distinct 64-bit shingle
+    hashes, n_sh). Intersections run on 8-byte hashes instead of shingle
+    strings — ~3× smaller broadcast and cheaper set ops; a 64-bit
+    collision folding two shingles is ~5e-15 per doc, far below the
+    driver-oracle's noise floor.
+
     The sets side is broadcast: candidates can outnumber docs 50:1, and
     shipping KB-sized shingle arrays through a shuffle per candidate
     dwarfs the map-side hash join. (Above broadcast capacity — billions
@@ -111,7 +117,7 @@ def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataF
         cand.join(
             sets.select(
                 F.col("doc").alias("doc_a"),
-                F.col("sh").alias("sh_a"),
+                F.col("shh").alias("sh_a"),
                 F.col("n_sh").alias("n_a"),
             ),
             "doc_a",
@@ -119,7 +125,7 @@ def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataF
         .join(
             sets.select(
                 F.col("doc").alias("doc_b"),
-                F.col("sh").alias("sh_b"),
+                F.col("shh").alias("sh_b"),
                 F.col("n_sh").alias("n_b"),
             ),
             "doc_b",
@@ -176,7 +182,7 @@ def ngram_jaccard_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, s.select("doc", "sh", "n_sh"), threshold)
+    return _verify_jaccard(cand, s.select("doc", "shh", "n_sh"), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -238,8 +244,9 @@ def minhash_signatures(
     """(doc, n_sh, sh_hashed, sig) — signature column is array<long>[k]."""
     s = _shingled(df, text_col, id_col, n)
     hashed = s.withColumn(
-        "sh_hashed",
-        F.transform("sh", lambda x: F.pmod(F.xxhash64(x), F.lit(_MINHASH_P))),
+        "shh", F.transform("sh", lambda x: F.xxhash64(x))
+    ).withColumn(
+        "sh_hashed", F.transform("shh", lambda h: F.pmod(h, F.lit(_MINHASH_P)))
     )
     return hashed.withColumn("sig", _minhash_signature(F.col("sh_hashed")))
 
@@ -291,7 +298,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sigs.select("doc", "sh", "n_sh"), threshold)
+    return _verify_jaccard(cand, sigs.select("doc", "shh", "n_sh"), threshold)
 
 
 # ---------------------------------------------------------------------------
