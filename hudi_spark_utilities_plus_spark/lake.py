@@ -167,6 +167,24 @@ class HudiTable:
         )
         self._atomic_rewrite(remaining, spark)
 
+    def write_via_hudi_bundle(self, df: DataFrame, mode: str = "append") -> None:
+        """A13 passthrough: forward every property verbatim to
+        ``format("hudi")`` exactly as the reference importers do
+        (HoodieExcelImporter.scala:109-113) — available when the Apache
+        Hudi Spark bundle jar is on the classpath. The parquet
+        implementation above is the primary (oracle-checked) path."""
+        try:
+            df.write.format("hudi").mode(mode).options(**self.options).save(
+                self.path
+            )
+        except Exception as e:  # pragma: no cover — bundle absent here
+            raise RuntimeError(
+                "format('hudi') failed — is the Apache Hudi Spark bundle on "
+                "the classpath? The parquet-native HudiTable methods "
+                "(upsert/bulk_insert/delete) provide the same semantics "
+                "without it."
+            ) from e
+
     def write(self, df: DataFrame, operation: str = "upsert") -> None:
         """Dispatch on ``hoodie.datasource.write.operation``."""
         op = operation.lower()

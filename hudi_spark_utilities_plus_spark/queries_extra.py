@@ -283,3 +283,30 @@ def agg_decimal_total(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_salted",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation — semantically identical to
+    a plain GROUP BY (the oracle), but hot keys split across 16 salt
+    lanes before the merge (operators/skew.py)."""
+    from .operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")["events"]
+    e = e.withColumn("vdec", F.col("value").cast("decimal(18,2)"))
+    return salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "total": (F.sum("vdec"), F.sum("total").cast("double")),
+        },
+        n_salts=16,
+    ).select("event_type", "n", "total")

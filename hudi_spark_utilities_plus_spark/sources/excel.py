@@ -32,6 +32,13 @@ from datetime import date, datetime
 from pyspark.sql import DataFrame, SparkSession
 
 _NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+
+
+class ErrorCell(str):
+    """Marker for cells with t="e" (e.g. #DIV/0!); mapped per the
+    setErrorCellsToFallbackValues option in read_excel."""
+
+
 _REL_NS = {
     "r": "http://schemas.openxmlformats.org/package/2006/relationships",
 }
@@ -122,7 +129,9 @@ def read_xlsx_rows(
                 val = shared[int(v_el.text)]
             elif t == "b":
                 val = v_el.text == "1"
-            elif t in ("str", "e"):
+            elif t == "e":
+                val = ErrorCell(v_el.text or "")
+            elif t == "str":
                 val = v_el.text
             else:  # numeric
                 txt = v_el.text
@@ -176,6 +185,14 @@ def read_excel(
 ) -> DataFrame:
     """Load one or many (glob) xlsx files into a DataFrame."""
     opts = {k.lower(): v for k, v in (options or {}).items()}
+    if opts.get("workbookpassword"):
+        raise NotImplementedError(
+            "encrypted workbooks (workbookPassword) need an OOXML crypto "
+            "library not present in this environment"
+        )
+    error_fallback = (
+        str(opts.get("seterrorcellstofallbackvalues", "false")).lower() == "true"
+    )
     header = str(opts.get("header", "true")).lower() == "true"
     infer = str(opts.get("inferschema", "false")).lower() == "true"
     empty_as_null = (
@@ -209,6 +226,15 @@ def read_excel(
             names = hdr
         all_rows.extend(body)
 
+    # error cells: fallback to their literal error text when requested,
+    # else null (docs/file/01.Excel Ingestion.md:42 semantics)
+    all_rows = [
+        [
+            (str(v) if error_fallback else None) if isinstance(v, ErrorCell) else v
+            for v in row
+        ]
+        for row in all_rows
+    ]
     if empty_as_null:
         all_rows = [[None if v == "" else v for v in row] for row in all_rows]
 

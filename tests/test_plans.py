@@ -70,3 +70,35 @@ def test_flagship_join_plan_shape(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan
     assert plan.count("PushedFilters: [IsNotNull") == 3, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys at write time: joining two
+    tables bucketed the same way needs NO exchange — the pre-partitioning
+    pattern for repeated large-large joins at 100 TB."""
+    # (warehouse dir is a static conf; managed tables land in the default
+    # spark-warehouse and are dropped below)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS bt1")
+    spark.sql("DROP TABLE IF EXISTS bt2")
+    try:
+        a = spark.range(0, 1000).withColumnRenamed("id", "k")
+        b = spark.range(0, 1000).withColumnRenamed("id", "k")
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt1")
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt1").join(spark.table("bt2"), "k")
+        plan = audit.executed_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt1")
+        spark.sql("DROP TABLE IF EXISTS bt2")
+
+
+def test_salted_agg_splits_hot_keys(spark, sf_dir):
+    """agg_salted: phase-1 groups on (key, salt) — the plan must contain
+    two aggregation exchanges (salted partial, then merge)."""
+    plan = audit.executed_plan(QUERIES["agg_salted"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 3, plan  # partial+final x2 phases

@@ -292,3 +292,35 @@ def test_jdbc_dbtable_query_exclusive(spark):
             spark,
             {"url": "jdbc:mysql://h/db", "dbtable": "t", "query": "SELECT 1"},
         )
+
+
+def test_excel_error_cells(spark, tmp_path):
+    """t="e" cells → null by default, literal fallback when requested."""
+    import zipfile
+
+    p = str(tmp_path / "err.xlsx")
+    write_xlsx(p, [["a", "b"], ["x", "ok"]])
+    # splice an error cell into the body row
+    with zipfile.ZipFile(p) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+        wb, rels = zf.read("xl/workbook.xml"), zf.read("xl/_rels/workbook.xml.rels")
+    sheet = sheet.replace(
+        '<c r="A2" t="inlineStr"><is><t>x</t></is></c>',
+        '<c r="A2" t="e"><v>#DIV/0!</v></c>',
+    )
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    df = read_excel(spark, p)
+    assert df.collect()[0]["a"] is None
+    df2 = read_excel(spark, p, {"setErrorCellsToFallbackValues": "true"})
+    assert df2.collect()[0]["a"] == "#DIV/0!"
+
+
+def test_excel_password_unsupported(spark, tmp_path):
+    p = str(tmp_path / "x.xlsx")
+    write_xlsx(p, [["a"], ["v"]])
+    with pytest.raises(NotImplementedError, match="workbookPassword"):
+        read_excel(spark, p, {"workbookPassword": "secret"})
