@@ -182,3 +182,126 @@ def ann_topk_lsh(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (inverted-file index, the other scale path)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean vector per cluster, pure DataFrame ops:
+    posexplode → (cluster, pos) means → rebuild ordered arrays."""
+    exploded = assigned.select(
+        "cluster", F.posexplode("v").alias("pos", "val")
+    )
+    means = exploded.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(
+            "cluster",
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmin over broadcast centroid literals (k is small — the centroid
+    table is driver-side metadata, never a data-scale collect)."""
+    best_id, best_d = F.lit(centroids[0][0]), None
+    for cid, cvec in centroids:
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+            best_id = F.lit(cid)
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index.
+
+    Train: deterministic init (cluster = vec_id % n_clusters) + a few
+    k-means iterations, all as DataFrame aggregations — only the k
+    centroid vectors (metadata) ever reach the driver. Search: each
+    query probes its n_probe nearest clusters; only those clusters'
+    vectors are scored. At corpus scale the cluster column becomes the
+    lake partition key, so probing is partition pruning.
+    """
+    docs = _scatter(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    docs.count()
+
+    assigned = docs.withColumn(
+        "cluster", F.pmod(F.col("neighbor_id"), F.lit(n_clusters))
+    )
+    for _ in range(max(1, kmeans_iters)):  # ≥1 so centroids always exist
+        cents = [
+            (r["cluster"], list(r["centroid"]))
+            for r in _centroid_means(assigned).collect()  # k rows (metadata)
+        ]
+        assigned = docs.withColumn(
+            "cluster", _nearest_centroid(F.col("v"), cents)
+        )
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    # per-query probe list: n_probe nearest centroids by squared distance
+    probe_rows = []
+    for cid, cvec in cents:
+        probe_rows.append((cid, cvec))
+    cent_df = qs.sparkSession.createDataFrame(
+        probe_rows, "cluster INT, centroid ARRAY<DOUBLE>"
+    )
+    qd = qs.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("q_vec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cluster")
+    probes = (
+        qd.withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned["cluster"] == probes["cluster"])
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -296,3 +296,13 @@ def mm_frame_sample(spark, sf_dir):
     return M.sample_frames(M.attach_payload(d)).select(
         "doc_id", "frame_no", F.octet_length("frame").alias("frame_bytes")
     )
+
+
+@query("ann_topk_ivf")  # rows-only: approximate recall is probe-dependent
+def ann_topk_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: deterministic k-means inverted-file index,
+    n_probe nearest clusters scanned per query — partition-pruning
+    search at lake scale (complements the LSH variant)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(e, qs, k=5, n_clusters=8, n_probe=3)

@@ -102,3 +102,20 @@ def test_multimodal_metadata_struct(spark, docs):
     by_id = {r["doc_id"]: r["n_bytes"] for r in out}
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert by_id[0] == len(texts[0].encode())
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, qs, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    # near-random vectors are the worst case for IVF too; probing half
+    # the clusters must still recover most of the true top-k
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
