@@ -310,3 +310,47 @@ def agg_salted(spark, sf_dir):
         },
         n_salts=16,
     ).select("event_type", "n", "total")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """B11: explicit GROUPING SETS (beyond rollup/cube)."""
+    load_tables(spark, sf_dir, ["lineitem"], register=True)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "win_range_between",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS nearby_total
+    FROM orders
+    """,
+)
+def win_range_between(spark, sf_dir):
+    """B13: RANGE-framed window (value-based frame bounds, vs the
+    row-count frame of win_running_sum)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.orderBy("o_orderkey").rangeBetween(-100, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("nearby_total"),
+    )
