@@ -392,13 +392,34 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL estimate is engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """B10: approx_count_distinct (HyperLogLog++) — the 100 TB-scale path
-    for distinct cardinality; rows-only check (estimates differ by engine)."""
+    for distinct cardinality. The raw HLL estimate is engine-specific
+    (DuckDB's approx differs), so the checkable output is the invariant
+    part: group keys, the exact distinct count, and ``approx_ok`` —
+    whether the HLL estimate landed within 5× the requested rsd (0.02 →
+    10%) of the exact count. If HLL ever regresses badly the flag flips
+    false and the driver hash catches it."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.10)
+        ).alias("approx_ok"),
     )
 
 
@@ -759,19 +780,26 @@ def math_funcs(spark, sf_dir):
            CAST(l_linenumber AS BIGINT) AS line_big,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-           CAST(l_quantity AS DECIMAL(12, 2)) AS qty_dec
+           CAST(CAST(l_quantity AS DECIMAL(12, 2)) AS DOUBLE) AS qty_dec
     FROM lineitem
     """,
 )
 def cast_types(spark, sf_dir):
-    """B20: casts / schema coercion (JDBC customSchema analogue)."""
+    """B20: casts / schema coercion (JDBC customSchema analogue).
+
+    The decimal cast stays under test, but the comparison column is
+    emitted as DOUBLE (registry ``dsum`` convention): raw DECIMAL output
+    normalizes differently between Spark and the driver's DuckDB hash
+    (Decimal('23.00') vs 23.0), so a bit-exact DECIMAL column is not
+    comparison-safe across engines.
+    """
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("bigint").alias("line_big"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("double").alias("qty_dec"),
     )
 
 
