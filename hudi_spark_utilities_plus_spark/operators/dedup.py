@@ -214,28 +214,27 @@ def _mix(i: int) -> int:
 def _minhash_signature(sh_hashed: Column) -> Column:
     """Array of k minhashes from an array of bounded base shingle hashes.
 
-    Single fold over the shingle array: the accumulator is the length-k
-    signature; each shingle hash h updates all k lanes via
-    ``zip_with(acc, affine_k(h), least)`` — one pass instead of k array
-    traversals (k× less codegen work per row at 100 TB).
+    k independent ``array_min(transform(...))`` traversals, one per lane.
+    This deliberately REVERTS the round-1 "single fold with a length-k
+    accumulator" rework: that shape allocates two k-element arrays per
+    shingle (the affine lane array + the zip_with result), and measured
+    2× slower at sf0.1 (1.48 s vs 0.73 s signatures-only). k plain
+    traversals keep each lane's affine+min loop allocation-free inside
+    whole-stage codegen — per-row cost is k·|sh| fused long ops, the
+    shape that scales.
     """
-    coeffs = F.array(
-        *[
-            F.struct(
-                F.lit(_mix(2 * i + 1)).alias("a"), F.lit(_mix(2 * i + 2)).alias("b")
-            )
-            for i in range(_MINHASH_K)
-        ]
-    )
-    init = F.array_repeat(F.lit(_MINHASH_P).cast("long"), _MINHASH_K)
 
-    def step(acc, h):
-        lane = F.transform(
-            coeffs, lambda c: (h * c["a"] + c["b"]) % F.lit(_MINHASH_P)
+    def _affine(a: int, b: int):
+        # closure factory, not default-arg lambda: defaults would count as
+        # extra lambda parameters to Spark's higher-order transform
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+    def lane(i: int) -> Column:
+        return F.array_min(
+            F.transform(sh_hashed, _affine(_mix(2 * i + 1), _mix(2 * i + 2)))
         )
-        return F.zip_with(acc, lane, lambda m, v: F.least(m, v))
 
-    return F.aggregate(sh_hashed, init, step)
+    return F.array(*[lane(i) for i in range(_MINHASH_K)])
 
 
 def minhash_signatures(
