@@ -73,16 +73,36 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in S.ann_topk_lsh(
-            emb, qs, dim=64, k=5, n_planes=12, max_probe_hamming=6
-        ).collect()
+        for r in S.ann_topk_lsh(emb, qs, dim=64, k=5).collect()
     }
     # These embeddings are near-random (top-5 cosine ~0.3-0.5, no planted
-    # clusters), the hard case for hyperplane LSH — wide multiprobe
-    # recovers most of the exact top-k; tight near-dup clusters (the
-    # actual dedup workload) land in identical buckets at narrow probes.
+    # clusters), the hard case for hyperplane LSH — banded buckets with
+    # 1-bit multiprobe recover most of the exact top-k; tight near-dup
+    # clusters (the actual dedup workload) collide at far lower cost.
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_similar_pairs_lsh_matches_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = {
+        (r["id_a"], r["id_b"])
+        for r in S.similar_pairs(emb, threshold=0.45).collect()
+    }
+    # brute-force reference relation, computed inline (small sf)
+    side = emb.select(
+        F.col("vec_id").alias("id"), S.as_double(F.col("embedding")).alias("v")
+    )
+    a = side.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = side.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("c", S.cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("c") >= 0.45)
+        .collect()
+    }
+    assert ids == brute  # banding recall is exact on this data (deterministic)
 
 
 def test_multimodal_decode_stub_raises():

@@ -63,6 +63,22 @@ def test_no_cartesian_in_near_dedup(spark, sf_dir):
     assert "CartesianProduct" not in plan2
 
 
+def test_similar_pairs_candidates_are_equi_join(spark, sf_dir):
+    """embedding_similar_pairs candidate generation must be a bucket
+    equi-join, never an all-pairs nested loop (the 100 TB killer)."""
+    plan = audit.executed_plan(QUERIES["embedding_similar_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_lsh_candidates_are_equi_join(spark, sf_dir):
+    """ann_topk_lsh candidates come from an exploded (band, key) hash
+    join — no nested-loop signature comparison."""
+    plan = audit.executed_plan(QUERIES["ann_topk_lsh"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_flagship_join_plan_shape(spark, sf_dir):
     """lineitem⋈orders⋈customer: both dimension joins broadcast (fact side
     never shuffles for the join), all three scans pruned + filtered."""
