@@ -1,0 +1,136 @@
+"""Scale-safe replacements for globally-ordered window functions.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` plans an
+``Exchange SinglePartition`` → every row funnels through ONE task —
+correct at sf0.01, dead at 100 TB. These operators compute the same
+results as two-phase distributed programs:
+
+- :func:`global_row_number` — range-partition on the order keys, rank
+  locally per partition, then add per-partition cumulative offsets
+  (a ``n_partitions``-row metadata collect, same class as IVF
+  centroids). ntile/percent_rank derive from the global row number plus
+  the (driver-side) total count.
+- :func:`range_frame_sum` — a value-RANGE-framed running sum expressed
+  as a bounded block self-join: bucket rows into blocks the width of
+  the frame, emit each row as a contributor to its own and the next
+  block, equi-join on block, filter the value range, aggregate. Every
+  stage is a hash shuffle on block/key — no single-partition anything.
+
+Neither produces an ``Exchange SinglePartition`` in the executed plan
+(pinned by tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    n_partitions: int | None = None,
+    out_col: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Globally-ordered row_number without a single-partition window.
+
+    Phase 1: ``repartitionByRange`` on the order keys (deterministic
+    sampled boundaries) + per-partition ``row_number`` — each task ranks
+    only its slice. Phase 2: per-partition row counts (``n_partitions``
+    rows — metadata, not data) are collected, turned into cumulative
+    offsets, and broadcast-joined back: global rn = offset + local rn.
+
+    Order keys must be a total order (unique): rows tying across a
+    range boundary would otherwise get arbitrary relative ranks.
+
+    Returns ``(df_with_rn, total_row_count)`` — the total falls out of
+    the offsets for free (callers need it for ntile/percent_rank).
+    """
+    sess = df.sparkSession
+    n_partitions = n_partitions or sess.sparkContext.defaultParallelism
+    tagged = df.repartitionByRange(n_partitions, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = tagged.withColumn("_lrn", F.row_number().over(w)).persist()
+    local.count()  # eager cache: the counts job below must not recompute
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = F.broadcast(
+        sess.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+        )
+    )
+    out = (
+        local.join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return out, acc
+
+
+def ntile_expr(rn: Column, n_total: int, tiles: int) -> Column:
+    """Standard-SQL NTILE from a global row number and the total count
+    (driver-side scalar): the first ``n mod tiles`` buckets get
+    ``⌈n/tiles⌉`` rows, the rest ``⌊n/tiles⌋``."""
+    q, r = divmod(n_total, tiles)
+    if q == 0:  # fewer rows than tiles: bucket = rn
+        return rn.cast("int")
+    big = r * (q + 1)  # rows living in the (q+1)-sized buckets
+    return (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn - big - 1) / q) + 1)
+        .cast("int")
+    )
+
+
+def percent_rank_expr(rn: Column, n_total: int) -> Column:
+    """PERCENT_RANK = (rank-1)/(n-1) — with a unique total order,
+    rank == row_number; exact IEEE division on both engines."""
+    if n_total <= 1:
+        return F.lit(0.0)
+    return (rn - 1).cast("double") / F.lit(float(n_total - 1))
+
+
+def range_frame_sum(
+    df: DataFrame,
+    key_col: str,
+    val: Column,
+    preceding: int,
+    out_col: str = "frame_sum",
+) -> DataFrame:
+    """``SUM(val) OVER (ORDER BY key RANGE BETWEEN p PRECEDING AND
+    CURRENT ROW)`` as a bounded block join (one output row per distinct
+    key; RANGE-frame peers share a sum by definition).
+
+    Rows bucket into blocks of width ``preceding``; a frame
+    ``[k-p, k]`` spans at most 2 consecutive blocks, so each row is
+    emitted as a contributor to its own and the following block and the
+    frame sum is an equi-join on block + a range filter + a groupBy —
+    per-row work bounded by 2 blocks' density, all shuffles hash-keyed.
+    """
+    k = F.col(key_col)
+    contrib = df.select(
+        k.alias("_ck"), val.alias("_cv"), F.floor(k / preceding).alias("_blk")
+    )
+    contrib = contrib.select(
+        "_ck", "_cv", F.explode(F.array(F.col("_blk"), F.col("_blk") + 1)).alias("_blk")
+    )
+    rows = df.select(k.alias(key_col)).distinct().withColumn(
+        "_blk", F.floor(F.col(key_col) / preceding)
+    )
+    return (
+        rows.join(contrib, "_blk")
+        .filter(
+            (F.col("_ck") >= F.col(key_col) - preceding)
+            & (F.col("_ck") <= F.col(key_col))
+        )
+        .groupBy(key_col)
+        .agg(F.sum("_cv").alias(out_col))
+    )

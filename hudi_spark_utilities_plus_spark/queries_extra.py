@@ -111,13 +111,24 @@ def pivot_status(spark, sf_dir):
     """,
 )
 def win_ntile(spark, sf_dir):
-    """B12: ntile + percent_rank (global window, deterministic order)."""
+    """B12: ntile + percent_rank over a global order — computed
+    two-phase (operators/global_windows.py): range-partitioned local
+    ranks + broadcast cumulative offsets, so no single-partition window
+    exists in the plan (pinned by test_plans)."""
+    from .operators.global_windows import (
+        global_row_number,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
     c = _t(spark, sf_dir, "customer")["customer"]
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select(
+    ranked, n_total = global_row_number(
+        c, [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
+        ntile_expr(F.col("rn"), n_total, 4).alias("quartile"),
+        percent_rank_expr(F.col("rn"), n_total).alias("pct_rank"),
     )
 
 
@@ -348,13 +359,20 @@ def agg_grouping_sets(spark, sf_dir):
 )
 def win_range_between(spark, sf_dir):
     """B13: RANGE-framed window (value-based frame bounds, vs the
-    row-count frame of win_running_sum)."""
+    row-count frame of win_running_sum) — expressed as the bounded
+    block join of operators/global_windows.range_frame_sum, so the
+    global-ordered frame never funnels through one task. Exact decimal
+    sums (order-independent) emitted as DOUBLE."""
+    from .operators.global_windows import range_frame_sum
+
     o = _t(spark, sf_dir, "orders")["orders"]
-    w = Window.orderBy("o_orderkey").rangeBetween(-100, Window.currentRow)
-    return o.select(
+    out = range_frame_sum(
+        o,
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("nearby_total"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        preceding=100,
+        out_col="nearby_total",
+    )
+    return out.select(
+        "o_orderkey", F.col("nearby_total").cast("double").alias("nearby_total")
     )

@@ -71,6 +71,15 @@ def test_similar_pairs_candidates_are_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_global_windows_avoid_single_partition(spark, sf_dir):
+    """win_ntile / win_range_between are two-phase: the executed plan
+    must not funnel the table through an Exchange SinglePartition (the
+    global-window scale killer)."""
+    for name in ("win_ntile", "win_range_between"):
+        plan = audit.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "SinglePartition" not in plan, f"{name}:\n{plan}"
+
+
 def test_ann_lsh_candidates_are_equi_join(spark, sf_dir):
     """ann_topk_lsh candidates come from an exploded (band, key) hash
     join — no nested-loop signature comparison."""
