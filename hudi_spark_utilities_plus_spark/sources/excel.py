@@ -8,17 +8,33 @@ spark-excel jar or openpyxl, so the reader parses the xlsx container
 honored:
 
 - ``header`` (default true): first row of the range is column names
-- ``dataAddress``: ``'Sheet1'!A1:C4`` / ``Sheet1!A1`` / ``A1`` sub-range
+- ``dataAddress``: ``'Sheet1'!A1:C4`` / ``Sheet1!A1`` / ``A1`` /
+  absolute ``$A$1:$C$4`` sub-range
 - ``inferSchema`` (default false → everything string, matching
   spark-excel's strings-by-default)
+- ``excerptSize`` (default 10): rows sampled for schema inference
+- ``timestampFormat`` (default ``yyyy-MM-dd HH:mm:ss``): string cells
+  matching this pattern infer as timestamps
+- ``usePlainNumberFormat`` (default false): when reading numerics as
+  strings, true renders full plain decimals (no scientific notation /
+  rounding)
 - ``treatEmptyValuesAsNulls`` (default true)
+- ``setErrorCellsToFallbackValues`` (default false): error cells (t="e",
+  e.g. #DIV/0!) become their literal error text instead of null
 - ``ignoreAfterHeader``: skip N rows after the header row
-- glob paths: multi-file reads concatenate row-wise
+- ``maxRowsInMemory``: the sheet parse always streams (ET.iterparse,
+  rows released as consumed), so memory is bounded regardless; the
+  option is accepted for parity
+- date/timestamp **styled numeric cells** decode to real date/timestamp
+  values via styles.xml (builtin + custom date number formats, Excel
+  1900 serial epoch) — the fidelity gap called out in round 1
+- glob paths: multi-file reads concatenate row-wise, and the per-file
+  parse runs **on executors** (one task per workbook) — a 10k-workbook
+  ingest no longer serializes through the driver; the driver only
+  parses the first workbook's excerpt to fix names + schema.
 
-Scale note: xlsx is a driver-side format (a workbook must be unzipped
-whole); the importer's job is to land it in a parquet lake table once,
-after which everything is distributed. Parsing happens on the driver,
-as spark-excel does per file; many files parallelize via the glob list.
+Not supported (documented, raising): ``workbookPassword`` (OOXML crypto
+not in this environment) and legacy BIFF ``.xls`` containers.
 """
 
 from __future__ import annotations
@@ -27,11 +43,12 @@ import glob as _glob
 import re
 import xml.etree.ElementTree as ET
 import zipfile
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 
 _NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_M = f"{{{_NS['m']}}}"
 
 
 class ErrorCell(str):
@@ -56,7 +73,8 @@ def _col_to_idx(ref: str) -> int:
 
 
 def _parse_cell_ref(ref: str) -> tuple[int, int]:
-    m = re.match(r"([A-Z]+)(\d+)", ref)
+    # '$' strips: Excel commonly emits absolute refs ($A$1) in ranges
+    m = re.match(r"([A-Z]+)(\d+)", ref.replace("$", ""))
     if not m:
         raise ValueError(f"bad cell ref: {ref}")
     return int(m.group(2)) - 1, _col_to_idx(m.group(1))
@@ -82,8 +100,69 @@ def _read_shared_strings(zf: zipfile.ZipFile) -> list[str]:
     root = ET.fromstring(data)
     out = []
     for si in root.findall("m:si", _NS):
-        out.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+        out.append("".join(t.text or "" for t in si.iter(f"{_M}t")))
     return out
+
+
+# Builtin numFmtIds rendering as dates/times (ECMA-376 §18.8.30); custom
+# formats are date-like when they contain y/m/d/h/s tokens outside
+# brackets/quotes.
+_BUILTIN_DATE_FMT = set(range(14, 23)) | {27, 28, 29, 30, 31, 36} | set(range(45, 48))
+_BUILTIN_TIME_ONLY = set(range(18, 22)) | set(range(45, 48))
+
+
+def _fmt_is_date(code: str) -> bool:
+    stripped = re.sub(r"\[[^\]]*\]|\"[^\"]*\"|\\.", "", code)
+    return bool(re.search(r"[ymdhsYMDHS]", stripped))
+
+
+def _fmt_has_time(code: str) -> bool:
+    stripped = re.sub(r"\[[^\]]*\]|\"[^\"]*\"|\\.", "", code)
+    return bool(re.search(r"[hsHS]", stripped))
+
+
+def _read_styles(zf: zipfile.ZipFile) -> list[str]:
+    """Per cell-style index: 'none' | 'date' | 'datetime'."""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return []
+    custom: dict[int, str] = {}
+    num_fmts = root.find("m:numFmts", _NS)
+    if num_fmts is not None:
+        for nf in num_fmts.findall("m:numFmt", _NS):
+            custom[int(nf.get("numFmtId"))] = nf.get("formatCode", "")
+    kinds: list[str] = []
+    xfs = root.find("m:cellXfs", _NS)
+    if xfs is not None:
+        for xf in xfs.findall("m:xf", _NS):
+            fmt_id = int(xf.get("numFmtId", 0))
+            if fmt_id in custom:
+                code = custom[fmt_id]
+                if _fmt_is_date(code):
+                    kinds.append("datetime" if _fmt_has_time(code) else "date")
+                else:
+                    kinds.append("none")
+            elif fmt_id in _BUILTIN_DATE_FMT:
+                kinds.append(
+                    "datetime"
+                    if fmt_id in _BUILTIN_TIME_ONLY or fmt_id == 22
+                    else "date"
+                )
+            else:
+                kinds.append("none")
+    return kinds
+
+
+_EXCEL_EPOCH = datetime(1899, 12, 30)
+
+
+def _serial_to_dt(serial: float, kind: str) -> date | datetime:
+    """Excel 1900-system serial → date/datetime (seconds resolution;
+    sub-second float jitter rounded away). A date-only format truncates
+    the time part, matching what the cell displays."""
+    dt = _EXCEL_EPOCH + timedelta(seconds=round(serial * 86400))
+    return dt.date() if kind == "date" else dt
 
 
 def _sheet_path(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
@@ -102,88 +181,197 @@ def _sheet_path(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
 def read_xlsx_rows(
     path: str, sheet_name: str | None = None
 ) -> list[dict[int, object]]:
-    """Sparse rows: list of {col_idx: raw_value} in row order."""
+    """Sparse rows: list of {col_idx: raw_value} in row order.
+
+    Streams the sheet XML via iterparse (rows released as consumed →
+    bounded memory, the maxRowsInMemory semantics); date-styled numeric
+    cells decode to date/datetime via styles.xml."""
     with zipfile.ZipFile(path) as zf:
         shared = _read_shared_strings(zf)
-        sheet_xml = zf.read(_sheet_path(zf, sheet_name))
-    root = ET.fromstring(sheet_xml)
-    rows: list[dict[int, object]] = []
-    for row in root.iter(f"{{{_NS['m']}}}row"):
-        r_idx = int(row.get("r", len(rows) + 1)) - 1
-        while len(rows) <= r_idx:
-            rows.append({})
-        vals: dict[int, object] = rows[r_idx]
-        for c in row.findall("m:c", _NS):
-            ref = c.get("r")
-            _, col = _parse_cell_ref(ref) if ref else (0, len(vals))
-            t = c.get("t", "n")
-            v_el = c.find("m:v", _NS)
-            if t == "inlineStr":
-                is_el = c.find("m:is", _NS)
-                val = "".join(
-                    t_el.text or "" for t_el in is_el.iter(f"{{{_NS['m']}}}t")
-                ) if is_el is not None else None
-            elif v_el is None or v_el.text is None:
-                val = None
-            elif t == "s":
-                val = shared[int(v_el.text)]
-            elif t == "b":
-                val = v_el.text == "1"
-            elif t == "e":
-                val = ErrorCell(v_el.text or "")
-            elif t == "str":
-                val = v_el.text
-            else:  # numeric
-                txt = v_el.text
-                val = float(txt) if ("." in txt or "e" in txt.lower()) else int(txt)
-            vals[col] = val
+        style_kinds = _read_styles(zf)
+        rows: list[dict[int, object]] = []
+        with zf.open(_sheet_path(zf, sheet_name)) as fh:
+            for _ev, row in ET.iterparse(fh):
+                if row.tag != f"{_M}row":
+                    continue
+                r_idx = int(row.get("r", len(rows) + 1)) - 1
+                while len(rows) <= r_idx:
+                    rows.append({})
+                vals: dict[int, object] = rows[r_idx]
+                for c in row.findall("m:c", _NS):
+                    ref = c.get("r")
+                    _, col = _parse_cell_ref(ref) if ref else (0, len(vals))
+                    t = c.get("t", "n")
+                    v_el = c.find("m:v", _NS)
+                    if t == "inlineStr":
+                        is_el = c.find("m:is", _NS)
+                        val = "".join(
+                            t_el.text or "" for t_el in is_el.iter(f"{_M}t")
+                        ) if is_el is not None else None
+                    elif v_el is None or v_el.text is None:
+                        val = None
+                    elif t == "s":
+                        val = shared[int(v_el.text)]
+                    elif t == "b":
+                        val = v_el.text == "1"
+                    elif t == "e":
+                        val = ErrorCell(v_el.text or "")
+                    elif t == "str":
+                        val = v_el.text
+                    else:  # numeric — possibly date-styled
+                        txt = v_el.text
+                        num = (
+                            float(txt)
+                            if ("." in txt or "e" in txt.lower())
+                            else int(txt)
+                        )
+                        s_idx = int(c.get("s", -1))
+                        kind = (
+                            style_kinds[s_idx]
+                            if 0 <= s_idx < len(style_kinds)
+                            else "none"
+                        )
+                        val = _serial_to_dt(num, kind) if kind != "none" else num
+                    vals[col] = val
+                row.clear()  # release parsed row elements (streaming read)
     return rows
 
 
-def _infer(values: list[object]) -> list[object]:
-    """Column-wise type inference: int → float → bool → date → str."""
+_JAVA_TO_STRPTIME = [
+    ("yyyy", "%Y"),
+    ("MM", "%m"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("mm", "%M"),
+    ("ss", "%S"),
+]
 
-    def try_cast(caster):
-        out = []
-        for v in values:
-            if v is None:
-                out.append(None)
-                continue
-            try:
-                out.append(caster(v))
-            except (ValueError, TypeError):
+
+def _java_fmt_to_strptime(fmt: str) -> str:
+    out = fmt
+    for j, p in _JAVA_TO_STRPTIME:
+        out = out.replace(j, p)
+    return out
+
+
+def _infer(values: list[object], ts_fmt: str) -> str:
+    """Inference from sample values → type name
+    ('bigint'|'double'|'boolean'|'date'|'timestamp'|'string')."""
+    non_null = [v for v in values if v is not None]
+    if not non_null:
+        return "string"
+    for tname in ("bigint", "double", "boolean", "date", "timestamp"):
+        ok = True
+        for v in non_null:
+            if _cast_value(v, tname, ts_fmt) is None:
+                ok = False
+                break
+        if ok:
+            return tname
+    return "string"
+
+
+def _cast_value(v: object, tname: str, ts_fmt: str) -> object:
+    """Cast a raw cell value to the inferred type; None on mismatch."""
+    if v is None:
+        return None
+    try:
+        if tname == "bigint":
+            if isinstance(v, bool) or isinstance(v, (date, datetime)):
                 return None
-        return out
+            return int(str(v))
+        if tname == "double":
+            if isinstance(v, bool) or isinstance(v, (date, datetime)):
+                return None
+            return float(str(v))
+        if tname == "boolean":
+            if isinstance(v, bool):
+                return v
+            s = str(v).lower()
+            if s in ("true", "false"):
+                return s == "true"
+            return None
+        if tname == "date":
+            if isinstance(v, datetime):
+                return None  # datetimes belong to timestamp
+            if isinstance(v, date):
+                return v
+            return datetime.strptime(str(v), "%Y-%m-%d").date()
+        if tname == "timestamp":
+            if isinstance(v, datetime):
+                return v
+            if isinstance(v, date):
+                return datetime(v.year, v.month, v.day)
+            return datetime.strptime(str(v), _java_fmt_to_strptime(ts_fmt))
+        # string
+        return v if isinstance(v, str) else _plain_str(v, True)
+    except (ValueError, TypeError):
+        return None
 
-    for caster in (
-        lambda v: int(str(v)) if not isinstance(v, bool) else _raise(),
-        lambda v: float(str(v)) if not isinstance(v, bool) else _raise(),
-        lambda v: _to_bool(v),
-        lambda v: datetime.strptime(str(v), "%Y-%m-%d").date(),
-    ):
-        cast = try_cast(caster)
-        if cast is not None:
-            return cast
-    return [None if v is None else str(v) for v in values]
 
-
-def _raise():
-    raise ValueError
-
-
-def _to_bool(v: object) -> bool:
+def _plain_str(v: object, plain_number: bool) -> str:
+    """Stringify a cell; plain_number=True renders floats as full
+    decimals (usePlainNumberFormat) instead of Python repr (which uses
+    scientific notation for extreme magnitudes)."""
     if isinstance(v, bool):
-        return v
-    s = str(v).lower()
-    if s in ("true", "false"):
-        return s == "true"
-    raise ValueError(s)
+        return str(v).lower()
+    if isinstance(v, float) and plain_number:
+        s = format(v, "f")
+        return s.rstrip("0").rstrip(".") if "." in s else s
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def _file_body(
+    path: str,
+    sheet: str | None,
+    start: tuple[int, int],
+    end: tuple[int, int] | None,
+    header: bool,
+    ignore_after_header: int,
+    error_fallback: bool,
+    empty_as_null: bool,
+) -> tuple[list[str], list[list[object]]]:
+    """Parse one workbook into (header names, body rows) for the range."""
+    rows = read_xlsx_rows(path, sheet)
+    r0, c0 = start
+    r1 = end[0] if end else (len(rows) - 1)
+    c1 = end[1] if end else max((max(r) for r in rows if r), default=0)
+    width = c1 - c0 + 1
+    grid = [
+        [rows[r].get(c0 + i) if r < len(rows) else None for i in range(width)]
+        for r in range(r0, min(r1, len(rows) - 1) + 1)
+    ]
+    if header and grid:
+        hdr = [str(v) if v is not None else f"_c{i}" for i, v in enumerate(grid[0])]
+        body = grid[1 + ignore_after_header :]
+    else:
+        hdr = [f"_c{i}" for i in range(width)]
+        body = grid
+    cleaned = []
+    for row in body:
+        out = []
+        for v in row:
+            if isinstance(v, ErrorCell):
+                v = str(v) if error_fallback else None
+            if empty_as_null and v == "":
+                v = None
+            out.append(v)
+        cleaned.append(out)
+    return hdr, cleaned
 
 
 def read_excel(
     spark: SparkSession, path: str, options: dict[str, str] | None = None
 ) -> DataFrame:
-    """Load one or many (glob) xlsx files into a DataFrame."""
+    """Load one or many (glob) xlsx files into a DataFrame.
+
+    Multi-file reads distribute the per-workbook parse across executors
+    (one task per file); the driver parses only the first workbook's
+    excerpt to fix column names and the inferred schema."""
     opts = {k.lower(): v for k, v in (options or {}).items()}
     if opts.get("workbookpassword"):
         raise NotImplementedError(
@@ -198,69 +386,59 @@ def read_excel(
     empty_as_null = (
         str(opts.get("treatemptyvaluesasnulls", "true")).lower() == "true"
     )
+    plain_number = (
+        str(opts.get("useplainnumberformat", "false")).lower() == "true"
+    )
+    ts_fmt = opts.get("timestampformat", "yyyy-MM-dd HH:mm:ss")
+    excerpt_size = int(opts.get("excerptsize", 10))
     ignore_after_header = int(opts.get("ignoreafterheader", 0))
     sheet, start, end = (None, (0, 0), None)
     if "dataaddress" in opts:
         sheet, start, end = parse_data_address(opts["dataaddress"])
 
     paths = sorted(_glob.glob(path)) or [path]
-    all_rows: list[list[object]] = []
-    names: list[str] | None = None
-    for p in paths:
-        rows = read_xlsx_rows(p, sheet)
-        r0, c0 = start
-        r1 = end[0] if end else (len(rows) - 1)
-        c1 = end[1] if end else max((max(r) for r in rows if r), default=0)
-        width = c1 - c0 + 1
-        grid = [
-            [rows[r].get(c0 + i) if r < len(rows) else None for i in range(width)]
-            for r in range(r0, min(r1, len(rows) - 1) + 1)
-        ]
-        if header and grid:
-            hdr = [str(v) if v is not None else f"_c{i}" for i, v in enumerate(grid[0])]
-            body = grid[1 + ignore_after_header :]
-        else:
-            hdr = [f"_c{i}" for i in range(width)]
-            body = grid
-        if names is None:
-            names = hdr
-        all_rows.extend(body)
 
-    # error cells: fallback to their literal error text when requested,
-    # else null (docs/file/01.Excel Ingestion.md:42 semantics)
-    all_rows = [
-        [
-            (str(v) if error_fallback else None) if isinstance(v, ErrorCell) else v
-            for v in row
-        ]
-        for row in all_rows
-    ]
-    if empty_as_null:
-        all_rows = [[None if v == "" else v for v in row] for row in all_rows]
-
-    cols = list(zip(*all_rows)) if all_rows else [[] for _ in names or []]
-    if infer:
-        cols = [_infer(list(c)) for c in cols]
-    else:
-        cols = [[None if v is None else str(v) for v in c] for c in cols]
-    data = [tuple(col[i] for col in cols) for i in range(len(all_rows))]
-
-    def spark_type(col: list[object]) -> str:
-        for v in col:
-            if v is None:
-                continue
-            if isinstance(v, bool):
-                return "boolean"
-            if isinstance(v, int):
-                return "bigint"
-            if isinstance(v, float):
-                return "double"
-            if isinstance(v, (date, datetime)):
-                return "date"
-            return "string"
-        return "string"
-
-    schema = ", ".join(
-        f"`{n}` {spark_type(list(c))}" for n, c in zip(names or [], cols)
+    # Driver parses only the first file: names + inference sample.
+    names, first_body = _file_body(
+        paths[0], sheet, start, end, header, ignore_after_header,
+        error_fallback, empty_as_null,
     )
-    return spark.createDataFrame(data, schema=schema)
+    width = len(names)
+    sample = first_body[: max(1, excerpt_size)]
+    if infer:
+        types = [
+            _infer([row[i] if i < len(row) else None for row in sample], ts_fmt)
+            for i in range(width)
+        ]
+    else:
+        types = ["string"] * width
+
+    def to_tuple(row: list[object]) -> tuple:
+        vals = []
+        for i in range(width):
+            v = row[i] if i < len(row) else None
+            if v is None:
+                vals.append(None)
+            elif types[i] == "string":
+                vals.append(_plain_str(v, plain_number) if not isinstance(v, str) else v)
+            else:
+                vals.append(_cast_value(v, types[i], ts_fmt))
+        return tuple(vals)
+
+    schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
+
+    if len(paths) == 1:
+        return spark.createDataFrame([to_tuple(r) for r in first_body], schema=schema)
+
+    # Executor-side parse: one task per workbook; closures capture only
+    # option scalars + the module-level parse helpers (picklable).
+    sc = spark.sparkContext
+    _sheet, _start, _end = sheet, start, end
+    _hdr, _iah, _ef, _ean = header, ignore_after_header, error_fallback, empty_as_null
+
+    def parse_file(p: str):
+        _names, body = _file_body(p, _sheet, _start, _end, _hdr, _iah, _ef, _ean)
+        return [to_tuple(r) for r in body]
+
+    rdd = sc.parallelize(paths, len(paths)).flatMap(parse_file)
+    return spark.createDataFrame(rdd, schema=schema)

@@ -104,11 +104,13 @@ def test_flatten_two_arrays_cartesian(spark):
 
 
 def test_flatten_name_normalization(spark):
+    # reference-exact rename chain (TransformUtils.scala:69): dots to
+    # underscores, spaces and dashes DELETED (not underscored)
     df = spark.createDataFrame(
         [((1,),)], "`a b-c` struct<`d.e`: int>"
     )
     out = flatten(df)
-    assert out.columns == ["a_b_c_d_e"]
+    assert out.columns == ["abc_d_e"]
 
 
 # ---------------------------------------------------------------------------
@@ -185,6 +187,89 @@ def test_hudi_table_partitioned_layout(spark, tmp_path):
     # partition pruning visible in the plan
     plan = t.read(spark).filter(F.col("dt") == "2024-01-01")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dt=2024-01-01" not in plan
+
+
+def test_hudi_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: upserting into one partition must not
+    rewrite the others' files."""
+    t = HudiTable(
+        path=str(tmp_path / "dp"),
+        record_key="id",
+        precombine="ver",
+        partition_field="dt",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", "d1"), (2, 1, "b", "d2")],
+            "id int, ver int, v string, dt string",
+        )
+    )
+    before = {
+        f: os.path.getmtime(os.path.join(t.path, "dt=d2", f))
+        for f in os.listdir(os.path.join(t.path, "dt=d2"))
+        if f.endswith(".parquet")
+    }
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 2, "a2", "d1"), (3, 1, "c", "d1")],
+            "id int, ver int, v string, dt string",
+        )
+    )
+    after = {
+        f: os.path.getmtime(os.path.join(t.path, "dt=d2", f))
+        for f in os.listdir(os.path.join(t.path, "dt=d2"))
+        if f.endswith(".parquet")
+    }
+    assert before == after, "untouched partition dt=d2 was rewritten"
+    state = {r["id"]: (r["v"], r["dt"]) for r in t.read(spark).collect()}
+    assert state == {1: ("a2", "d1"), 2: ("b", "d2"), 3: ("c", "d1")}
+
+
+def test_hudi_partitioned_delete_drops_emptied_partition(spark, tmp_path):
+    t = HudiTable(
+        path=str(tmp_path / "dd"),
+        record_key="id",
+        precombine="ver",
+        partition_field="dt",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "d1"), (2, 1, "d1"), (3, 1, "d2")],
+            "id int, ver int, dt string",
+        )
+    )
+    t.delete(spark.createDataFrame([(1,), (2,)], "id int"))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [3]
+    assert not os.path.exists(os.path.join(t.path, "dt=d1"))
+
+
+def test_hudi_rewrite_refuses_object_store_schemes(spark):
+    t = HudiTable(path="s3a://bucket/tbl", record_key="id", precombine="v")
+    with pytest.raises(NotImplementedError, match="s3a"):
+        t._local_fs_path()
+
+
+def test_hive_sync_registers_catalog_table(spark, tmp_path):
+    """hoodie.datasource.hive_sync.* → table queryable by name after a
+    write (session-catalog analogue of the reference's HiveSyncTool,
+    hudi_mongodb_batch.properties:22-29)."""
+    t = HudiTable(
+        path=str(tmp_path / "hs"),
+        record_key="id",
+        precombine="ver",
+        options={
+            "hoodie.datasource.hive_sync.enable": "true",
+            "hoodie.datasource.hive_sync.database": "data_import",
+            "hoodie.datasource.hive_sync.table": "ods_t",
+        },
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    assert spark.sql("SELECT v FROM data_import.ods_t").collect()[0]["v"] == "a"
+    # sync refreshes on subsequent writes too
+    t.upsert(spark.createDataFrame([(2, 1, "b")], "id int, ver int, v string"))
+    assert spark.sql("SELECT COUNT(*) AS n FROM data_import.ods_t").collect()[0]["n"] == 2
+    spark.sql("DROP TABLE data_import.ods_t")
+    spark.sql("DROP DATABASE data_import")
 
 
 def test_hudi_table_from_props(tmp_path):
@@ -268,6 +353,70 @@ def test_excel_empty_as_null(spark, tmp_path):
     df = read_excel(spark, p)
     row = df.collect()[0]
     assert row["a"] is None and row["b"] == "x"
+
+
+def test_excel_date_styled_cells_decode_typed(spark, tmp_path):
+    """Date/datetime-styled serial numbers load as real date/timestamp
+    values (xlsx stores dates as numbers + a date style), not numbers."""
+    import datetime as dt
+
+    p = str(tmp_path / "d.xlsx")
+    write_xlsx(
+        p,
+        [
+            ["d", "ts"],
+            [dt.date(2024, 3, 1), dt.datetime(2024, 3, 1, 12, 30, 45)],
+            [dt.date(2023, 12, 31), dt.datetime(2023, 12, 31, 23, 59, 59)],
+        ],
+    )
+    df = read_excel(spark, p, {"inferSchema": "true"})
+    assert dict(df.dtypes) == {"d": "date", "ts": "timestamp"}
+    rows = df.orderBy("d").collect()
+    assert rows[0]["d"] == dt.date(2023, 12, 31)
+    assert rows[1]["ts"] == dt.datetime(2024, 3, 1, 12, 30, 45)
+    # strings-by-default renders them as display text, not serials
+    raw = read_excel(spark, p).orderBy("d").collect()
+    assert raw[1]["d"] == "2024-03-01" and raw[1]["ts"] == "2024-03-01 12:30:45"
+
+
+def test_excel_timestamp_format_inference(spark, tmp_path):
+    import datetime as dt
+
+    p = str(tmp_path / "tf.xlsx")
+    write_xlsx(p, [["ts"], ["2024/01/02 03:04:05"], ["2024/06/07 08:09:10"]])
+    df = read_excel(
+        spark, p, {"inferSchema": "true", "timestampFormat": "yyyy/MM/dd HH:mm:ss"}
+    )
+    assert dict(df.dtypes) == {"ts": "timestamp"}
+    assert df.orderBy("ts").collect()[0]["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_excel_plain_number_format(spark, tmp_path):
+    p = str(tmp_path / "pn.xlsx")
+    write_xlsx(p, [["n"], [1e15], [0.5]])
+    plain = read_excel(spark, p, {"usePlainNumberFormat": "true"})
+    vals = sorted(r["n"] for r in plain.collect())
+    assert vals == ["0.5", "1000000000000000"]  # no scientific notation
+
+
+def test_excel_absolute_data_address(spark, tmp_path):
+    p = str(tmp_path / "abs.xlsx")
+    write_xlsx(p, [["h1", "h2"], ["a", 1], ["b", 2]])
+    df = read_excel(spark, p, {"dataAddress": "'Sheet1'!$A$1:$B$3"})
+    assert df.columns == ["h1", "h2"]
+    assert df.count() == 2
+
+
+def test_excel_multi_file_parses_on_executors(spark, tmp_path):
+    """Glob reads fan the per-workbook parse out as one task per file
+    (the returned plan scans an RDD with len(paths) partitions)."""
+    for i in range(4):
+        write_xlsx(str(tmp_path / f"m{i}.xlsx"), [["k", "v"], [f"k{i}", i]])
+    df = read_excel(spark, str(tmp_path / "m*.xlsx"), {"inferSchema": "true"})
+    assert df.rdd.getNumPartitions() == 4
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [
+        (f"k{i}", i) for i in range(4)
+    ]
 
 
 # ---------------------------------------------------------------------------
