@@ -25,15 +25,28 @@ the classpath:
 
 Scale notes (100 TB posture): the merge is a single shuffle on the record
 key (Spark plans partial window aggregation per partition); AQE splits
-skewed keys. COW rewrite cost is bounded by dynamic partition overwrite —
-only partitions receiving incoming rows are rewritten when a
-partition_field is set (``partitionOverwriteMode=dynamic``). Nothing here
-collects to the driver.
+skewed keys. For partitioned tables the COW rewrite cost is bounded by
+**dynamic partition overwrite**: the merge reads/rewrites only the
+partitions the incoming batch touches (``_rewrite_partitions``), other
+partitions' files are never opened. Unpartitioned tables are rewritten
+whole via a staging dir + backup rename — local-filesystem only, and the
+implementation refuses DFS/object-store schemes rather than pretend the
+rename is atomic there (a real deployment would use format("hudi")'s
+commit protocol via ``write_via_hudi_bundle``, or an Iceberg/Delta-style
+manifest commit). Nothing here collects to the driver except the touched
+partition-value list (metadata-scale).
+
+Hive sync (``hoodie.datasource.hive_sync.*``,
+``hudi_mongodb_batch.properties:22-29``): when enabled, every write
+registers/refreshes the table in the session catalog under
+``<database>.<table>`` so it is queryable by name — the session-catalog
+analogue of the reference's Hive-metastore sync.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 
@@ -48,6 +61,10 @@ TABLE_TYPE = "hoodie.table.type"
 WRITE_OPERATION = "hoodie.datasource.write.operation"
 TABLE_NAME = "hoodie.table.name"
 TABLE_PATH = "path"
+HIVE_SYNC_ENABLE = "hoodie.datasource.hive_sync.enable"
+META_SYNC_ENABLE = "hoodie.datasource.meta.sync.enable"
+HIVE_SYNC_DATABASE = "hoodie.datasource.hive_sync.database"
+HIVE_SYNC_TABLE = "hoodie.datasource.hive_sync.table"
 
 
 def merge_latest_wins(
@@ -131,6 +148,7 @@ class HudiTable:
     def bulk_insert(self, df: DataFrame) -> None:
         """Append without index lookup (``write.operation=bulk_insert``)."""
         self._writer(df, "append").parquet(self.path)
+        self._maybe_sync_catalog(df.sparkSession)
 
     # insert shares the bulk path in the parquet fallback (no small-file
     # bin-packing layer here).
@@ -138,14 +156,38 @@ class HudiTable:
 
     def overwrite(self, df: DataFrame) -> None:
         self._writer(df, "overwrite").parquet(self.path)
+        self._maybe_sync_catalog(df.sparkSession)
+
+    def _touched_partitions(self, df: DataFrame) -> list:
+        """Distinct partition values in a batch — metadata-scale collect
+        (the partition-pruning key list, not data)."""
+        return [
+            r[0]
+            for r in df.select(self.partition_field).distinct().collect()
+            if r[0] is not None
+        ]
 
     def upsert(self, df: DataFrame, spark: SparkSession | None = None) -> None:
         """COW upsert: merge incoming with existing, latest-wins on
         (record_key, precombine); incoming beats existing on ties, which
-        makes re-running the same batch idempotent."""
+        makes re-running the same batch idempotent.
+
+        Partitioned tables merge and rewrite **only the partitions the
+        incoming batch touches** (dynamic partition overwrite) — the COW
+        rewrite cost is proportional to the touched partitions, not the
+        table."""
         spark = spark or df.sparkSession
         incoming = df.withColumn("__hudi_src", F.lit(1))
-        if self.exists(spark):
+        partitioned = self.partition_field is not None and self.exists(spark)
+        if partitioned:
+            parts = self._touched_partitions(df)
+            existing = (
+                self.read(spark)
+                .filter(F.col(self.partition_field).isin(parts))
+                .withColumn("__hudi_src", F.lit(0))
+            )
+            merged = existing.unionByName(incoming, allowMissingColumns=True)
+        elif self.exists(spark):
             existing = self.read(spark).withColumn("__hudi_src", F.lit(0))
             merged = existing.unionByName(incoming, allowMissingColumns=True)
         else:
@@ -153,19 +195,42 @@ class HudiTable:
         result = merge_latest_wins(
             merged, self.record_key, self.precombine, tiebreak="__hudi_src"
         ).drop("__hudi_src")
-        self._atomic_rewrite(result, spark)
+        if partitioned:
+            self._rewrite_partitions(result, spark)
+        else:
+            self._atomic_rewrite(result, spark)
+        self._maybe_sync_catalog(spark)
 
     def delete(self, keys_df: DataFrame, spark: SparkSession | None = None) -> None:
-        """Remove rows whose record key appears in ``keys_df``."""
+        """Remove rows whose record key appears in ``keys_df``.
+
+        Partitioned tables locate the partitions holding doomed keys
+        (semi-join → metadata-scale partition list) and rewrite only
+        those."""
         spark = spark or keys_df.sparkSession
         if not self.exists(spark):
             return
-        remaining = self.read(spark).join(
-            keys_df.select(self.record_key).distinct(),
-            on=self.record_key,
-            how="left_anti",
-        )
-        self._atomic_rewrite(remaining, spark)
+        keys = keys_df.select(self.record_key).distinct()
+        existing = self.read(spark)
+        if self.partition_field is not None:
+            affected = existing.join(keys, on=self.record_key, how="left_semi")
+            parts = self._touched_partitions(affected)
+            if not parts:
+                return
+            scoped = existing.filter(F.col(self.partition_field).isin(parts))
+            remaining = scoped.join(keys, on=self.record_key, how="left_anti")
+            # a partition whose every row is deleted has nothing left for
+            # dynamic overwrite to replace — find those BEFORE the rewrite
+            # (remaining's plan reads the pre-rewrite files), then drop
+            # their directories after
+            emptied = set(parts) - set(self._touched_partitions(remaining))
+            self._rewrite_partitions(remaining, spark)
+            if emptied:
+                self._drop_partitions(sorted(emptied))
+        else:
+            remaining = existing.join(keys, on=self.record_key, how="left_anti")
+            self._atomic_rewrite(remaining, spark)
+        self._maybe_sync_catalog(spark)
 
     def write_via_hudi_bundle(self, df: DataFrame, mode: str = "append") -> None:
         """A13 passthrough: forward every property verbatim to
@@ -197,22 +262,126 @@ class HudiTable:
         else:
             raise ValueError(f"unsupported write operation: {operation}")
 
-    def _atomic_rewrite(self, df: DataFrame, spark: SparkSession) -> None:
-        """Rewrite the table via a staging dir + rename, so a failed job
-        never leaves a half-written table (COW commit emulation).
+    def _local_fs_path(self) -> str:
+        """The rename-based swap below is only sound on a local
+        filesystem (os.replace is atomic there). On object stores /
+        DFS schemes rename is neither atomic nor cheap — refuse loudly
+        instead of silently risking the table; those deployments go
+        through ``write_via_hudi_bundle`` (real commit protocol) or a
+        manifest-based format."""
+        m = re.match(r"^([a-z][a-z0-9+.-]*)://(.*)$", self.path)
+        if m is None:
+            return self.path
+        if m.group(1) == "file":
+            return "/" + m.group(2).lstrip("/")
+        raise NotImplementedError(
+            f"atomic rewrite of scheme '{m.group(1)}://' paths is not "
+            "supported by the parquet fallback — use the Hudi bundle "
+            "passthrough (write_via_hudi_bundle) or a manifest-commit "
+            "table format on shared storage"
+        )
 
-        Reading the table being overwritten inside the same job is
-        unsafe, so the merge result is first materialized to a staging
-        path, then swapped in.
+    def _atomic_rewrite(self, df: DataFrame, spark: SparkSession) -> None:
+        """Full rewrite via staging + backup rename (unpartitioned
+        tables; partitioned tables use _rewrite_partitions).
+
+        Order: write staging → rename live table to a backup → move
+        staging into place → drop backup. Reading the table being
+        overwritten inside the same job is unsafe, hence the staging
+        materialization. A crash window exists between the two renames;
+        the backup dir survives it, so the table is recoverable (never
+        deleted before its replacement is fully written). Local-fs only
+        (see _local_fs_path).
         """
-        staging = f"{self.path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+        local = self._local_fs_path()
+        suffix = uuid.uuid4().hex[:8]
+        staging = f"{local.rstrip('/')}__staging_{suffix}"
+        backup = f"{local.rstrip('/')}__prev_{suffix}"
         w = df.write.mode("overwrite")
         if self.partition_field:
             w = w.partitionBy(self.partition_field)
         w.parquet(staging)
-        # Local-fs swap; on a real DFS this maps to a rename/commit.
         import shutil
 
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(staging, self.path)
+        had_old = os.path.exists(local)
+        if had_old:
+            os.replace(local, backup)
+        os.replace(staging, local)
+        if had_old:
+            shutil.rmtree(backup)
+
+    def _rewrite_partitions(self, df: DataFrame, spark: SparkSession) -> None:
+        """Dynamic partition overwrite: materialize the merge result to
+        staging (the source table is being read), then re-read staging
+        and overwrite only the partitions present in it — untouched
+        partitions' files are never opened or rewritten. A crash before
+        the final write leaves the live table in its pre-merge state
+        (re-running the batch is idempotent by the upsert contract)."""
+        local = self._local_fs_path()
+        staging = f"{local.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(self.partition_field).parquet(staging)
+        import shutil
+
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            (
+                # explicit schema: staging may be empty (e.g. a delete
+                # that emptied every touched partition) and empty dirs
+                # can't infer one
+                spark.read.schema(df.schema).parquet(staging)
+                .write.mode("overwrite")
+                .partitionBy(self.partition_field)
+                .parquet(local)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(staging)
+
+    def _drop_partitions(self, values: list) -> None:
+        """Physically remove partition directories (delete may empty a
+        partition entirely; dynamic overwrite only replaces partitions
+        that still have rows)."""
+        import shutil
+
+        local = self._local_fs_path()
+        for v in values:
+            d = os.path.join(local, f"{self.partition_field}={v}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+    # -- catalog sync ---------------------------------------------------
+    def _maybe_sync_catalog(self, spark: SparkSession) -> None:
+        """Hive-sync analogue (``hoodie.datasource.hive_sync.*``,
+        hudi_mongodb_batch.properties:22-29): register the written table
+        in the session catalog so it is queryable by
+        ``<database>.<table>``. With ``enableHiveSupport`` the session
+        catalog IS a Hive metastore, so this is the same registration
+        the reference performs via Hudi's HiveSyncTool."""
+        on = str(
+            self.options.get(HIVE_SYNC_ENABLE)
+            or self.options.get(META_SYNC_ENABLE)
+            or "false"
+        ).lower() == "true"
+        if not on:
+            return
+        db = self.options.get(HIVE_SYNC_DATABASE, "default")
+        tbl = self.options.get(HIVE_SYNC_TABLE) or self.table_name
+        if not tbl:
+            raise ValueError(
+                "hive_sync enabled but neither "
+                f"{HIVE_SYNC_TABLE} nor {TABLE_NAME} is set"
+            )
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        # external (path-based) table; re-registered each write so the
+        # location/schema stay current, then partitions recovered
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+        spark.sql(
+            f"CREATE TABLE `{db}`.`{tbl}` USING parquet "
+            f"LOCATION '{self.path}'"
+        )
+        if self.partition_field:
+            try:
+                spark.catalog.recoverPartitions(f"`{db}`.`{tbl}`")
+            except Exception:
+                pass  # in-memory catalog infers partitions from the path
