@@ -16,6 +16,11 @@ the classpath:
 
 - **upsert**  = union(existing, incoming) → latest-wins window dedup on
   (recordkey, precombine) → atomic rewrite. COPY_ON_WRITE semantics.
+- **MERGE_ON_READ** (``hoodie.table.type=MERGE_ON_READ``): writes append
+  to a delta log at the sibling dir ``<path>__hudi_log`` (O(batch), base
+  untouched); ``read()`` merges base + log with the same latest-wins
+  window; ``compact()`` folds the log into the base — the parquet-native
+  analogue of Hudi's base-file/log-file split.
 - **bulk_insert / insert** = plain append (no index lookup), matching
   ``hoodie.datasource.write.operation=bulk_insert``
   (``hudi_mongodb_batch.properties:15``).
@@ -128,6 +133,18 @@ class HudiTable:
         )
 
     # -- read ----------------------------------------------------------
+    @property
+    def is_mor(self) -> bool:
+        return self.table_type.upper() == "MERGE_ON_READ"
+
+    @property
+    def _log_path(self) -> str:
+        # sibling dir, not a child: Spark's file index treats `_`/`.`
+        # prefixed dirs as hidden even when passed as the read root, and
+        # a non-hidden child dir would corrupt the base read's partition
+        # discovery — a sibling keeps base scans of self.path pristine
+        return f"{self.path.rstrip('/')}__hudi_log"
+
     def exists(self, spark: SparkSession) -> bool:
         try:
             spark.read.parquet(self.path).schema
@@ -135,8 +152,56 @@ class HudiTable:
         except Exception:
             return False
 
+    def _has_log(self, spark: SparkSession) -> bool:
+        try:
+            local = self._local_fs_path()
+        except NotImplementedError:
+            try:  # non-local path: probe via a schema read
+                spark.read.parquet(self._log_path).schema
+                return True
+            except Exception:
+                return False
+        return os.path.isdir(f"{local.rstrip('/')}__hudi_log")
+
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        """Current table state. COPY_ON_WRITE: the base files are the
+        state. MERGE_ON_READ: merge base + delta log at read time —
+        latest-wins per key by (unconditional-delete, precombine, commit
+        seq), winners with a delete op dropped. The merge is the same
+        single key-shuffle as the COW write-side merge, paid per read
+        until compact() folds the log into the base."""
+        base = spark.read.parquet(self.path)
+        if not (self.is_mor and self._has_log(spark)):
+            return base
+        # mergeSchema: delete markers carry fewer columns than upsert
+        # entries; without it parquet samples ONE file's schema and
+        # upsert rows can lose their data/precombine columns to nulls
+        log = spark.read.option("mergeSchema", "true").parquet(self._log_path)
+        tagged_base = base.withColumn("__hudi_op", F.lit("upsert")).withColumn(
+            "__hudi_seq", F.lit(-1).cast("long")
+        )
+        merged = tagged_base.unionByName(log, allowMissingColumns=True)
+        # A key-only delete marker (null precombine) is an unconditional
+        # delete: it acts as a BARRIER — only records from later commits
+        # survive it (so a subsequent re-insert resurrects the key),
+        # and the survivors then merge by (precombine, commit seq).
+        # Both windows share the record-key partitioning → one shuffle.
+        uncond = (F.col("__hudi_op") == "delete") & F.col(self.precombine).isNull()
+        wk = Window.partitionBy(self.record_key)
+        barrier = F.max(F.when(uncond, F.col("__hudi_seq"))).over(wk)
+        live = merged.withColumn("__hudi_barrier", barrier).filter(
+            (~uncond)
+            & (F.col("__hudi_seq") > F.coalesce(F.col("__hudi_barrier"), F.lit(-2)))
+        )
+        w = Window.partitionBy(self.record_key).orderBy(
+            F.col(self.precombine).desc_nulls_last(),
+            F.col("__hudi_seq").desc(),
+        )
+        return (
+            live.withColumn("__hudi_rn", F.row_number().over(w))
+            .filter((F.col("__hudi_rn") == 1) & (F.col("__hudi_op") != "delete"))
+            .drop("__hudi_rn", "__hudi_op", "__hudi_seq", "__hudi_barrier")
+        )
 
     # -- write ---------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
@@ -167,16 +232,62 @@ class HudiTable:
             if r[0] is not None
         ]
 
+    # -- MOR delta log --------------------------------------------------
+    def _next_seq(self, spark: SparkSession) -> int:
+        """Monotonic commit sequence for log records (1-row agg over the
+        log's seq column — metadata-scale)."""
+        if not self._has_log(spark):
+            return 0
+        row = (
+            spark.read.option("mergeSchema", "true").parquet(self._log_path)
+            .agg(F.max("__hudi_seq").alias("m"))
+            .collect()[0]
+        )
+        return int(row["m"] or 0) + 1
+
+    def _append_log(self, df: DataFrame, op: str, spark: SparkSession) -> None:
+        """MERGE_ON_READ write path: append the batch to the delta log —
+        no base files are opened, the write cost is O(batch), and the
+        merge is deferred to read()/compact()."""
+        seq = self._next_seq(spark)
+        entry = df.withColumn("__hudi_op", F.lit(op)).withColumn(
+            "__hudi_seq", F.lit(seq).cast("long")
+        )
+        w = entry.write.mode("append")
+        if self.partition_field and self.partition_field in df.columns:
+            w = w.partitionBy(self.partition_field)
+        w.parquet(self._log_path)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the MOR delta log into the base files (Hudi compaction):
+        materialize the merged state, rewrite the base, drop the log.
+        After compaction read() is a plain base scan again."""
+        if not (self.is_mor and self._has_log(spark)):
+            return
+        merged = self.read(spark)
+        self._atomic_rewrite(merged, spark)
+        import shutil
+
+        log_local = f"{self._local_fs_path().rstrip('/')}__hudi_log"
+        if os.path.exists(log_local):
+            shutil.rmtree(log_local)
+
     def upsert(self, df: DataFrame, spark: SparkSession | None = None) -> None:
-        """COW upsert: merge incoming with existing, latest-wins on
+        """Upsert: merge incoming with existing, latest-wins on
         (record_key, precombine); incoming beats existing on ties, which
         makes re-running the same batch idempotent.
 
-        Partitioned tables merge and rewrite **only the partitions the
-        incoming batch touches** (dynamic partition overwrite) — the COW
-        rewrite cost is proportional to the touched partitions, not the
-        table."""
+        COPY_ON_WRITE merges eagerly and rewrites; partitioned tables
+        merge and rewrite **only the partitions the incoming batch
+        touches** (dynamic partition overwrite) — the rewrite cost is
+        proportional to the touched partitions, not the table.
+        MERGE_ON_READ appends the batch to the delta log (O(batch)
+        write) and defers the merge to read()/compact()."""
         spark = spark or df.sparkSession
+        if self.is_mor and self.exists(spark):
+            self._append_log(df, "upsert", spark)
+            self._maybe_sync_catalog(spark)
+            return
         incoming = df.withColumn("__hudi_src", F.lit(1))
         partitioned = self.partition_field is not None and self.exists(spark)
         if partitioned:
@@ -204,11 +315,25 @@ class HudiTable:
     def delete(self, keys_df: DataFrame, spark: SparkSession | None = None) -> None:
         """Remove rows whose record key appears in ``keys_df``.
 
-        Partitioned tables locate the partitions holding doomed keys
+        Partitioned COW tables locate the partitions holding doomed keys
         (semi-join → metadata-scale partition list) and rewrite only
-        those."""
+        those. MOR tables append delete markers to the delta log; a
+        marker carrying the precombine column competes by (precombine,
+        commit-seq), a key-only marker deletes unconditionally."""
         spark = spark or keys_df.sparkSession
         if not self.exists(spark):
+            return
+        if self.is_mor:
+            cols = [self.record_key]
+            if self.precombine in keys_df.columns:
+                cols.append(self.precombine)
+            if (
+                self.partition_field
+                and self.partition_field in keys_df.columns
+            ):
+                cols.append(self.partition_field)
+            self._append_log(keys_df.select(*cols).distinct(), "delete", spark)
+            self._maybe_sync_catalog(spark)
             return
         keys = keys_df.select(self.record_key).distinct()
         existing = self.read(spark)

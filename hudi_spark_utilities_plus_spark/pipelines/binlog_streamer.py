@@ -27,6 +27,11 @@ def main(argv=None) -> None:
     p.add_argument("--source-path", required=True, help="CDC event stream dir")
     p.add_argument("--database-name-pattern", default=".*")
     p.add_argument("--table-name-pattern", default=".*")
+    # binlog start position (reference CLI: HoodieBinlogDeltaStreamer
+    # .scala:206-219; defaults mirror it — offset 4 = first real event)
+    p.add_argument("--binlog-name-prefix", default="mysql-bin")
+    p.add_argument("--binlog-index", default=None)
+    p.add_argument("--binlog-offset", default="4")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--trigger-time", type=int, default=DEFAULT_TRIGGER_SECONDS)
     p.add_argument("--props", help="per-table ${db}.${table}.hoodie.* config")
@@ -41,6 +46,9 @@ def main(argv=None) -> None:
         args.source_path,
         args.database_name_pattern,
         args.table_name_pattern,
+        binlog_name_prefix=args.binlog_name_prefix,
+        binlog_index=args.binlog_index,
+        binlog_file_offset=args.binlog_offset,
     )
     if args.debug:
         query = start_console_debug(stream)

@@ -1062,6 +1062,50 @@ def hudi_upsert(spark, sf_dir):
 
 
 @query(
+    "hudi_mor_read",
+    oracle="""
+    WITH updated AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             o_orderdate + INTERVAL 1 DAY AS o_orderdate
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderdate, o.o_orderdate) AS o_orderdate
+    FROM orders o LEFT JOIN updated u USING (o_orderkey)
+    WHERE o.o_orderkey % 20 <> 0
+    """,
+)
+def hudi_mor_read(spark, sf_dir):
+    """§1.2 MERGE_ON_READ end-to-end against real storage: bulk_insert
+    base → log-appended upsert (keys %10) → unconditional delete (keys
+    %20) → merge-on-read. Exercises lake.HudiTable's delta-log write
+    path and read-side merge (the COW sibling is hudi_upsert)."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="mor_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(o)
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    t.upsert(updates, spark)
+    t.delete(o.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey"), spark)
+    return t.read(spark)
+
+
+@query(
     "cdc_apply",
     oracle="""
     SELECT user_id, event_id, value FROM (

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ..lake import HudiTable
 
 CDC_SCHEMA = (
-    "op STRING, db STRING, `table` STRING, id BIGINT, data STRING, ts TIMESTAMP"
+    "op STRING, db STRING, `table` STRING, id BIGINT, data STRING, ts TIMESTAMP, "
+    "binlog_file STRING, binlog_offset BIGINT"
 )
 
 
@@ -36,19 +37,45 @@ def read_cdc_stream(
     database_pattern: str = ".*",
     table_pattern: str = ".*",
     max_files_per_trigger: int | None = None,
+    binlog_name_prefix: str = "mysql-bin",
+    binlog_index: int | str | None = None,
+    binlog_file_offset: int | str | None = None,
 ) -> DataFrame:
     """File-based CDC source with the reference's db/table regex routing
     (comma lists rewritten to alternation, HoodieBinlogDeltaStreamer
-    .scala:85)."""
+    .scala:85) and binlog start position (``bingLogNamePrefix`` /
+    ``binlogIndex`` / ``binlogFileOffset``, scala:86-88 — the reference
+    keeps spark-binlog's "bingLog" typo in the option key; the Python
+    surface uses the corrected spelling).
+
+    Position semantics mirror MySQL: events carry the binlog file name
+    (``{prefix}.{index:06d}``) and byte offset; a start position keeps
+    events at or after ``(file, offset)``. Checkpoint recovery subsumes
+    the position on restart — the option matters for first attach, same
+    as the reference. Events without position columns (older fixtures)
+    are kept."""
     reader = spark.readStream.schema(CDC_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.json(path)
     db_re = "|".join(p.strip() for p in database_pattern.split(","))
     tbl_re = "|".join(p.strip() for p in table_pattern.split(","))
-    return df.filter(
+    df = df.filter(
         F.col("db").rlike(f"^({db_re})$") & F.col("table").rlike(f"^({tbl_re})$")
     )
+    if binlog_index is not None:
+        start_file = f"{binlog_name_prefix}.{int(binlog_index):06d}"
+        start_off = int(binlog_file_offset or 4)  # 4 = first event, as in MySQL
+        # zero-padded file names order lexicographically by index
+        df = df.filter(
+            F.col("binlog_file").isNull()
+            | (F.col("binlog_file") > start_file)
+            | (
+                (F.col("binlog_file") == start_file)
+                & (F.coalesce(F.col("binlog_offset"), F.lit(0)) >= start_off)
+            )
+        )
+    return df
 
 
 def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> DataFrame:

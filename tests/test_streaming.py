@@ -179,6 +179,42 @@ def test_cdc_pattern_routing(spark, tmp_path):
 
 
 @pytest.mark.streaming
+def test_cdc_binlog_start_position(spark, tmp_path):
+    """bingLogNamePrefix/binlogIndex/binlogFileOffset semantics: only
+    events at or after the (file, offset) start position are consumed
+    (HoodieBinlogDeltaStreamer.scala:86-88, 206-219)."""
+    base = str(tmp_path)
+    src = f"{base}/cdc_in"
+    props = _props(base)
+    _write_events(
+        src,
+        "batch1",
+        [
+            {"op": "insert", "db": "db1", "table": "person", "id": 1,
+             "data": "{}", "ts": "2024-01-01T00:00:01",
+             "binlog_file": "mysql-bin.000003", "binlog_offset": 120},
+            {"op": "insert", "db": "db1", "table": "person", "id": 2,
+             "data": "{}", "ts": "2024-01-01T00:00:02",
+             "binlog_file": "mysql-bin.000004", "binlog_offset": 4},
+            {"op": "insert", "db": "db1", "table": "person", "id": 3,
+             "data": "{}", "ts": "2024-01-01T00:00:03",
+             "binlog_file": "mysql-bin.000004", "binlog_offset": 999},
+        ],
+    )
+    stream = read_cdc_stream(
+        spark, src, binlog_index=4, binlog_file_offset=500
+    )
+    q = start_binlog_streamer(spark, stream, props, f"{base}/ckpt", 1)
+    try:
+        q.processAllAvailable()
+        person = f"{base}/lake/db1/ods_db1_person"
+        # id 1 (earlier file) and id 2 (offset 4 < 500) skipped
+        assert [r["id"] for r in spark.read.parquet(person).collect()] == [3]
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
 def test_tumbling_window_with_watermark(spark, tmp_path):
     """Event-time tumbling windows over a file stream; update-mode memory
     sink; counts match a batch groupBy of the same data."""

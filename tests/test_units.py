@@ -243,6 +243,51 @@ def test_hudi_partitioned_delete_drops_emptied_partition(spark, tmp_path):
     assert not os.path.exists(os.path.join(t.path, "dt=d1"))
 
 
+def test_hudi_mor_log_write_read_merge_compact(spark, tmp_path):
+    """MERGE_ON_READ: upserts/deletes append to the delta log (base
+    files untouched), read() merges, compact() folds the log away."""
+    t = HudiTable(
+        path=str(tmp_path / "mor"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (4, 9, "keep")], "id int, ver int, v string"
+        )
+    )
+    base_files = {
+        f: os.path.getmtime(os.path.join(t.path, f))
+        for f in os.listdir(t.path)
+        if f.endswith(".parquet")
+    }
+    # log-write path: update id 1, stale-update id 4 (loses), insert id 3
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 2, "a2"), (4, 1, "STALE"), (3, 1, "c")], "id int, ver int, v string"
+        )
+    )
+    # delete id 2 unconditionally (key-only marker)
+    t.delete(spark.createDataFrame([(2,)], "id int"))
+    assert os.path.isdir(t.path + "__hudi_log")
+    after = {
+        f: os.path.getmtime(os.path.join(t.path, f))
+        for f in os.listdir(t.path)
+        if f.endswith(".parquet")
+    }
+    assert base_files == after, "MOR write touched base files"
+    state = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert state == {1: "a2", 3: "c", 4: "keep"}
+    # a later re-insert of a deleted key wins over the older delete
+    t.upsert(spark.createDataFrame([(2, 2, "back")], "id int, ver int, v string"))
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()}[2] == "back"
+    t.compact(spark)
+    assert not os.path.exists(t.path + "__hudi_log")
+    state = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert state == {1: "a2", 2: "back", 3: "c", 4: "keep"}
+
+
 def test_hudi_rewrite_refuses_object_store_schemes(spark):
     t = HudiTable(path="s3a://bucket/tbl", record_key="id", precombine="v")
     with pytest.raises(NotImplementedError, match="s3a"):
