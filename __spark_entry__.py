@@ -35,6 +35,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_inner"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate covers the FIRST 50 entries of ``queries()``
+# in dict order.  This list front-loads (a) every id that has never had a
+# driver row in rounds 1-2, then (b) the algorithmically risky ids worth
+# re-proving; long-proven trivial scans/filters sit behind the window (their
+# green rows of record are CORRECTNESS_r01/r02.json).
+_CHECK_ORDER = [
+    # (a) never driver-checked through round 2
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_similar_pairs",
+    "ann_topk",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "mm_features",
+    "mm_frame_sample",
+    "set_union_all",
+    "agg_having",
+    "agg_minmax",
+    "pivot_status",
+    "win_ntile",
+    "win_first_last",
+    "subquery_scalar",
+    "subquery_exists",
+    "map_access",
+    "date_arith",
+    "word_freq",
+    "distinct_rows",
+    "order_nulls",
+    "agg_decimal_total",
+    "agg_salted",
+    "agg_grouping_sets",
+    "win_range_between",
+    # checked in round 1 only — fell out of the round-2 window
+    "dedup_ngram_jaccard",
+    # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
+    "hudi_mor_read",
+    "hudi_upsert",
+    "cdc_apply",
+    "stream_tumbling",
+    "dedup_exact",
+    "dedup_latest_wins",
+    "agg_approx_distinct",
+    "cast_types",
+    "flatten_struct",
+    "flatten_array_struct",
+    "flatten_cartesian",
+    "agg_rollup",
+    "agg_cube",
+    "win_rank",
+    "win_lag",
+    "win_running_sum",
+    "json_funcs",
+    "subquery_in",
+    "cte",
+    "transform_sql",
+    "agg_group",
+    "join_range",
+    "doc_fingerprint",
+    "text_quality",
+]
+
+
+def _ordered(registry: dict) -> list[str]:
+    """_CHECK_ORDER first, then any remaining ids in registration order."""
+    known = [n for n in _CHECK_ORDER if n in registry]
+    rest = [n for n in registry if n not in _CHECK_ORDER]
+    return known + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from hudi_spark_utilities_plus_spark.queries import QUERIES
@@ -47,11 +116,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(fn) for name, fn in QUERIES.items()}
+    return {name: _wrap(QUERIES[name]) for name in _ordered(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for each SQL-expressible query id."""
     from hudi_spark_utilities_plus_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    return {name: ORACLES[name] for name in _ordered(ORACLES)}

@@ -33,6 +33,10 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "embedding_similar_pairs",
+    "win_ntile",
+    "win_range_between",
+    "hudi_mor_read",
 ]
 
 
