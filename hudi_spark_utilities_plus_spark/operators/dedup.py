@@ -173,12 +173,20 @@ def ngram_jaccard_pairs(
     s.count()
     prefix_len = F.floor(F.size("shh") * (1.0 - threshold)).cast("int") + 1
     posts = s.select(
-        "doc", F.explode(F.slice("shh", 1, prefix_len)).alias("shingle")
+        "doc", "n_sh", F.explode(F.slice("shh", 1, prefix_len)).alias("shingle")
     )
     cand = (
         posts.alias("x")
         .join(posts.alias("y"), "shingle")
         .filter(F.col("x.doc") < F.col("y.doc"))
+        # PPJoin length filter, lossless: J(a,b) ≥ τ forces
+        # τ·n_a ≤ n_b ≤ n_a/τ (the intersection alone is ≥ τ·max(n_a,n_b)),
+        # so size-mismatched collisions on hot prefix shingles never reach
+        # the (more expensive) verify join.
+        .filter(
+            (F.col("y.n_sh") >= F.col("x.n_sh") * threshold)
+            & (F.col("y.n_sh") * threshold <= F.col("x.n_sh"))
+        )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
@@ -272,6 +280,7 @@ def minhash_lsh_pairs(
     sigs.count()  # eager cache fill — see ngram_jaccard_pairs
     bands = sigs.select(
         "doc",
+        "n_sh",
         F.posexplode(
             F.array(
                 *[
@@ -292,7 +301,11 @@ def minhash_lsh_pairs(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc") < F.col("y.doc")),
+            & (F.col("x.doc") < F.col("y.doc"))
+            # lossless length filter (see ngram_jaccard_pairs): band
+            # collisions between size-mismatched docs can't reach τ
+            & (F.col("y.n_sh") >= F.col("x.n_sh") * threshold)
+            & (F.col("y.n_sh") * threshold <= F.col("x.n_sh")),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()

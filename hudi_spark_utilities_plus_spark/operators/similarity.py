@@ -4,18 +4,30 @@
   (small) query set against the document side; dot products computed
   JVM-side via zip_with/aggregate folds in whole-stage codegen. One pass
   over the corpus, no shuffle of the corpus itself; the only shuffle is
-  the per-query top-k (k rows per partition per query after partial
-  window pruning).
-- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
-  (deterministic seeded projections) bucket both sides; only same-bucket
-  (plus multiprobe-adjacent) pairs are scored. Sub-linear candidate
-  count at the cost of bounded recall.
+  the per-query top-k. Norms are materialized once per side before the
+  join (1 dot product per pair instead of 3).
+- **Ball-cover similar-pairs** — cosine ≥ τ pairing with an EXACT
+  candidate guarantee: deterministic k-means over L2-normalized vectors,
+  per-cluster covering radii, and driver-side cluster-pair pruning via
+  the triangle inequality (a qualifying pair's clusters must satisfy
+  ‖c₁-c₂‖ ≤ r₁ + r₂ + √(2-2τ)). Candidates are the members of surviving
+  cluster pairs — an equi-join on the cluster key — then exact cosine
+  verifies. Unlike hyperplane banding, recall is 100% by construction at
+  ANY τ (the round-2 design needed ~83 4-bit bands at τ=0.45 and its
+  candidate set degenerated to all-pairs); pruning power now tracks data
+  clusteredness, which is the realistic shape of embedding corpora.
+- **LSH-bucketed ANN** — the top-k scale path: random-hyperplane
+  signatures (deterministic seeded projections) bucket both sides; only
+  same-bucket (plus multiprobe-adjacent) pairs are scored.
+- **IVF ANN** — inverted-file top-k via the same k-means machinery.
 
 All math is double-precision with a fixed left-fold order so results are
 bit-identical to the DuckDB oracle's list_transform/list_sum pipeline.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,6 +60,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Left-fold squared Euclidean distance."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the first row (one-row driver action, metadata-
+    scale). Raises on an empty frame."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim: no rows in column {vec_col!r}")
+    return int(row["d"])
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve/validate the vector width. A wrong ``dim`` used to fail
+    SILENTLY: zip_with pads with nulls, every hyperplane dot goes null,
+    all sign bits collapse to one bucket and the candidate equi-join
+    degenerates to all-pairs. Fail loudly instead."""
+    actual = infer_dim(df, vec_col)
+    if dim is not None and dim != actual:
+        raise ValueError(
+            f"dim={dim} does not match the width of {vec_col!r} "
+            f"(first row has {actual} elements)"
+        )
+    return actual
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -58,17 +102,30 @@ def cosine_topk_bruteforce(
     """Exact top-k neighbors per query by cosine (self-matches excluded).
 
     ``queries`` is broadcast — the corpus is scanned once, never
-    shuffled; ranking ties break on neighbor id for determinism.
+    shuffled; ranking ties break on neighbor id for determinism. Each
+    side's L2 norm is computed once BEFORE the join, so the per-pair
+    work is one dot product (identical float result: sqrt(dot(v,v)) is
+    the same value whether computed before or inside the join).
     """
-    docs = _scatter(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("d_vec")
+    docs = (
+        _scatter(embeddings)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("d_vec"),
+        )
+        .withColumn("d_norm", l2_norm(F.col("d_vec")))
     )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
-    scored = (
-        docs.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("d_vec")))
+    scored = docs.join(
+        F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cos_sim",
+        dot(F.col("q_vec"), F.col("d_vec")) / (F.col("q_norm") * F.col("d_norm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -78,6 +135,233 @@ def cosine_topk_bruteforce(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means (shared by ball-cover pairing and IVF ANN)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean vector per cluster, pure DataFrame ops:
+    posexplode → (cluster, pos) means → rebuild ordered arrays."""
+    exploded = assigned.select(
+        "cluster", F.posexplode("v").alias("pos", "val")
+    )
+    means = exploded.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(
+            "cluster",
+            F.transform("pm", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmin over broadcast centroid literals (k is small — the centroid
+    table is driver-side metadata, never a data-scale collect).
+
+    Built as one distances array + array_min/array_position so the
+    Catalyst expression stays LINEAR in k. (A chained
+    ``when(d < best, d).otherwise(best)`` fold references ``best`` twice
+    per step — the expression tree doubles per centroid, and at k=16
+    that is 2^16 copies of the distance subtree: the analyzer itself
+    OOMs before a single row is processed.) Ties resolve to the first
+    (lowest-index) centroid — deterministic."""
+    dists = F.array(
+        *[
+            _sq_dist(vec_col, F.array(*[F.lit(x) for x in cvec]))
+            for _, cvec in centroids
+        ]
+    )
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return F.element_at(
+        ids, F.array_position(dists, F.array_min(dists)).cast("int")
+    )
+
+
+def _kmeans(
+    docs: DataFrame,
+    vec_field: str,
+    id_field: str,
+    n_clusters: int,
+    iters: int,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic k-means: init cluster = id % k, then ``iters``
+    Lloyd rounds as DataFrame aggregations. Only the k centroid vectors
+    (metadata) ever reach the driver. Returns (docs + ``cluster`` column,
+    final centroid list)."""
+    assigned = docs.withColumn(
+        "cluster", F.pmod(F.col(id_field), F.lit(n_clusters))
+    )
+    cents: list[tuple[int, list[float]]] = []
+    for _ in range(max(1, iters)):  # ≥1 so centroids always exist
+        cents = [
+            (r["cluster"], list(r["centroid"]))
+            for r in _centroid_means(
+                assigned.select(F.col(vec_field).alias("v"), "cluster")
+            ).collect()  # k rows (metadata)
+        ]
+        assigned = docs.withColumn(
+            "cluster", _nearest_centroid(F.col(vec_field), cents)
+        )
+    return assigned, cents
+
+
+# ---------------------------------------------------------------------------
+# ball-cover similar-pairs (exact-recall metric join)
+# ---------------------------------------------------------------------------
+
+
+def similar_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iters: int = 2,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dedup.
+
+    Exact metric join via a ball cover. On L2-normalized vectors,
+    cosine(a,b) ≥ τ  ⟺  ‖â - b̂‖ ≤ d_max = √(2-2τ). Each vector joins
+    its nearest of k deterministic k-means centroids; the covering
+    radius r_c = max member distance per cluster is a k-row aggregate.
+    For any qualifying pair in clusters (c₁, c₂) the triangle inequality
+    forces ‖cent₁-cent₂‖ ≤ r₁ + r₂ + d_max, so pruning the k² cluster
+    pairs against that bound DRIVER-SIDE (metadata-scale) loses nothing:
+    **recall is 100% by construction at any τ**, including the low-τ
+    regime where hyperplane banding needs so many bands that random
+    pairs collide anyway (the round-2 failure mode at τ=0.45). Exact
+    cosine then verifies each candidate.
+
+    Plan shape: candidate generation is a broadcast equi-join of the
+    (id, cluster) table against the surviving (ca, cb) pair list, then a
+    hash join back on the cluster key — no nested loop, no cartesian.
+    The cluster key is low-cardinality, so at 100 TB the per-cluster-pair
+    work is AQE's skew-split problem (or raise n_clusters: pruning power
+    and balance both improve with k, at k extra driver-side floats).
+    Candidate volume is Σ |c₁|·|c₂| over surviving pairs — on clustered
+    corpora (the realistic embedding shape) that is ≪ n²/2, and the
+    pruning is test-pinned on a clustered fixture; on adversarially
+    uniform data every cluster pair survives, which is the information-
+    theoretic floor for an exact join at low τ, not an artifact.
+
+    ``candidates_only=True`` returns the unverified (id_a, id_b)
+    candidate set — the knob the cardinality tests measure.
+    """
+    spark = embeddings.sparkSession
+    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    side = (
+        _scatter(embeddings)
+        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("norm", l2_norm(F.col("v")))
+        # zero vectors have no direction: leave them unnormalized; their
+        # cosine is NULL and the verify filter drops them, matching the
+        # oracle's NULL comparison semantics
+        .withColumn(
+            "nv",
+            F.when(
+                F.col("norm") > 0,
+                F.transform("v", lambda x: x / F.col("norm")),
+            ).otherwise(F.col("v")),
+        )
+        .persist()
+    )
+    side.count()  # eager cache fill (k-means + radii + verify reuse it)
+    assigned, cents = _kmeans(side, "nv", "id", n_clusters, kmeans_iters)
+
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cluster INT, centroid ARRAY<DOUBLE>"
+    )
+    radii = {
+        r["cluster"]: r["r"]
+        for r in assigned.join(F.broadcast(cent_df), "cluster")
+        .withColumn("cdist", F.sqrt(_sq_dist(F.col("nv"), F.col("centroid"))))
+        .groupBy("cluster")
+        .agg(F.max("cdist").alias("r"))
+        .collect()  # k rows (metadata)
+    }
+    # driver-side cluster-pair pruning over k² metadata pairs
+    cent_map = dict(cents)
+    pairs: list[tuple[int, int]] = []
+    live = sorted(radii)  # clusters that ended up with members
+    for i, c1 in enumerate(live):
+        for c2 in live[i:]:
+            cd = math.sqrt(
+                sum((x - y) ** 2 for x, y in zip(cent_map[c1], cent_map[c2]))
+            )
+            if cd <= radii[c1] + radii[c2] + d_max:
+                pairs.append((c1, c2))
+                if c1 != c2:
+                    pairs.append((c2, c1))  # both directions: a<b may sit either way
+    pair_df = F.broadcast(spark.createDataFrame(pairs, "ca INT, cb INT"))
+
+    ids = assigned.select("id", "cluster")
+    cand = (
+        ids.alias("a")
+        .join(pair_df, F.col("a.cluster") == F.col("ca"))
+        .join(
+            ids.alias("b"),
+            (F.col("b.cluster") == F.col("cb")) & (F.col("a.id") < F.col("b.id")),
+        )
+        # each unordered pair matches exactly one (ca, cb) direction —
+        # no distinct needed
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if candidates_only:
+        return cand
+    # verify side is broadcast (vector table ≪ candidate pairs); above
+    # broadcast capacity drop the hint → SMJ on id, one shuffle per side.
+    # Norms ride along from `side` — one dot product per candidate.
+    va = F.broadcast(
+        side.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("norm").alias("n_a"),
+        )
+    )
+    vb = F.broadcast(
+        side.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("norm").alias("n_b"),
+        )
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos_sim",
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: splitmix64-style
+    integer scramble of (plane, i) mapped to [-1, 1). No RNG state, no
+    numpy — reproducible on any executor."""
+    out = []
+    for i in range(dim):
+        x = (plane * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) % (2**64)
+        x ^= x >> 30
+        x = (x * 0x94D049BB133111EB) % (2**64)
+        x ^= x >> 31
+        out.append((x / 2**63) - 1.0)
+    return out
 
 
 def _band_keys(
@@ -111,92 +395,6 @@ def _band_keys(
     )
 
 
-def similar_pairs(
-    embeddings: DataFrame,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    band_bits: int = 4,
-    n_bands: int | None = None,
-    miss_prob: float = 1e-7,
-) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — embedding near-dedup.
-
-    Candidate generation is a banded hyperplane-LSH **equi-join** (same
-    pattern as minhash_lsh_pairs): every vector gets ``n_bands`` packed
-    sign-bit band keys; only pairs sharing a (band, key) bucket are ever
-    materialized, then exact double-precision cosine verifies them. No
-    all-pairs nested loop anywhere — the candidate stage is a hash/SMJ
-    join on (band, key), shuffle-bounded at 100 TB.
-
-    ``n_bands`` defaults from the threshold: with per-plane agreement
-    p = 1 - acos(τ)/π, a qualifying pair collides in a band w.p. p^b, so
-    n_bands = ln(miss_prob)/ln(1 - p^b) bounds the per-pair miss below
-    ``miss_prob``. The hyperplanes are deterministic, so recall is a
-    fixed property of the data, not a per-run coin flip (the sf0.01
-    oracle check is exact: all 14 qualifying pairs found). Caveat, also
-    measured: with τ this low (0.45) random pairs still collide often,
-    so the candidate set is a large corpus fraction at test scale —
-    banding pays off as τ (and data clusteredness) rises; the plan shape
-    is what carries to 100 TB."""
-    import math
-
-    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-    if n_bands is None:
-        q = p**band_bits
-        n_bands = max(8, math.ceil(math.log(miss_prob) / math.log(1.0 - q)))
-    side = (
-        _scatter(embeddings)
-        .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .withColumn("bk", _band_keys(F.col("v"), dim, n_bands, band_bits))
-        .persist()
-    )
-    side.count()  # eager cache fill (band-join branches + verify reuse it)
-    bands = side.select("id", F.posexplode("bk").alias("band", "bkey"))
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    # verify side is broadcast (vector table ≪ candidate pairs); above
-    # broadcast capacity drop the hint → SMJ on id, one shuffle per side
-    va = F.broadcast(side.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")))
-    vb = F.broadcast(side.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
-
-
-# ---------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path)
-# ---------------------------------------------------------------------------
-
-
-def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane: splitmix64-style
-    integer scramble of (plane, i) mapped to [-1, 1). No RNG state, no
-    numpy — reproducible on any executor."""
-    out = []
-    for i in range(dim):
-        x = (plane * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) % (2**64)
-        x ^= x >> 30
-        x = (x * 0x94D049BB133111EB) % (2**64)
-        x ^= x >> 31
-        out.append((x / 2**63) - 1.0)
-    return out
-
-
 def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Random-hyperplane sign signature packed into a long."""
     sig = F.lit(0).cast("long")
@@ -218,7 +416,7 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     band_bits: int = 6,
     n_bands: int = 16,
@@ -238,22 +436,29 @@ def ann_topk_lsh(
     ≈ 1 - (1 - p^b - b·p^(b-1)(1-p))^L, with p the per-plane agreement
     probability of the neighbor's cosine; defaults tuned so measured
     recall vs brute force ≥ 0.8 on the near-random test embeddings
-    (clustered real-world embeddings do far better at the same cost)."""
+    (clustered real-world embeddings do far better at the same cost).
+
+    ``dim`` defaults to the corpus vector width; an explicit mismatch
+    raises (a silent mismatch used to null every projection and collapse
+    all buckets into one — all-pairs in disguise)."""
+    dim = _check_dim(embeddings, vec_col, dim)
     docs = (
         _scatter(embeddings)
         .select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("d_vec"),
         )
+        .withColumn("d_norm", l2_norm(F.col("d_vec")))
         .withColumn("bk", _band_keys(F.col("d_vec"), dim, n_bands, band_bits))
     )
     dbands = docs.select(
-        "neighbor_id", "d_vec", F.posexplode("bk").alias("band", "bkey")
+        "neighbor_id", "d_vec", "d_norm", F.posexplode("bk").alias("band", "bkey")
     )
     qs = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
         )
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
         .withColumn("bk", _band_keys(F.col("q_vec"), dim, n_bands, band_bits))
     )
     # enumerate multiprobe keys: the key itself + every single-bit flip
@@ -264,7 +469,10 @@ def ann_topk_lsh(
             F.col("bkey0").bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)
         ]
     qbands = (
-        qs.select("query_id", "q_vec", F.posexplode("bk").alias("band", "bkey0"))
+        qs.select(
+            "query_id", "q_vec", "q_norm",
+            F.posexplode("bk").alias("band", "bkey0"),
+        )
         .withColumn("bkey", F.explode(F.array(*probe_keys)))
         .drop("bkey0")
     )
@@ -275,10 +483,13 @@ def ann_topk_lsh(
             & (dbands["bkey"] == qbands["bkey"])
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "q_vec", "neighbor_id", "d_vec")
+        .select("query_id", "q_vec", "q_norm", "neighbor_id", "d_vec", "d_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("d_vec")))
+    scored = cand.withColumn(
+        "cos_sim",
+        dot(F.col("q_vec"), F.col("d_vec")) / (F.col("q_norm") * F.col("d_norm")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -292,48 +503,6 @@ def ann_topk_lsh(
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (inverted-file index, the other scale path)
 # ---------------------------------------------------------------------------
-
-
-def _centroid_means(assigned: DataFrame) -> DataFrame:
-    """Element-wise mean vector per cluster, pure DataFrame ops:
-    posexplode → (cluster, pos) means → rebuild ordered arrays."""
-    exploded = assigned.select(
-        "cluster", F.posexplode("v").alias("pos", "val")
-    )
-    means = exploded.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
-    return (
-        means.groupBy("cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("m")))
-            ).alias("pm")
-        )
-        .select(
-            "cluster",
-            F.transform("pm", lambda s: s["m"]).alias("centroid"),
-        )
-    )
-
-
-def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Argmin over broadcast centroid literals (k is small — the centroid
-    table is driver-side metadata, never a data-scale collect)."""
-    best_id, best_d = F.lit(centroids[0][0]), None
-    for cid, cvec in centroids:
-        lit_vec = F.array(*[F.lit(x) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(vec_col, lit_vec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = d
-            best_id = F.lit(cid)
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
 
 
 def ivf_topk(
@@ -355,53 +524,43 @@ def ivf_topk(
     vectors are scored. At corpus scale the cluster column becomes the
     lake partition key, so probing is partition pruning.
     """
-    docs = _scatter(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
-    ).persist()
+    docs = (
+        _scatter(embeddings)
+        .select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("d_norm", l2_norm(F.col("v")))
+        .persist()
+    )
     docs.count()
 
-    assigned = docs.withColumn(
-        "cluster", F.pmod(F.col("neighbor_id"), F.lit(n_clusters))
-    )
-    for _ in range(max(1, kmeans_iters)):  # ≥1 so centroids always exist
-        cents = [
-            (r["cluster"], list(r["centroid"]))
-            for r in _centroid_means(assigned).collect()  # k rows (metadata)
-        ]
-        assigned = docs.withColumn(
-            "cluster", _nearest_centroid(F.col("v"), cents)
-        )
+    assigned, cents = _kmeans(docs, "v", "neighbor_id", n_clusters, kmeans_iters)
 
     qs = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     # per-query probe list: n_probe nearest centroids by squared distance
-    probe_rows = []
-    for cid, cvec in cents:
-        probe_rows.append((cid, cvec))
     cent_df = qs.sparkSession.createDataFrame(
-        probe_rows, "cluster INT, centroid ARRAY<DOUBLE>"
+        [(cid, cvec) for cid, cvec in cents], "cluster INT, centroid ARRAY<DOUBLE>"
     )
     qd = qs.crossJoin(F.broadcast(cent_df)).withColumn(
-        "dist",
-        F.aggregate(
-            F.zip_with("q_vec", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+        "dist", _sq_dist(F.col("q_vec"), F.col("centroid"))
     )
     wq = Window.partitionBy("query_id").orderBy("dist", "cluster")
     probes = (
         qd.withColumn("prnk", F.row_number().over(wq))
         .filter(F.col("prnk") <= n_probe)
-        .select("query_id", "q_vec", "cluster")
+        .select("query_id", "q_vec", "q_norm", "cluster")
     )
     cand = assigned.join(
         F.broadcast(probes),
         (assigned["cluster"] == probes["cluster"])
         & (F.col("neighbor_id") != F.col("query_id")),
     )
-    scored = cand.withColumn("cos_sim", cosine(F.col("q_vec"), F.col("v")))
+    scored = cand.withColumn(
+        "cos_sim",
+        dot(F.col("q_vec"), F.col("v")) / (F.col("q_norm") * F.col("d_norm")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

@@ -228,8 +228,10 @@ def _cos(a: str, b: str) -> str:
     """,
 )
 def embedding_similar_pairs(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.45): double-precision
-    left-fold dot products — bit-identical to the oracle's list_reduce."""
+    """Embedding near-dup pairs (cosine ≥ 0.45) via the exact ball-cover
+    metric join (k-means clusters + triangle-inequality cluster-pair
+    pruning — 100% recall at any τ); double-precision left-fold dot
+    products are bit-identical to the oracle's list_reduce."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return S.similar_pairs(e, threshold=0.45)
 

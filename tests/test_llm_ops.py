@@ -139,3 +139,57 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # the clusters must still recover most of the true top-k
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """4 well-separated blobs of 50 vectors each (8-dim): the realistic
+    embedding-corpus shape where ball-cover pruning must pay off."""
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [10.0 if j == c else 0.0 for j in range(8)]
+        for _ in range(50):
+            jitter = [((vid * 31 + j * 7) % 13 - 6) / 100.0 for j in range(8)]
+            rows.append((vid, [center[j] + jitter[j] for j in range(8)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ballcover_prunes_candidates_on_clustered_data(spark, clustered_emb):
+    """The exact ball-cover join must materialize far fewer candidates
+    than n(n-1)/2 when the corpus is clustered — the 100 TB property the
+    round-2 hyperplane banding lost at low τ."""
+    n = clustered_emb.count()
+    n_cand = S.similar_pairs(
+        clustered_emb, threshold=0.8, n_clusters=8, candidates_only=True
+    ).count()
+    all_pairs = n * (n - 1) / 2
+    assert n_cand < 0.5 * all_pairs, f"{n_cand} of {all_pairs} pairs materialized"
+
+
+def test_ballcover_exact_recall_on_clustered_data(spark, clustered_emb):
+    """Ball-cover recall is 100% by construction: output == brute force."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.similar_pairs(clustered_emb, threshold=0.8, n_clusters=8).collect()
+    }
+    side = clustered_emb.select(
+        F.col("vec_id").alias("id"), S.as_double(F.col("embedding")).alias("v")
+    )
+    a = side.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = side.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("c", S.cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_ann_lsh_dim_mismatch_raises(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="dim=32"):
+        S.ann_topk_lsh(emb, emb.limit(1), dim=32, k=5)
