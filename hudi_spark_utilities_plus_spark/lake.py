@@ -163,15 +163,27 @@ class HudiTable:
                 return False
         return os.path.isdir(f"{local.rstrip('/')}__hudi_log")
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, mode: str = "snapshot") -> DataFrame:
         """Current table state. COPY_ON_WRITE: the base files are the
         state. MERGE_ON_READ: merge base + delta log at read time —
         latest-wins per key by (unconditional-delete, precombine, commit
         seq), winners with a delete op dropped. The merge is the same
         single key-shuffle as the COW write-side merge, paid per read
-        until compact() folds the log into the base."""
+        until compact() folds the log into the base.
+
+        ``mode`` mirrors Hudi's MOR query types: ``snapshot`` (default)
+        merges the log; ``read_optimized`` returns the base files only —
+        no shuffle, latest compaction's state, pending log commits not
+        visible (Hudi's ``hoodie.datasource.query.type=read_optimized``).
+        """
+        if mode not in ("snapshot", "read_optimized"):
+            raise ValueError(
+                f"unsupported read mode {mode!r}: snapshot | read_optimized"
+            )
         base = spark.read.parquet(self.path)
-        if not (self.is_mor and self._has_log(spark)):
+        if mode == "read_optimized" or not (
+            self.is_mor and self._has_log(spark)
+        ):
             return base
         # mergeSchema: delete markers carry fewer columns than upsert
         # entries; without it parquet samples ONE file's schema and
@@ -211,9 +223,21 @@ class HudiTable:
         return w
 
     def bulk_insert(self, df: DataFrame) -> None:
-        """Append without index lookup (``write.operation=bulk_insert``)."""
-        self._writer(df, "append").parquet(self.path)
-        self._maybe_sync_catalog(df.sparkSession)
+        """Append without index lookup (``write.operation=bulk_insert``).
+
+        On a MOR table with a pending delta log the batch is routed
+        through the log (op=upsert) instead of the base: base rows merge
+        at seq=-1, so a base append would be killed by any EARLIER
+        unconditional delete marker — in Hudi a later insert survives an
+        earlier delete. The log entry gets a commit seq after the
+        marker, preserving that ordering."""
+        spark = df.sparkSession
+        if self.is_mor and self.exists(spark) and self._has_log(spark):
+            self._append_log(df, "upsert", spark)
+            self._maybe_compact(spark)
+        else:
+            self._writer(df, "append").parquet(self.path)
+        self._maybe_sync_catalog(spark)
 
     # insert shares the bulk path in the parquet fallback (no small-file
     # bin-packing layer here).
@@ -223,14 +247,26 @@ class HudiTable:
         self._writer(df, "overwrite").parquet(self.path)
         self._maybe_sync_catalog(df.sparkSession)
 
-    def _touched_partitions(self, df: DataFrame) -> list:
+    def _touched_partitions(self, df: DataFrame) -> tuple[list, bool]:
         """Distinct partition values in a batch — metadata-scale collect
-        (the partition-pruning key list, not data)."""
-        return [
-            r[0]
-            for r in df.select(self.partition_field).distinct().collect()
-            if r[0] is not None
+        (the partition-pruning key list, not data). Returns
+        ``(non_null_values, has_null)``: a null partition value is a real
+        partition (Spark writes it to ``__HIVE_DEFAULT_PARTITION__``) and
+        MUST be part of the touched scope — dropping it silently made
+        dynamic overwrite replace the null-partition directory with only
+        the batch's rows, deleting pre-existing null-partition data."""
+        vals = [
+            r[0] for r in df.select(self.partition_field).distinct().collect()
         ]
+        return [v for v in vals if v is not None], any(v is None for v in vals)
+
+    def _partition_scope(self, parts: list, has_null: bool):
+        """Filter predicate selecting exactly the touched partitions,
+        null partition included when the batch touches it."""
+        pred = F.col(self.partition_field).isin(parts)
+        if has_null:
+            pred = pred | F.col(self.partition_field).isNull()
+        return pred
 
     # -- MOR delta log --------------------------------------------------
     def _next_seq(self, spark: SparkSession) -> int:
@@ -258,6 +294,21 @@ class HudiTable:
             w = w.partitionBy(self.partition_field)
         w.parquet(self._log_path)
 
+    def _maybe_compact(self, spark: SparkSession) -> None:
+        """Inline compaction trigger (Hudi's ``hoodie.compact.inline`` +
+        ``hoodie.compact.inline.max.delta.commits``, default 5): after a
+        log append, fold the log into the base once it has accumulated N
+        delta commits. Off unless ``hoodie.compact.inline=true`` —
+        matching Hudi's default of deferring compaction."""
+        if str(self.options.get("hoodie.compact.inline", "false")).lower() != "true":
+            return
+        max_commits = int(
+            self.options.get("hoodie.compact.inline.max.delta.commits", 5)
+        )
+        # _next_seq == number of commits in the log (seqs are 0-based)
+        if self._next_seq(spark) >= max_commits:
+            self.compact(spark)
+
     def compact(self, spark: SparkSession) -> None:
         """Fold the MOR delta log into the base files (Hudi compaction):
         materialize the merged state, rewrite the base, drop the log.
@@ -271,6 +322,8 @@ class HudiTable:
         log_local = f"{self._local_fs_path().rstrip('/')}__hudi_log"
         if os.path.exists(log_local):
             shutil.rmtree(log_local)
+        # base == snapshot again: re-sync so the snapshot name returns
+        self._maybe_sync_catalog(spark)
 
     def upsert(self, df: DataFrame, spark: SparkSession | None = None) -> None:
         """Upsert: merge incoming with existing, latest-wins on
@@ -286,15 +339,16 @@ class HudiTable:
         spark = spark or df.sparkSession
         if self.is_mor and self.exists(spark):
             self._append_log(df, "upsert", spark)
+            self._maybe_compact(spark)
             self._maybe_sync_catalog(spark)
             return
         incoming = df.withColumn("__hudi_src", F.lit(1))
         partitioned = self.partition_field is not None and self.exists(spark)
         if partitioned:
-            parts = self._touched_partitions(df)
+            parts, has_null = self._touched_partitions(df)
             existing = (
                 self.read(spark)
-                .filter(F.col(self.partition_field).isin(parts))
+                .filter(self._partition_scope(parts, has_null))
                 .withColumn("__hudi_src", F.lit(0))
             )
             merged = existing.unionByName(incoming, allowMissingColumns=True)
@@ -333,25 +387,32 @@ class HudiTable:
             ):
                 cols.append(self.partition_field)
             self._append_log(keys_df.select(*cols).distinct(), "delete", spark)
+            self._maybe_compact(spark)
             self._maybe_sync_catalog(spark)
             return
         keys = keys_df.select(self.record_key).distinct()
         existing = self.read(spark)
         if self.partition_field is not None:
             affected = existing.join(keys, on=self.record_key, how="left_semi")
-            parts = self._touched_partitions(affected)
-            if not parts:
+            parts, has_null = self._touched_partitions(affected)
+            if not parts and not has_null:
                 return
-            scoped = existing.filter(F.col(self.partition_field).isin(parts))
+            scoped = existing.filter(self._partition_scope(parts, has_null))
             remaining = scoped.join(keys, on=self.record_key, how="left_anti")
             # a partition whose every row is deleted has nothing left for
             # dynamic overwrite to replace — find those BEFORE the rewrite
             # (remaining's plan reads the pre-rewrite files), then drop
-            # their directories after
-            emptied = set(parts) - set(self._touched_partitions(remaining))
+            # their directories after. None stands in for the null
+            # partition (__HIVE_DEFAULT_PARTITION__ on disk).
+            r_parts, r_null = self._touched_partitions(remaining)
+            emptied = set(parts) - set(r_parts)
+            if has_null and not r_null:
+                emptied.add(None)
             self._rewrite_partitions(remaining, spark)
             if emptied:
-                self._drop_partitions(sorted(emptied))
+                self._drop_partitions(
+                    sorted(emptied, key=lambda v: (v is None, v))
+                )
         else:
             remaining = existing.join(keys, on=self.record_key, how="left_anti")
             self._atomic_rewrite(remaining, spark)
@@ -471,7 +532,8 @@ class HudiTable:
 
         local = self._local_fs_path()
         for v in values:
-            d = os.path.join(local, f"{self.partition_field}={v}")
+            leaf = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            d = os.path.join(local, f"{self.partition_field}={leaf}")
             if os.path.exists(d):
                 shutil.rmtree(d)
 
@@ -498,15 +560,33 @@ class HudiTable:
                 f"{HIVE_SYNC_TABLE} nor {TABLE_NAME} is set"
             )
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
-        # external (path-based) table; re-registered each write so the
-        # location/schema stay current, then partitions recovered
-        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
-        spark.sql(
-            f"CREATE TABLE `{db}`.`{tbl}` USING parquet "
-            f"LOCATION '{self.path}'"
-        )
-        if self.partition_field:
-            try:
-                spark.catalog.recoverPartitions(f"`{db}`.`{tbl}`")
-            except Exception:
-                pass  # in-memory catalog infers partitions from the path
+
+        def _register(name: str) -> None:
+            # external (path-based) table; re-registered each write so
+            # the location/schema stay current, then partitions recovered
+            spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
+            spark.sql(
+                f"CREATE TABLE `{db}`.`{name}` USING parquet "
+                f"LOCATION '{self.path}'"
+            )
+            if self.partition_field:
+                try:
+                    spark.catalog.recoverPartitions(f"`{db}`.`{name}`")
+                except Exception:
+                    pass  # in-memory catalog infers partitions from path
+
+        if not self.is_mor:
+            _register(tbl)
+            return
+        # MOR: a path-based parquet table can only serve the BASE files —
+        # pending log commits are invisible to it. Mirroring Hudi's
+        # HiveSyncTool split, register `<tbl>_ro` (read-optimized view,
+        # always valid as base-only) and register the snapshot name only
+        # while base == snapshot (no pending log); otherwise drop it so a
+        # by-name query fails loudly instead of silently serving stale
+        # pre-merge data. compact() re-syncs, restoring `<tbl>`.
+        _register(f"{tbl}_ro")
+        if self._has_log(spark):
+            spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+        else:
+            _register(tbl)

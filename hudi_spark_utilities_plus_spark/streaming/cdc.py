@@ -72,7 +72,13 @@ def read_cdc_stream(
             | (F.col("binlog_file") > start_file)
             | (
                 (F.col("binlog_file") == start_file)
-                & (F.coalesce(F.col("binlog_offset"), F.lit(0)) >= start_off)
+                # a null offset means "no position" — keep, per the
+                # docstring contract (coalescing to 0 silently dropped
+                # such events whenever start_off > 0)
+                & (
+                    F.col("binlog_offset").isNull()
+                    | (F.col("binlog_offset") >= start_off)
+                )
             )
         )
     return df

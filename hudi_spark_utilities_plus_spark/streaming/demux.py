@@ -64,7 +64,16 @@ def resolve_table_config(
 def demux_batch(
     spark: SparkSession, batch_df: DataFrame, props: dict[str, str]
 ) -> None:
-    """Route one micro-batch to per-(db, table) keyed lake tables."""
+    """Route one micro-batch to per-(db, table) keyed lake tables.
+
+    Per-table applies run CONCURRENTLY on a driver thread pool (Spark job
+    submission is thread-safe per session): each apply is a blocking
+    driver-side job chain, so a serial loop would queue cold tables
+    behind hot ones even with idle executors. Each worker thread tags its
+    jobs with a per-table scheduler pool (effective under
+    ``spark.scheduler.mode=FAIR``; harmless under FIFO). Any table's
+    failure fails the whole batch BEFORE the checkpoint commits — replay
+    re-applies every table, which the idempotent apply tolerates."""
     batch_df.persist()
     try:
         # Metadata-sized collect: the distinct routing keys, not the data.
@@ -72,12 +81,37 @@ def demux_batch(
             (r["db"], r["table"])
             for r in batch_df.select("db", "table").distinct().collect()
         ]
-        for db, table in pairs:
-            target = resolve_table_config(props, db, table)
-            part = batch_df.filter(
-                (batch_df["db"] == db) & (batch_df["table"] == table)
+        if not pairs:
+            return
+
+        def _apply_one(db: str, table: str) -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"demux-{db}.{table}"
             )
-            apply_cdc_batch(target, part, spark)
+            try:
+                target = resolve_table_config(props, db, table)
+                part = batch_df.filter(
+                    (batch_df["db"] == db) & (batch_df["table"] == table)
+                )
+                apply_cdc_batch(target, part, spark)
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        workers = min(
+            len(pairs), int(props.get("option.demux.parallelism", 8))
+        )
+        if workers <= 1:
+            for db, table in pairs:
+                _apply_one(db, table)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="demux"
+            ) as pool:
+                futures = [pool.submit(_apply_one, db, t) for db, t in pairs]
+                for f in futures:
+                    f.result()  # re-raise the first failure
     finally:
         batch_df.unpersist()
 

@@ -215,6 +215,63 @@ def test_cdc_binlog_start_position(spark, tmp_path):
 
 
 @pytest.mark.streaming
+def test_cdc_null_offset_kept_at_start_file(spark, tmp_path):
+    """An event at the start file with a NULL offset carries no position
+    and must be kept (docstring contract) — coalescing to 0 used to drop
+    it whenever the start offset was > 0."""
+    base = str(tmp_path)
+    src = f"{base}/cdc_in"
+    props = _props(base)
+    _write_events(
+        src,
+        "batch1",
+        [
+            {"op": "insert", "db": "db1", "table": "person", "id": 1,
+             "data": "{}", "ts": "2024-01-01T00:00:01",
+             "binlog_file": "mysql-bin.000004", "binlog_offset": None},
+            {"op": "insert", "db": "db1", "table": "person", "id": 2,
+             "data": "{}", "ts": "2024-01-01T00:00:02",
+             "binlog_file": "mysql-bin.000004", "binlog_offset": 4},
+        ],
+    )
+    stream = read_cdc_stream(spark, src, binlog_index=4, binlog_file_offset=500)
+    q = start_binlog_streamer(spark, stream, props, f"{base}/ckpt", 1)
+    try:
+        q.processAllAvailable()
+        person = f"{base}/lake/db1/ods_db1_person"
+        # id 2 (offset 4 < 500) skipped; id 1 (null offset) kept
+        assert [r["id"] for r in spark.read.parquet(person).collect()] == [1]
+    finally:
+        q.stop()
+
+
+@pytest.mark.streaming
+def test_demux_many_tables_parallel_apply(spark, tmp_path):
+    """≥4 tables in one micro-batch: the thread-pooled per-table applies
+    must all land, and a re-run of the same batch stays idempotent."""
+    from hudi_spark_utilities_plus_spark.streaming.demux import demux_batch
+
+    base = str(tmp_path)
+    props = {"option.hoodie.path": f"{base}/lake/{{db}}/ods_{{db}}_{{table}}"}
+    rows = []
+    for i, (db, tbl) in enumerate(
+        [("db1", "person"), ("db1", "order"), ("db2", "student"), ("db2", "course")]
+    ):
+        rows.append(("insert", db, tbl, i, "{}", "2024-01-01T00:00:0%d" % i))
+        rows.append(("update", db, tbl, i, '{"u":1}', "2024-01-01T00:00:59"))
+    batch = spark.createDataFrame(
+        rows, "op string, db string, `table` string, id long, data string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    demux_batch(spark, batch, props)
+    demux_batch(spark, batch, props)  # replay: idempotent
+    for i, (db, tbl) in enumerate(
+        [("db1", "person"), ("db1", "order"), ("db2", "student"), ("db2", "course")]
+    ):
+        got = spark.read.parquet(f"{base}/lake/{db}/ods_{db}_{tbl}").collect()
+        assert len(got) == 1 and got[0]["id"] == i and got[0]["data"] == '{"u":1}'
+
+
+@pytest.mark.streaming
 def test_tumbling_window_with_watermark(spark, tmp_path):
     """Event-time tumbling windows over a file stream; update-mode memory
     sink; counts match a batch groupBy of the same data."""

@@ -288,6 +288,152 @@ def test_hudi_mor_log_write_read_merge_compact(spark, tmp_path):
     assert state == {1: "a2", 2: "back", 3: "c", 4: "keep"}
 
 
+def test_hudi_partitioned_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """A null partition value is a real partition
+    (__HIVE_DEFAULT_PARTITION__): upserting a batch that touches it must
+    MERGE with its existing rows, not dynamically overwrite them away."""
+    t = HudiTable(
+        path=str(tmp_path / "np"),
+        record_key="id",
+        precombine="ver",
+        partition_field="dt",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", None), (2, 1, "b", None), (3, 1, "c", "d1")],
+            "id int, ver int, v string, dt string",
+        )
+    )
+    # batch touches the null partition with one NEW key only
+    t.upsert(
+        spark.createDataFrame(
+            [(9, 1, "new-null", None)], "id int, ver int, v string, dt string"
+        )
+    )
+    state = {r["id"]: (r["v"], r["dt"]) for r in t.read(spark).collect()}
+    assert state == {
+        1: ("a", None),
+        2: ("b", None),
+        3: ("c", "d1"),
+        9: ("new-null", None),
+    }
+
+
+def test_hudi_partitioned_delete_null_partition_rows(spark, tmp_path):
+    t = HudiTable(
+        path=str(tmp_path / "nd"),
+        record_key="id",
+        precombine="ver",
+        partition_field="dt",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, None), (2, 1, None), (3, 1, "d1")], "id int, ver int, dt string"
+        )
+    )
+    t.delete(spark.createDataFrame([(1,)], "id int"))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [2, 3]
+    # deleting the last null-partition row drops its directory
+    t.delete(spark.createDataFrame([(2,)], "id int"))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [3]
+    assert not os.path.exists(
+        os.path.join(t.path, "dt=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_hudi_mor_bulk_insert_after_delete_survives(spark, tmp_path):
+    """A bulk_insert AFTER an unconditional delete marker must survive
+    it (later insert beats earlier delete) — it routes through the delta
+    log to get a commit seq above the marker's."""
+    t = HudiTable(
+        path=str(tmp_path / "mbi"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t.delete(spark.createDataFrame([(1,)], "id int"))
+    assert t.read(spark).count() == 0
+    t.bulk_insert(spark.createDataFrame([(1, 1, "back")], "id int, ver int, v string"))
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "back"}
+
+
+def test_hudi_mor_read_optimized_mode(spark, tmp_path):
+    """read_optimized skips the log merge: base-only state, no pending
+    commits visible (Hudi's MOR query-type split)."""
+    t = HudiTable(
+        path=str(tmp_path / "ro"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(1, 2, "a2"), (2, 1, "b")], "id int, ver int, v string"))
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "a2", 2: "b"}
+    assert {
+        r["id"]: r["v"] for r in t.read(spark, mode="read_optimized").collect()
+    } == {1: "a"}
+    with pytest.raises(ValueError, match="read mode"):
+        t.read(spark, mode="incremental")
+    t.compact(spark)
+    assert {
+        r["id"]: r["v"] for r in t.read(spark, mode="read_optimized").collect()
+    } == {1: "a2", 2: "b"}
+
+
+def test_hudi_mor_inline_compaction_trigger(spark, tmp_path):
+    """hoodie.compact.inline + max.delta.commits: the log folds into the
+    base automatically once it accumulates N delta commits."""
+    t = HudiTable(
+        path=str(tmp_path / "ic"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+        options={
+            "hoodie.compact.inline": "true",
+            "hoodie.compact.inline.max.delta.commits": "2",
+        },
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(2, 1, "b")], "id int, ver int, v string"))
+    assert os.path.isdir(t.path + "__hudi_log")  # 1 commit < 2
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
+    assert not os.path.exists(t.path + "__hudi_log")  # auto-compacted
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "a2", 2: "b"}
+
+
+def test_hive_sync_mor_registers_ro_view(spark, tmp_path):
+    """MOR hive-sync: a path-based parquet table can only serve base
+    files, so the sync registers <tbl>_ro and withholds the snapshot
+    name while log commits are pending (restored by compact())."""
+    t = HudiTable(
+        path=str(tmp_path / "hsm"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+        options={
+            "hoodie.datasource.hive_sync.enable": "true",
+            "hoodie.datasource.hive_sync.database": "data_import",
+            "hoodie.datasource.hive_sync.table": "ods_m",
+        },
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    # no pending log: both names valid
+    assert spark.catalog.tableExists("data_import.ods_m")
+    assert spark.catalog.tableExists("data_import.ods_m_ro")
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
+    # pending log: _ro serves the (stale-by-contract) base, snapshot name gone
+    assert not spark.catalog.tableExists("data_import.ods_m")
+    assert (
+        spark.sql("SELECT v FROM data_import.ods_m_ro").collect()[0]["v"] == "a"
+    )
+    t.compact(spark)
+    assert spark.sql("SELECT v FROM data_import.ods_m").collect()[0]["v"] == "a2"
+    for name in ("ods_m", "ods_m_ro"):
+        spark.sql(f"DROP TABLE IF EXISTS data_import.`{name}`")
+    spark.sql("DROP DATABASE data_import")
+
+
 def test_hudi_rewrite_refuses_object_store_schemes(spark):
     t = HudiTable(path="s3a://bucket/tbl", record_key="id", precombine="v")
     with pytest.raises(NotImplementedError, match="s3a"):
