@@ -33,8 +33,11 @@ honored:
   ingest no longer serializes through the driver; the driver only
   parses the first workbook's excerpt to fix names + schema.
 
-Not supported (documented, raising): ``workbookPassword`` (OOXML crypto
-not in this environment) and legacy BIFF ``.xls`` containers.
+Legacy BIFF8 ``.xls`` workbooks are supported via the stdlib OLE2 +
+record parser in :mod:`.biff` — dispatch is by container magic (see
+``_read_rows``), so globs may mix both formats. Not supported
+(documented, raising): ``workbookPassword`` — encrypted workbooks of
+either container (no RC4/CryptoAPI or OOXML crypto here).
 """
 
 from __future__ import annotations
@@ -325,6 +328,24 @@ def _plain_str(v: object, plain_number: bool) -> str:
     return str(v)
 
 
+def _read_rows(path: str, sheet: str | None) -> list[dict[int, object]]:
+    """Dispatch on the container magic: PK zip → OOXML ``.xlsx``; OLE2 →
+    legacy BIFF8 ``.xls`` (or an encrypted OOXML container, which the
+    biff module rejects with a clear error). Magic-based, so a glob may
+    mix both formats."""
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic[:4] == b"PK\x03\x04":
+        return read_xlsx_rows(path, sheet)
+    from .biff import OLE_MAGIC, read_xls_rows
+
+    if magic == OLE_MAGIC:
+        return read_xls_rows(path, sheet)
+    raise ValueError(
+        f"{path!r} is neither an OOXML (.xlsx) nor an OLE2 (.xls) workbook"
+    )
+
+
 def _file_body(
     path: str,
     sheet: str | None,
@@ -336,7 +357,7 @@ def _file_body(
     empty_as_null: bool,
 ) -> tuple[list[str], list[list[object]]]:
     """Parse one workbook into (header names, body rows) for the range."""
-    rows = read_xlsx_rows(path, sheet)
+    rows = _read_rows(path, sheet)
     r0, c0 = start
     r1 = end[0] if end else (len(rows) - 1)
     c1 = end[1] if end else max((max(r) for r in rows if r), default=0)

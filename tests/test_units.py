@@ -664,3 +664,150 @@ def test_excel_password_unsupported(spark, tmp_path):
     write_xlsx(p, [["a"], ["v"]])
     with pytest.raises(NotImplementedError, match="workbookPassword"):
         read_excel(spark, p, {"workbookPassword": "secret"})
+
+
+# ---------------------------------------------------------------------------
+# legacy BIFF8 .xls (A3 — the reference's POI path)
+# ---------------------------------------------------------------------------
+
+
+def test_xls_simple_header_infer(spark, tmp_path):
+    from .xls_util import write_xls
+
+    p = str(tmp_path / "simple.xls")
+    write_xls(p, [["col1", "col2", "col3"], ["foo", "bar", 1], ["baz", "qux", 2]])
+    df = read_excel(spark, p, {"inferSchema": "true"})
+    assert df.columns == ["col1", "col2", "col3"]
+    assert dict(df.dtypes)["col3"] == "bigint"
+    assert {(r["col1"], r["col3"]) for r in df.collect()} == {("foo", 1), ("baz", 2)}
+
+
+def test_xls_typed_cells(spark, tmp_path):
+    """Dates/datetimes (via builtin numFmtIds), booleans, doubles."""
+    import datetime as dt
+
+    from .xls_util import write_xls
+
+    p = str(tmp_path / "typed.xls")
+    write_xls(
+        p,
+        [
+            ["d", "ts", "b", "x"],
+            [dt.date(2024, 3, 1), dt.datetime(2024, 3, 1, 12, 30, 5), True, 1.5],
+            [dt.date(2024, 3, 2), dt.datetime(2024, 3, 2, 1, 2, 3), False, -2.25],
+        ],
+    )
+    df = read_excel(spark, p, {"inferSchema": "true"})
+    assert dict(df.dtypes) == {
+        "d": "date", "ts": "timestamp", "b": "boolean", "x": "double"
+    }
+    rows = {r["d"]: (r["ts"], r["b"], r["x"]) for r in df.collect()}
+    assert rows[dt.date(2024, 3, 1)] == (
+        dt.datetime(2024, 3, 1, 12, 30, 5), True, 1.5,
+    )
+
+
+def test_xls_rk_mulrk_formula_records(spark, tmp_path):
+    """Low-level record coverage: RK (int, /100, float), MULRK runs, and
+    FORMULA cached numeric + string results."""
+    from . import xls_util as X
+
+    cells = (
+        X.rk(1, 0, 0, (42 << 2) | 0x02)  # int 42
+        + X.rk(1, 1, 0, (1234 << 2) | 0x03)  # int/100 → 12.34
+        + X.mulrk(2, 0, [(0, (7 << 2) | 0x02), (0, (8 << 2) | 0x02)])
+        + X.formula_num(3, 0, 0, 99.5)
+        + X.formula_str(3, 1)
+        + X.string_rec("cached")
+    )
+    hdr = X.labelsst(0, 0, 0) + X.labelsst(0, 1, 1)
+    sheet_stream = X.bof(0x0010) + hdr + cells + X.EOF_REC
+    fixed = X.bof(0x0005) + X.xf(0) + X.sst(["a", "b"])
+    glen = len(fixed) + len(X.boundsheet(0, "S")) + len(X.EOF_REC)
+    stream = fixed + X.boundsheet(glen, "S") + X.EOF_REC + sheet_stream
+    p = str(tmp_path / "rk.xls")
+    with open(p, "wb") as fh:
+        fh.write(X.ole_wrap(stream))
+
+    from hudi_spark_utilities_plus_spark.sources.biff import read_xls_rows
+
+    rows = read_xls_rows(p)
+    assert rows[1] == {0: 42, 1: 12.34}
+    assert rows[2] == {0: 7, 1: 8}
+    assert rows[3] == {0: 99.5, 1: "cached"}
+
+
+def test_xls_sst_continue_split(tmp_path):
+    """SST character data spanning a CONTINUE record restarts with a
+    fresh flags byte — the classic BIFF8 parsing trap."""
+    import struct
+
+    from . import xls_util as X
+
+    # one string "helloworld": SST carries cch=10 + flags + "hello",
+    # CONTINUE restarts (flags=0) + "world"
+    sst_payload = struct.pack("<II", 1, 1) + struct.pack("<HB", 10, 0) + b"hello"
+    cont_payload = b"\x00" + b"world"
+    fixed = (
+        X.bof(0x0005)
+        + X.xf(0)
+        + X.rec(0x00FC, sst_payload)
+        + X.rec(0x003C, cont_payload)
+    )
+    sheet_stream = X.bof(0x0010) + X.labelsst(0, 0, 0) + X.EOF_REC
+    glen = len(fixed) + len(X.boundsheet(0, "S")) + len(X.EOF_REC)
+    stream = fixed + X.boundsheet(glen, "S") + X.EOF_REC + sheet_stream
+    p = str(tmp_path / "cont.xls")
+    with open(p, "wb") as fh:
+        fh.write(X.ole_wrap(stream))
+
+    from hudi_spark_utilities_plus_spark.sources.biff import read_xls_rows
+
+    assert read_xls_rows(p) == [{0: "helloworld"}]
+
+
+def test_xls_mixed_format_glob(spark, tmp_path):
+    """A glob mixing .xls and .xlsx concatenates row-wise (dispatch is
+    by container magic, not extension)."""
+    from .xls_util import write_xls
+
+    write_xlsx(str(tmp_path / "a1.xlsx"), [["k", "v"], ["x", 1]])
+    write_xls(str(tmp_path / "a2.xls"), [["k", "v"], ["y", 2]])
+    df = read_excel(
+        spark, str(tmp_path / "a*.xls*"), {"inferSchema": "true"}
+    )
+    assert {(r["k"], r["v"]) for r in df.collect()} == {("x", 1), ("y", 2)}
+
+
+_REF_SHEETS = (
+    "/root/reference/boxer-excel/src/test/resources/exmaple/spreadsheets"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_SHEETS), reason="reference fixtures not present"
+)
+def test_xls_reference_fixture_matches_xlsx_sibling(spark):
+    """The reference repo ships the same workbook in both containers —
+    our two parsers must agree cell-for-cell (and the .xls path must
+    route through the OLE mini-stream, which this 2.3 KB fixture uses)."""
+    a = read_excel(
+        spark,
+        f"{_REF_SHEETS}/infer_stricter_numerical_types.xls",
+        {"inferSchema": "true"},
+    )
+    b = read_excel(
+        spark,
+        f"{_REF_SHEETS}/infer_stricter_numerical_types.xlsx",
+        {"inferSchema": "true"},
+    )
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_SHEETS), reason="reference fixtures not present"
+)
+def test_xls_encrypted_raises(spark):
+    with pytest.raises(NotImplementedError, match="workbookPassword"):
+        read_excel(spark, f"{_REF_SHEETS}/simple_encrypted.xls")
