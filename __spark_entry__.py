@@ -69,6 +69,10 @@ _CHECK_ORDER = [
     "win_range_between",
     # checked in round 1 only — fell out of the round-2 window
     "dedup_ngram_jaccard",
+    # new in round 3 — never checked
+    "sessionize_events",
+    "text_repetition",
+    "sample_hash_docs",
     # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
     "hudi_mor_read",
     "hudi_upsert",

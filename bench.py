@@ -37,6 +37,8 @@ HEADLINE = [
     "win_ntile",
     "win_range_between",
     "hudi_mor_read",
+    "sessionize_events",
+    "text_repetition",
 ]
 
 

@@ -215,6 +215,37 @@ class HudiTable:
             .drop("__hudi_rn", "__hudi_op", "__hudi_seq", "__hudi_barrier")
         )
 
+    def latest_commit_seq(self, spark: SparkSession) -> int:
+        """Highest delta-commit seq in the log (-1 = no log commits) —
+        the cursor callers persist between incremental pulls."""
+        return self._next_seq(spark) - 1
+
+    def read_incremental(
+        self, spark: SparkSession, since_seq: int = -1
+    ) -> DataFrame:
+        """Hudi's third MOR query type (incremental): the CURRENT
+        snapshot rows of every key touched by a delta commit with
+        ``seq > since_seq``. Keys whose net effect since the cursor is
+        deletion simply don't appear (Hudi semantics). The key set is a
+        seq-pruned log scan + semi-join — cost tracks the delta, not the
+        table."""
+        if not self.is_mor:
+            raise ValueError(
+                "incremental read requires a MERGE_ON_READ table "
+                "(COPY_ON_WRITE rewrites have no commit log to diff)"
+            )
+        snapshot = self.read(spark)
+        if not self._has_log(spark):
+            return snapshot.limit(0)
+        changed = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self._log_path)
+            .filter(F.col("__hudi_seq") > since_seq)
+            .select(self.record_key)
+            .distinct()
+        )
+        return snapshot.join(changed, on=self.record_key, how="left_semi")
+
     # -- write ---------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
         w = df.write.mode(mode)

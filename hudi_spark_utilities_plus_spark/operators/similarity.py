@@ -174,6 +174,10 @@ def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]])
     that is 2^16 copies of the distance subtree: the analyzer itself
     OOMs before a single row is processed.) Ties resolve to the first
     (lowest-index) centroid — deterministic."""
+    # k separate fold subtrees, NOT one transform() over a 2-D centroid
+    # literal: a lambda capturing the outer vector column trips Catalyst
+    # attribute binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) in joined
+    # plan shapes. Linear in k either way.
     dists = F.array(
         *[
             _sq_dist(vec_col, F.array(*[F.lit(x) for x in cvec]))

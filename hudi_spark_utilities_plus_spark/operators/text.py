@@ -12,7 +12,7 @@ shuffle — so throughput scales linearly with executors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
@@ -97,6 +97,43 @@ def quality_features(text: Column) -> dict[str, Column]:
         ).cast("double")
         / n_words,
     }
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of lines that are
+    repeats of an earlier line — ``1 - distinct/total`` over the raw
+    newline split (empty lines count; a heavily blank doc IS
+    repetitive). Single double division → bit-identical cross-engine.
+    Narrow per-row transform, no shuffle."""
+    lines = F.split(text, "\n", -1)
+    return F.lit(1.0) - F.size(F.array_distinct(lines)).cast(
+        "double"
+    ) / F.size(lines).cast("double")
+
+
+def word_counts_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word, cnt) — whitespace words of the lowercased text. The
+    shuffle key is (id, word): high-cardinality, well-spread; partial
+    map-side aggregation shrinks it before the exchange."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def top_word_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, top_word_frac): share of the document's words taken by its
+    most frequent word — the second Gopher repetition axis. Two keyed
+    aggregations (id+word, then id); both partial-aggregated."""
+    wc = word_counts_exploded(df, id_col, text_col)
+    return wc.groupBy(id_col).agg(
+        (
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+        ).alias("top_word_frac")
+    )
 
 
 def sha_fingerprint(text: Column) -> Column:

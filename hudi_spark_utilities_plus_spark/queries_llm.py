@@ -308,3 +308,102 @@ def ann_topk_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     qs = e.filter(F.col("vec_id") % 50 == 0)
     return S.ivf_topk(e, qs, k=5, n_clusters=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# sessionization / repetition quality / deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM o
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) — event logs →
+    per-session rows, the standard pre-step for sequence training data.
+    One user-keyed shuffle for the lag/cumsum windows (shared Exchange)
+    + a keyed aggregate; span math is exact integer microseconds."""
+    from .operators import sessions as SE
+
+    e = _t(spark, sf_dir, "events")["events"]
+    return SE.session_stats(e, gap_seconds=1800)
+
+
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ), tw AS (
+      SELECT doc_id,
+             CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+               AS top_word_frac
+      FROM wc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           1.0 - CAST(len(list_distinct(string_split(d.text, chr(10))))
+                      AS DOUBLE)
+               / CAST(len(string_split(d.text, chr(10))) AS DOUBLE)
+             AS dup_line_frac,
+           tw.top_word_frac
+    FROM documents d JOIN tw ON d.doc_id = tw.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-line fraction
+    (narrow, shuffle-free) + top-word fraction (two partial-aggregated
+    keyed shuffles). Ratios are single double divisions — bit-identical
+    to the oracle."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    dup = d.select("doc_id", T.dup_line_fraction(F.col("text")).alias("dup_line_frac"))
+    top = T.top_word_fraction(d, "doc_id", "text")
+    return dup.join(top, "doc_id")
+
+
+@query(
+    "sample_hash_docs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)),
+            (acc, x) -> (acc * {T.ROLLING_BASE} + x) % {T.ROLLING_MOD}
+          ) % 100 < 10
+    """,
+)
+def sample_hash_docs(spark, sf_dir):
+    """Deterministic 10% content-hash sample: rows whose Karp-Rabin
+    fingerprint lands in buckets 0-9. Replay-stable (pure function of
+    the text, no RNG state), embarrassingly parallel, and the bucket
+    count makes any sampling rate expressible — the reproducible-subset
+    primitive a training-data pipeline needs."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return d.filter(
+        T.rolling_fingerprint(F.col("text")) % 100 < 10
+    ).select("doc_id", "lang")

@@ -193,3 +193,55 @@ def test_ann_lsh_dim_mismatch_raises(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="dim=32"):
         S.ann_topk_lsh(emb, emb.limit(1), dim=32, k=5)
+
+
+def test_sessionize_gap_semantics(spark):
+    """Strictly-greater gap starts a new session; an exactly-equal gap
+    does not. Session seqs are 1-based per user."""
+    from hudi_spark_utilities_plus_spark.operators.sessions import (
+        session_stats,
+        with_session_seq,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:30:00", 2),   # gap == 1800 s → same session
+        (1, "2024-01-01 01:00:01", 3),   # gap 1801 s → new session
+        (2, "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tagged = {
+        r["event_id"]: r["session_seq"]
+        for r in with_session_seq(df, gap_seconds=1800).collect()
+    }
+    assert tagged == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["span_us"])
+        for r in session_stats(df, gap_seconds=1800).collect()
+    }
+    assert stats == {(1, 1): (2, 1800_000_000), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_dup_line_and_top_word_fractions(spark):
+    from hudi_spark_utilities_plus_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\na"), (2, "x y z"), (3, "w w w w")],
+        "doc_id long, text string",
+    )
+    dup = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", T.dup_line_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert dup[1] == 0.5 and dup[2] == 0.0 and dup[3] == 0.0
+    top = {
+        r["doc_id"]: r["top_word_frac"]
+        for r in T.top_word_fraction(df, "doc_id", "text").collect()
+    }
+    assert top[1] == 0.75  # \s+ splits on newlines too: [a, b, a, a]
+    assert top[2] == 1.0 / 3.0
+    assert top[3] == 1.0

@@ -402,6 +402,39 @@ def test_hudi_mor_inline_compaction_trigger(spark, tmp_path):
     assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "a2", 2: "b"}
 
 
+def test_hudi_mor_incremental_read(spark, tmp_path):
+    """Incremental query type: snapshot rows of keys changed since a
+    commit cursor; deleted keys drop out; COW refuses."""
+    t = HudiTable(
+        path=str(tmp_path / "inc"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "id int, ver int, v string"
+        )
+    )
+    assert t.latest_commit_seq(spark) == -1
+    assert t.read_incremental(spark).count() == 0  # no delta commits yet
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
+    cursor = t.latest_commit_seq(spark)
+    assert cursor == 0
+    t.upsert(spark.createDataFrame([(2, 2, "b2")], "id int, ver int, v string"))
+    t.delete(spark.createDataFrame([(3,)], "id int"))
+    # since cursor: id 2 changed (latest value), id 3 deleted (absent),
+    # id 1 unchanged since cursor (absent)
+    got = {r["id"]: r["v"] for r in t.read_incremental(spark, cursor).collect()}
+    assert got == {2: "b2"}
+    # from the beginning: ids 1 and 2 (3 is net-deleted)
+    got = {r["id"]: r["v"] for r in t.read_incremental(spark).collect()}
+    assert got == {1: "a2", 2: "b2"}
+    cow = HudiTable(path=str(tmp_path / "cow"), record_key="id", precombine="v")
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        cow.read_incremental(spark)
+
+
 def test_hive_sync_mor_registers_ro_view(spark, tmp_path):
     """MOR hive-sync: a path-based parquet table can only serve base
     files, so the sync registers <tbl>_ro and withholds the snapshot
