@@ -163,30 +163,36 @@ def _centroid_means(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _nearest_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Argmin over broadcast centroid literals (k is small — the centroid
-    table is driver-side metadata, never a data-scale collect).
+def _assign_nearest(
+    docs: DataFrame, vec_field: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """``docs`` + a ``cluster`` column = argmin-distance centroid.
 
-    Built as one distances array + array_min/array_position so the
-    Catalyst expression stays LINEAR in k. (A chained
-    ``when(d < best, d).otherwise(best)`` fold references ``best`` twice
-    per step — the expression tree doubles per centroid, and at k=16
-    that is 2^16 copies of the distance subtree: the analyzer itself
-    OOMs before a single row is processed.) Ties resolve to the first
-    (lowest-index) centroid — deterministic."""
-    # k separate fold subtrees, NOT one transform() over a 2-D centroid
-    # literal: a lambda capturing the outer vector column trips Catalyst
-    # attribute binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) in joined
-    # plan shapes. Linear in k either way.
-    dists = F.array(
-        *[
-            _sq_dist(vec_col, F.array(*[F.lit(x) for x in cvec]))
-            for _, cvec in centroids
-        ]
+    Centroids travel as DATA — a broadcast ONE-ROW table crossJoined in,
+    holding ``array<array<double>>`` — not as expression literals. The
+    Catalyst tree stays small and CONSTANT in k (a k×dim literal tree
+    costs seconds of analysis/codegen per distinct plan and gets
+    re-analyzed by every downstream job), while the plan stays map-only:
+    a 1-row broadcast is not a shuffle, and per-row work is the same
+    k·dim multiply-adds. Ties resolve to the first (lowest-index)
+    centroid via ``array_position`` — deterministic. (Earlier designs:
+    a ``when(d<best,...)`` fold doubles the tree per centroid — 2^k —
+    and OOMs the analyzer at k=16; per-centroid literal fold subtrees
+    are linear but still dominate wall time at small scale.)"""
+    cent_row = docs.sparkSession.createDataFrame(
+        [([v for _, v in centroids], [c for c, _ in centroids])],
+        "_cvecs ARRAY<ARRAY<DOUBLE>>, _cids ARRAY<INT>",
     )
-    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    return F.element_at(
-        ids, F.array_position(dists, F.array_min(dists)).cast("int")
+    dists = F.transform(F.col("_cvecs"), lambda c: _sq_dist(F.col(vec_field), c))
+    return (
+        docs.crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "cluster",
+            F.element_at(
+                "_cids", F.array_position(dists, F.array_min(dists)).cast("int")
+            ),
+        )
+        .drop("_cvecs", "_cids")
     )
 
 
@@ -197,24 +203,31 @@ def _kmeans(
     n_clusters: int,
     iters: int,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Deterministic k-means: init cluster = id % k, then ``iters``
-    Lloyd rounds as DataFrame aggregations. Only the k centroid vectors
-    (metadata) ever reach the driver. Returns (docs + ``cluster`` column,
-    final centroid list)."""
-    assigned = docs.withColumn(
-        "cluster", F.pmod(F.col(id_field), F.lit(n_clusters))
-    )
-    cents: list[tuple[int, list[float]]] = []
-    for _ in range(max(1, iters)):  # ≥1 so centroids always exist
+    """Deterministic k-means seeded from the k lowest-id vectors (a
+    k-row ``limit`` collect — metadata-scale), then ``iters`` Lloyd
+    rounds as DataFrame aggregations. Seeding from actual data points
+    (not modulo-bucket means, which average across clusters and all
+    collapse near the global mean) separates clustered data in a single
+    round. Only k vectors ever reach the driver. Returns (docs +
+    ``cluster`` column, final centroid list)."""
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["_v"]))
+        for i, r in enumerate(
+            docs.select(F.col(id_field).alias("_id"), F.col(vec_field).alias("_v"))
+            .orderBy("_id")
+            .limit(n_clusters)
+            .collect()  # k rows (metadata)
+        )
+    ]
+    assigned = _assign_nearest(docs, vec_field, cents)
+    for _ in range(max(1, iters)):  # ≥1 Lloyd round so means are real
         cents = [
             (r["cluster"], list(r["centroid"]))
             for r in _centroid_means(
                 assigned.select(F.col(vec_field).alias("v"), "cluster")
             ).collect()  # k rows (metadata)
         ]
-        assigned = docs.withColumn(
-            "cluster", _nearest_centroid(F.col(vec_field), cents)
-        )
+        assigned = _assign_nearest(docs, vec_field, cents)
     return assigned, cents
 
 
@@ -229,7 +242,7 @@ def similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
-    kmeans_iters: int = 2,
+    kmeans_iters: int = 1,
     candidates_only: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dedup.
@@ -281,6 +294,11 @@ def similar_pairs(
     )
     side.count()  # eager cache fill (k-means + radii + verify reuse it)
     assigned, cents = _kmeans(side, "nv", "id", n_clusters, kmeans_iters)
+    # persist the assignment: the nearest-centroid expression is a large
+    # (k × dim literals) codegen unit, and the radii job plus BOTH sides
+    # of the candidate join would otherwise re-analyze and re-execute it
+    assigned = assigned.persist()
+    assigned.count()
 
     cent_df = spark.createDataFrame(
         [(c, v) for c, v in cents], "cluster INT, centroid ARRAY<DOUBLE>"
