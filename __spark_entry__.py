@@ -73,6 +73,12 @@ _CHECK_ORDER = [
     "sessionize_events",
     "text_repetition",
     "sample_hash_docs",
+    "join_asof",
+    "agg_percentile",
+    "pack_token_budget",
+    "pii_scrub",
+    "ngram_bigrams",
+    "embedding_quantize",
     # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
     "hudi_mor_read",
     "hudi_upsert",

@@ -39,6 +39,9 @@ HEADLINE = [
     "hudi_mor_read",
     "sessionize_events",
     "text_repetition",
+    "join_asof",
+    "ngram_bigrams",
+    "pack_token_budget",
 ]
 
 

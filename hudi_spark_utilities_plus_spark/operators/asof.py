@@ -1,0 +1,96 @@
+"""As-of (nearest-prior) join — the time-series join Spark lacks.
+
+Reference parity: the reference engine has no as-of operator either; this
+is one of the pipeline extensions (time-aligned feature lookup, "latest
+dimension state at event time", trade/quote alignment) the brief calls
+for. Semantics match DuckDB's ``ASOF LEFT JOIN`` (backward, inclusive):
+for each left row, the right row with the greatest ``right_ts`` ≤
+``left_ts`` within the same key, or NULLs when none exists.
+
+100 TB design — the MERGE shape, not the range-join shape:
+``left ⋈ right ON key AND r.ts <= l.ts`` + argmax is a candidate
+explosion (every left row pairs with its whole right history — O(|L|·|R|)
+per key). Instead both sides are UNIONED and sorted once per key: a
+single hash shuffle on the join key, then one linear window pass where
+each left row picks up the running "last right payload seen". Cost is
+O((|L|+|R|) log per-partition) with no pair materialization at all —
+the distributed equivalent of the classic sorted-merge as-of algorithm.
+
+Skewed keys (one user with millions of events) are AQE's skew-split
+problem for the sort; the window itself is a linear scan. A ``tolerance``
+bound nulls out matches older than ``left_ts - tolerance`` AFTER the
+merge — it does not change the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join (DuckDB ``ASOF LEFT JOIN`` parity).
+
+    Every column of ``left`` is kept; every non-key column of ``right``
+    comes back NULL-filled when no right row with ``right_ts <=
+    left_ts`` exists for the key (or the newest candidate is older than
+    ``tolerance_seconds``, when given).
+
+    Determinism: if ``right`` has several rows at the same (key, ts),
+    the one with the greatest remaining-column tuple wins (the union is
+    ordered by the full payload struct). Pre-aggregate the right side to
+    unique (key, ts) when a specific tie policy is needed.
+    """
+    r_payload = [c for c in right.columns if c != on]
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(
+            right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
+        ).alias("_pay"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_side = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.struct(*r_payload).alias("_pay"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+    )
+    # right rows sort BEFORE left rows at equal ts (inclusive bound);
+    # among equal-ts right rows the payload struct orders them so "last"
+    # is deterministic.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_left", "_pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        l_side.unionByName(r_side)
+        .withColumn("_match", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    if tolerance_seconds is not None:
+        merged = merged.withColumn(
+            "_match",
+            F.when(
+                F.col("_match")[right_ts]
+                >= F.col("_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECOND"),
+                F.col("_match"),
+            ),
+        )
+    out = merged.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col("_match")[c].alias(c) for c in r_payload],
+    )
+    return out

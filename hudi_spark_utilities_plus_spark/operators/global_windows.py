@@ -98,6 +98,55 @@ def percent_rank_expr(rn: Column, n_total: int) -> Column:
     return (rn - 1).cast("double") / F.lit(float(n_total - 1))
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    val: Column,
+    n_partitions: int | None = None,
+    out_col: str = "cum",
+) -> DataFrame:
+    """``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without
+    the ``Exchange SinglePartition`` a global ORDER BY window plans.
+
+    Same two-phase program as :func:`global_row_number` with SUM in
+    place of COUNT: range-partition on the order keys, local running sum
+    per partition, then add per-partition total offsets (an
+    ``n_partitions``-row metadata collect, broadcast back). Order keys
+    must be a total order (unique) for a deterministic result."""
+    sess = df.sparkSession
+    n_partitions = n_partitions or sess.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n_partitions, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_v", val)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn("_lcum", F.sum("_v").over(w)).persist()
+    local.count()  # eager cache: the totals job below must not recompute
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in local.groupBy("_pid").agg(F.sum("_v").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    off_df = F.broadcast(
+        sess.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+        )
+    )
+    return (
+        local.join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("long"))
+        .drop("_pid", "_v", "_lcum", "_off")
+    )
+
+
 def range_frame_sum(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,57 @@
+"""Token-budget sequence packing — concat-and-chunk for training data.
+
+The standard LLM pre-training layout: documents are concatenated in a
+deterministic order and the token stream is cut into fixed-size packs
+(context windows). Each document is assigned the pack in which its FIRST
+token lands: ``pack_id = floor((cum_before_doc) / budget)``. Documents
+may straddle a boundary — that is concat-and-chunk semantics, not a bug
+(greedy first-fit bin packing is inherently sequential and its output
+depends on scan order; the contiguous form is what production pipelines
+actually run because it is deterministic and streaming-friendly).
+
+100 TB design: the only global state is the running token sum, computed
+with the two-phase range-partition program (no ``Exchange
+SinglePartition``); everything else is narrow per-row math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .global_windows import global_running_sum
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """(all df columns, ``pack_id``) — the pack containing the document's
+    first token under contiguous packing in ``id_col`` order."""
+    cum = global_running_sum(
+        df, [F.col(id_col)], F.col(tokens_col).cast("long"), out_col="_cum"
+    )
+    return cum.withColumn(
+        "pack_id", F.floor((F.col("_cum") - F.col(tokens_col)) / budget)
+    ).drop("_cum")
+
+
+def pack_stats(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """(pack_id, n_docs, tok_total) per pack — the pack manifest a
+    training loader consumes. One keyed aggregate over the assignments
+    (pack_id is contiguous-range partitioned → near-uniform)."""
+    return (
+        pack_assignments(df, id_col, tokens_col, budget)
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("long")).alias("tok_total"),
+        )
+    )

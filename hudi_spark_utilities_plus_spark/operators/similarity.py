@@ -168,31 +168,31 @@ def _assign_nearest(
 ) -> DataFrame:
     """``docs`` + a ``cluster`` column = argmin-distance centroid.
 
-    Centroids travel as DATA — a broadcast ONE-ROW table crossJoined in,
-    holding ``array<array<double>>`` — not as expression literals. The
-    Catalyst tree stays small and CONSTANT in k (a k×dim literal tree
-    costs seconds of analysis/codegen per distinct plan and gets
-    re-analyzed by every downstream job), while the plan stays map-only:
-    a 1-row broadcast is not a shuffle, and per-row work is the same
-    k·dim multiply-adds. Ties resolve to the first (lowest-index)
-    centroid via ``array_position`` — deterministic. (Earlier designs:
-    a ``when(d<best,...)`` fold doubles the tree per centroid — 2^k —
-    and OOMs the analyzer at k=16; per-centroid literal fold subtrees
-    are linear but still dominate wall time at small scale.)"""
-    cent_row = docs.sparkSession.createDataFrame(
-        [([v for _, v in centroids], [c for c, _ in centroids])],
-        "_cvecs ARRAY<ARRAY<DOUBLE>>, _cids ARRAY<INT>",
+    Centroids travel as ONE VALUE, not an AST: ``from_json`` of a single
+    string literal constant-folds to a lone ``array<array<double>>``
+    Literal node, so the Catalyst tree is constant in k and dim (a k×dim
+    literal tree costs seconds of analysis/codegen per distinct plan and
+    gets re-analyzed by every downstream job). The plan stays strictly
+    map-only — no join of any kind (a one-row crossJoin attach plans as
+    BroadcastNestedLoopJoin, which the plan pins forbid; a constant-key
+    equi-join gets constant-folded back into one). Ties resolve to the
+    first (lowest-index) centroid via ``array_position`` —
+    deterministic. (Earlier designs: a ``when(d<best,...)`` fold doubles
+    the tree per centroid — 2^k — and OOMs the analyzer at k=16;
+    per-centroid literal fold subtrees are linear but still dominate
+    wall time at small scale.)"""
+    import json as _json
+
+    cvecs = F.from_json(
+        F.lit(_json.dumps([v for _, v in centroids])), "array<array<double>>"
     )
-    dists = F.transform(F.col("_cvecs"), lambda c: _sq_dist(F.col(vec_field), c))
-    return (
-        docs.crossJoin(F.broadcast(cent_row))
-        .withColumn(
-            "cluster",
-            F.element_at(
-                "_cids", F.array_position(dists, F.array_min(dists)).cast("int")
-            ),
-        )
-        .drop("_cvecs", "_cids")
+    cids = F.from_json(
+        F.lit(_json.dumps([c for c, _ in centroids])), "array<int>"
+    )
+    dists = F.transform(cvecs, lambda c: _sq_dist(F.col(vec_field), c))
+    return docs.withColumn(
+        "cluster",
+        F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int")),
     )
 
 
@@ -364,6 +364,40 @@ def similar_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-vector scalar quantization to ``[0, levels-1]`` ints (uint8
+    storage at levels=256) — 4× smaller vectors through every downstream
+    shuffle/scan, the standard first move before ANN at 100 TB.
+
+    ``q_i = floor((x_i - vmin) / (vmax - vmin) * (levels-1))``, with the
+    max element mapping exactly to ``levels-1``. Constant vectors (span
+    0) quantize to all-zeros instead of dividing by zero (ANSI mode
+    throws on x/0). Dequantization params (vmin, scale) ride along per
+    row. floor (not round) keeps the math engine-agnostic — HALF_UP vs
+    banker's rounding never enters. Narrow per-row transform, no
+    shuffle."""
+    v = as_double(F.col(vec_col))
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    span = vmax - vmin
+    q = F.when(
+        span > 0,
+        F.transform(
+            v, lambda x: F.floor((x - vmin) / span * (levels - 1)).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return embeddings.select(
+        F.col(id_col),
+        vmin.alias("vmin"),
+        (span / (levels - 1)).alias("scale"),
+        q.alias("q"),
     )
 
 

@@ -136,6 +136,43 @@ def top_word_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_array(text: Column) -> Column:
+    """Adjacent word bigrams ("w1 w2") of the lowercased whitespace
+    tokens — zip the word list against itself shifted by one. Narrow
+    per-row transform; corpus-level counting is explode + a partial-
+    aggregated groupBy on the bigram string."""
+    w = ws_tokens(F.lower(text))
+    n = F.size(w)
+    return F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround. \b is supported by both.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[- ][0-9]{4}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Exact match counts per PII class (size of extract-all — identical
+    semantics in Spark and DuckDB's len(regexp_extract_all))."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)),
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every email/phone occurrence with typed placeholder tags.
+    Order matters and is part of the contract: emails first (a phone-like
+    digit run inside an address must not be half-redacted), then phones."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
 def sha_fingerprint(text: Column) -> Column:
     """SHA-256 hex fingerprint (exact-dedup key at scale: 32 bytes/doc
     instead of shuffling full document bodies)."""

@@ -1164,3 +1164,4 @@ def stream_tumbling(spark, sf_dir):
 # text analysis, multimodal) — see queries_llm.py.
 from . import queries_llm  # noqa: E402,F401  (registry side effects)
 from . import queries_extra  # noqa: E402,F401  (registry side effects)
+from . import queries_pipeline  # noqa: E402,F401  (registry side effects)

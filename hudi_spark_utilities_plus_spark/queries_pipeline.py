@@ -1,0 +1,233 @@
+"""Pipeline-extension query registrations: as-of join, exact
+percentiles, token-budget packing, PII scrubbing, corpus n-grams,
+embedding quantization.
+
+These extend the reference's operator surface with the time-series and
+training-data primitives the brief calls for; each is oracle-backed
+(DuckDB exact compare), with floor-form math and single double divisions
+so values are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_tables
+from .operators import packing as P
+from .operators import similarity as S
+from .operators import text as T
+from .operators.asof import asof_join
+from .operators.dedup import scatter
+from .queries import query
+
+
+def _t(spark, sf_dir, *names):
+    return load_tables(spark, sf_dir, list(names), register=False)
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id,
+             arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.click_ts, c.click_id, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase picks up the user's most recent click
+    at-or-before the purchase time (backward inclusive, DuckDB ASOF
+    parity). MERGE shape — union + one user-keyed window pass, no
+    per-pair materialization. The right side is pre-aggregated to unique
+    (user, ts) so the match is tie-free."""
+    e = _t(spark, sf_dir, "events")["events"]
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts", right_ts="click_ts"
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS q50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.9)  AS q90,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.37) AS price_p37
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact (interpolated) percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the (n-1)·q linear-interpolation
+    definition, repr-identical on doubles. Single keyed aggregate with
+    map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.percentile(q, F.lit(0.5)).alias("q50"),
+        F.percentile(q, F.lit(0.9)).alias("q90"),
+        F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.37)).alias(
+            "price_p37"
+        ),
+    )
+
+
+@query(
+    "pack_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok,
+             SUM(tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT CAST(FLOOR((cum - tok) / 1000) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, SUM(tok) AS tok_total
+    FROM c GROUP BY 1
+    """,
+)
+def pack_token_budget(spark, sf_dir):
+    """Concat-and-chunk sequence packing: documents in doc_id order cut
+    into 1000-token packs; a doc belongs to the pack holding its first
+    token. The running token sum is the two-phase range-partition
+    program — no Exchange SinglePartition."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    toks = d.select(
+        "doc_id", T.token_count_ws(F.col("text")).alias("tok")
+    )
+    return P.pack_stats(toks, "doc_id", "tok", budget=1000).withColumn(
+        "tok_total", F.col("tok_total").cast("long")
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+               AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text2, '\b[0-9]{3}[- ][0-9]{4}\b')) AS n_phones,
+           sha256(regexp_replace(
+             regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, phone-shaped digit runs) with
+    patterns valid in both Java regex and RE2. The corpus contains no
+    organic PII, so deterministic synthetic PII is spliced in per doc —
+    the scrub then provably finds and redacts it (counts + fingerprint
+    of the redacted text are oracle-compared). Narrow per-row transform,
+    no shuffle."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text2"),
+    )
+    counts = T.pii_counts(F.col("text2"))
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        T.sha_fingerprint(T.pii_redact(F.col("text2"))).alias("redacted_fp"),
+    )
+
+
+@query(
+    "ngram_bigrams",
+    oracle=r"""
+    WITH w AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ), b AS (
+      SELECT UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM b GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def ngram_bigrams(spark, sf_dir):
+    """Corpus-level top-20 word bigrams: per-row zip-shift bigram arrays
+    (narrow), explode, partial-aggregated count on the bigram key, then
+    distributed top-k (TakeOrdered — per-partition heaps, no global
+    sort). Tie-break on the bigram string = total order."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return (
+        d.select(F.explode(T.bigram_array(F.col("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, dv, list_min(dv) AS vmin,
+             list_max(dv) - list_min(dv) AS span
+      FROM v
+    )
+    SELECT vec_id, vmin, span / 255 AS scale,
+           CASE WHEN span > 0
+                THEN list_transform(dv, x -> CAST(FLOOR((x - vmin) / span * 255)
+                                                  AS INTEGER))
+                ELSE list_transform(dv, x -> 0) END AS q
+    FROM m
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Per-vector uint8 scalar quantization (floor-form, engine-agnostic)
+    with dequantization params riding along — 4× smaller vectors through
+    every downstream shuffle. No shuffle here at all."""
+    e = scatter(_t(spark, sf_dir, "embeddings")["embeddings"])
+    return S.quantize_embeddings(e)

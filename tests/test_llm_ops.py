@@ -245,3 +245,92 @@ def test_dup_line_and_top_word_fractions(spark):
     assert top[1] == 0.75  # \s+ splits on newlines too: [a, b, a, a]
     assert top[2] == 1.0 / 3.0
     assert top[3] == 1.0
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive match, no-match NULLs, tolerance cutoff."""
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p1"),
+         (1, "2024-01-01 12:00:00", "p2"),
+         (2, "2024-01-01 09:00:00", "p3")],  # no click ever for user 2
+        "user_id long, lts string, pid string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "c_at"),    # equal ts: inclusive
+         (1, "2024-01-01 11:30:00", "c_mid")],
+        "user_id long, rts string, cid string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = {
+        r["pid"]: r["cid"]
+        for r in asof_join(left, right, "user_id", "lts", "rts").collect()
+    }
+    assert out == {"p1": "c_at", "p2": "c_mid", "p3": None}
+    # 10-minute tolerance: p2's newest candidate (11:30) is 30 min old
+    tol = {
+        r["pid"]: r["cid"]
+        for r in asof_join(
+            left, right, "user_id", "lts", "rts", tolerance_seconds=600
+        ).collect()
+    }
+    assert tol == {"p1": "c_at", "p2": None, "p3": None}
+
+
+def test_pack_token_budget_boundaries(spark):
+    """A doc starting exactly at a pack boundary opens the next pack;
+    a doc straddling the boundary stays in the pack of its first token."""
+    from hudi_spark_utilities_plus_spark.operators.packing import pack_assignments
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 400), (3, 700), (4, 300)], "doc_id long, tok long"
+    )
+    # cum-before: d1=0, d2=600, d3=1000, d4=1700 → packs 0,0,1,1 @1000
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_assignments(df, "doc_id", "tok", budget=1000).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_quantize_constant_and_range(spark):
+    from hudi_spark_utilities_plus_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0]), (2, [5.0, 5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["q"] == [0, 127, 255]  # floor(1/2*255)=127
+    assert rows[1]["vmin"] == 0.0 and rows[1]["scale"] == 2.0 / 255
+    assert rows[2]["q"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_bigrams_and_pii(spark):
+    from hudi_spark_utilities_plus_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    bg = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", T.bigram_array(F.col("text")).alias("b")
+        ).collect()
+    }
+    assert bg == {1: ["a b", "b c"], 2: [], 3: []}
+    # email redacted before phone: digits inside an address never
+    # half-match the phone pattern
+    s = spark.createDataFrame(
+        [(1, "mail me at abc123-4567@x.co or call 555-1234 now")],
+        "i long, t string",
+    )
+    r = s.select(
+        T.pii_redact(F.col("t")).alias("red"),
+        T.pii_counts(F.col("t"))["n_emails"].alias("ne"),
+        T.pii_counts(F.col("t"))["n_phones"].alias("np"),
+    ).collect()[0]
+    assert r["red"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert r["ne"] == 1 and r["np"] >= 1
