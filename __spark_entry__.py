@@ -79,6 +79,9 @@ _CHECK_ORDER = [
     "pii_scrub",
     "ngram_bigrams",
     "embedding_quantize",
+    "stream_sliding",
+    "stream_session",
+    "join_salted",
     # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
     "hudi_mor_read",
     "hudi_upsert",

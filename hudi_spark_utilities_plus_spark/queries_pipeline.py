@@ -231,3 +231,112 @@ def embedding_quantize(spark, sf_dir):
     every downstream shuffle. No shuffle here at all."""
     e = scatter(_t(spark, sf_dir, "embeddings")["embeddings"])
     return S.quantize_embeddings(e)
+
+
+# ---------------------------------------------------------------------------
+# streaming window shapes (batch-expressed) + skew-salted join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000)
+                            - i * 900000000) AS window_start
+      FROM events, UNNEST(generate_series(0, 3)) AS t(i)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """C6 sliding windows (1 h size / 15 min slide, batch-expressed):
+    every event lands in exactly size/slide = 4 epoch-aligned windows.
+    Same F.window(...) aggregation streaming/windows.sliding_counts runs
+    with a watermark; the oracle enumerates each event's 4 window starts
+    arithmetically."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS seq
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
+    FROM s GROUP BY user_id, seq
+    """,
+)
+def stream_session(spark, sf_dir):
+    """C6 session windows (30 min gap, batch-expressed): Spark's native
+    ``session_window`` merges intervals [ts, ts+gap) — an event exactly
+    ``gap`` after its predecessor starts a NEW session (half-open end),
+    which is why the oracle's boundary is >= where ``sessionize_events``
+    (strictly-greater custom semantics) uses >. Session end = last event
+    + gap, per the merged-interval definition."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_n FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.user_n
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew-salted equi-join ≡ plain join (the oracle): the fact side's
+    hot key is sharded into SALT sub-keys via a deterministic row hash,
+    the dim side is replicated SALT ways with an exploded salt column,
+    and the join runs on (key, salt) — each hot key's rows spread over
+    SALT reducers instead of one. The events fixture is exactly the
+    shape that needs this: ~150 distinct user_ids, so an unsalted
+    shuffle join caps at 150 useful tasks and hot users straggle."""
+    SALT = 8
+    e = _t(spark, sf_dir, "events")["events"]
+    dim = e.groupBy("user_id").agg(F.count("*").alias("user_n"))
+    salted_fact = e.select(
+        "event_id", "user_id",
+        F.pmod(F.hash("event_id"), F.lit(SALT)).alias("_salt"),
+    )
+    rep_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    return (
+        salted_fact.join(rep_dim, ["user_id", "_salt"])
+        .select("event_id", "user_id", "user_n")
+    )
