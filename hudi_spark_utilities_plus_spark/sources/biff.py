@@ -23,8 +23,10 @@ The output shape is identical to ``excel.read_xlsx_rows`` — sparse
 ``{col: value}`` dicts in row order — so every downstream option
 (header, dataAddress, inferSchema, …) works unchanged for ``.xls``.
 
-Encrypted workbooks (FILEPASS record / ``workbookPassword``) raise
-``NotImplementedError`` — no RC4/CryptoAPI in this environment.
+Encrypted workbooks (FILEPASS record) decrypt through
+:mod:`.offcrypto`'s RC4 CryptoAPI / standard-RC4 implementation when
+``workbookPassword`` is supplied, and raise a clear ``ValueError``
+otherwise.
 """
 
 from __future__ import annotations
@@ -317,10 +319,12 @@ class _BiffWorkbook:
         sst_chunks: list[bytes] | None = None
         for rtype, payload, _off in recs:
             if rtype == R_FILEPASS:
-                raise NotImplementedError(
-                    "encrypted .xls workbook (FILEPASS): workbookPassword "
-                    "decryption needs an RC4/CryptoAPI implementation not "
-                    "present in this environment"
+                # read_xls_rows decrypts FILEPASS-bearing streams before
+                # construction; reaching the raw record here means the
+                # caller never supplied a password
+                raise ValueError(
+                    "encrypted .xls workbook (FILEPASS): set the "
+                    "workbookPassword option"
                 )
             if rtype == R_SST:
                 sst_chunks = [payload]
@@ -485,22 +489,34 @@ def _int_if_whole(num: float) -> float | int:
 
 
 def read_xls_rows(
-    path: str, sheet_name: str | None = None
+    path: str, sheet_name: str | None = None, password: str | None = None
 ) -> list[dict[int, object]]:
     """Sparse rows from a BIFF8 ``.xls`` workbook — drop-in counterpart
-    of ``excel.read_xlsx_rows``."""
+    of ``excel.read_xlsx_rows``. RC4-encrypted workbooks (FILEPASS)
+    decrypt via :mod:`.offcrypto` when ``password`` is given."""
     with open(path, "rb") as fh:
         data = fh.read()
     streams = ole_streams(data)
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
-        if "EncryptionInfo" in streams or "EncryptedPackage" in streams:
-            raise NotImplementedError(
-                "encrypted OOXML workbook: workbookPassword decryption is "
-                "not supported in this environment"
-            )
         raise ValueError(
             f"no Workbook stream in OLE container {path!r} "
             f"(streams: {sorted(streams)})"
         )
+    from .offcrypto import biff_is_encrypted, decrypt_biff_stream
+
+    if password and biff_is_encrypted(wb):
+        decrypted = bytearray(decrypt_biff_stream(wb, password))
+        # FILEPASS stays in the decrypted stream; retype it in place to
+        # an id the parser ignores (removal would shift the absolute
+        # BoundSheet8 lbPlyPos substream offsets). The parser's FILEPASS
+        # branch then only fires when no password was supplied.
+        off = 0
+        while off + 4 <= len(decrypted):
+            rid, ln = struct.unpack_from("<HH", decrypted, off)
+            if rid == R_FILEPASS:
+                struct.pack_into("<H", decrypted, off, 0xFFFF)
+                break
+            off += 4 + ln
+        wb = bytes(decrypted)
     return _BiffWorkbook(wb).sheet_rows(sheet_name)

@@ -34,10 +34,13 @@ honored:
   parses the first workbook's excerpt to fix names + schema.
 
 Legacy BIFF8 ``.xls`` workbooks are supported via the stdlib OLE2 +
-record parser in :mod:`.biff` — dispatch is by container magic (see
-``_read_rows``), so globs may mix both formats. Not supported
-(documented, raising): ``workbookPassword`` — encrypted workbooks of
-either container (no RC4/CryptoAPI or OOXML crypto here).
+record parser in :mod:`.biff`; ENCRYPTED OOXML workbooks (the
+``workbookPassword`` option — reference docs/file/01.Excel
+Ingestion.md:47,114-119) decrypt via :mod:`.offcrypto` (MS-OFFCRYPTO
+agile + standard schemes, password-verifier checked). Dispatch is by
+container magic (see ``_read_rows``), so globs may mix all formats.
+Still raising (documented): encrypted legacy ``.xls`` (BIFF FILEPASS
+RC4 record-level encryption).
 """
 
 from __future__ import annotations
@@ -182,9 +185,11 @@ def _sheet_path(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
 
 
 def read_xlsx_rows(
-    path: str, sheet_name: str | None = None
+    path, sheet_name: str | None = None
 ) -> list[dict[int, object]]:
     """Sparse rows: list of {col_idx: raw_value} in row order.
+    ``path`` is a filesystem path or a binary file-like (the decrypted
+    in-memory zip of an encrypted workbook).
 
     Streams the sheet XML via iterparse (rows released as consumed →
     bounded memory, the maxRowsInMemory semantics); date-styled numeric
@@ -328,11 +333,14 @@ def _plain_str(v: object, plain_number: bool) -> str:
     return str(v)
 
 
-def _read_rows(path: str, sheet: str | None) -> list[dict[int, object]]:
+def _read_rows(
+    path: str, sheet: str | None, password: str | None = None
+) -> list[dict[int, object]]:
     """Dispatch on the container magic: PK zip → OOXML ``.xlsx``; OLE2 →
-    legacy BIFF8 ``.xls`` (or an encrypted OOXML container, which the
-    biff module rejects with a clear error). Magic-based, so a glob may
-    mix both formats."""
+    either an ENCRYPTED OOXML container (EncryptionInfo stream →
+    MS-OFFCRYPTO decrypt with ``workbookPassword``, then the normal
+    xlsx path over the decrypted zip) or a legacy BIFF8 ``.xls``.
+    Magic-based, so a glob may mix all three."""
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic[:4] == b"PK\x03\x04":
@@ -340,7 +348,20 @@ def _read_rows(path: str, sheet: str | None) -> list[dict[int, object]]:
     from .biff import OLE_MAGIC, read_xls_rows
 
     if magic == OLE_MAGIC:
-        return read_xls_rows(path, sheet)
+        with open(path, "rb") as fh:
+            data = fh.read()
+        from .offcrypto import decrypt_ooxml, is_encrypted_ooxml
+
+        if is_encrypted_ooxml(data):
+            if not password:
+                raise ValueError(
+                    f"{path!r} is an encrypted workbook: set the "
+                    "workbookPassword option"
+                )
+            import io
+
+            return read_xlsx_rows(io.BytesIO(decrypt_ooxml(data, password)), sheet)
+        return read_xls_rows(path, sheet, password)
     raise ValueError(
         f"{path!r} is neither an OOXML (.xlsx) nor an OLE2 (.xls) workbook"
     )
@@ -355,9 +376,10 @@ def _file_body(
     ignore_after_header: int,
     error_fallback: bool,
     empty_as_null: bool,
+    password: str | None = None,
 ) -> tuple[list[str], list[list[object]]]:
     """Parse one workbook into (header names, body rows) for the range."""
-    rows = _read_rows(path, sheet)
+    rows = _read_rows(path, sheet, password)
     r0, c0 = start
     r1 = end[0] if end else (len(rows) - 1)
     c1 = end[1] if end else max((max(r) for r in rows if r), default=0)
@@ -394,11 +416,7 @@ def read_excel(
     (one task per file); the driver parses only the first workbook's
     excerpt to fix column names and the inferred schema."""
     opts = {k.lower(): v for k, v in (options or {}).items()}
-    if opts.get("workbookpassword"):
-        raise NotImplementedError(
-            "encrypted workbooks (workbookPassword) need an OOXML crypto "
-            "library not present in this environment"
-        )
+    password = opts.get("workbookpassword")
     error_fallback = (
         str(opts.get("seterrorcellstofallbackvalues", "false")).lower() == "true"
     )
@@ -422,7 +440,7 @@ def read_excel(
     # Driver parses only the first file: names + inference sample.
     names, first_body = _file_body(
         paths[0], sheet, start, end, header, ignore_after_header,
-        error_fallback, empty_as_null,
+        error_fallback, empty_as_null, password,
     )
     width = len(names)
     sample = first_body[: max(1, excerpt_size)]
@@ -456,9 +474,12 @@ def read_excel(
     sc = spark.sparkContext
     _sheet, _start, _end = sheet, start, end
     _hdr, _iah, _ef, _ean = header, ignore_after_header, error_fallback, empty_as_null
+    _pwd = password
 
     def parse_file(p: str):
-        _names, body = _file_body(p, _sheet, _start, _end, _hdr, _iah, _ef, _ean)
+        _names, body = _file_body(
+            p, _sheet, _start, _end, _hdr, _iah, _ef, _ean, _pwd
+        )
         return [to_tuple(r) for r in body]
 
     rdd = sc.parallelize(paths, len(paths)).flatMap(parse_file)

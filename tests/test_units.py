@@ -692,11 +692,15 @@ def test_excel_error_cells(spark, tmp_path):
     assert df2.collect()[0]["a"] == "#DIV/0!"
 
 
-def test_excel_password_unsupported(spark, tmp_path):
+def test_excel_password_ignored_for_plain_workbook(spark, tmp_path):
+    """A workbookPassword on an UNencrypted workbook is harmless — the
+    magic-based dispatch never routes a plain zip through the crypto
+    path (POI behaves the same way)."""
     p = str(tmp_path / "x.xlsx")
     write_xlsx(p, [["a"], ["v"]])
-    with pytest.raises(NotImplementedError, match="workbookPassword"):
-        read_excel(spark, p, {"workbookPassword": "secret"})
+    assert [tuple(r) for r in read_excel(
+        spark, p, {"workbookPassword": "secret"}
+    ).collect()] == [("v",)]
 
 
 # ---------------------------------------------------------------------------
@@ -841,6 +845,40 @@ def test_xls_reference_fixture_matches_xlsx_sibling(spark):
 @pytest.mark.skipif(
     not os.path.isdir(_REF_SHEETS), reason="reference fixtures not present"
 )
-def test_xls_encrypted_raises(spark):
-    with pytest.raises(NotImplementedError, match="workbookPassword"):
-        read_excel(spark, f"{_REF_SHEETS}/simple_encrypted.xls")
+def test_encrypted_xlsx_agile_decrypts(spark):
+    """Agile-encrypted OOXML (AES-256-CBC/SHA512): decrypts with the
+    right password, fails the verifier on a wrong one, and asks for a
+    password when none is given."""
+    from hudi_spark_utilities_plus_spark.sources.offcrypto import (
+        WrongPasswordError,
+    )
+
+    p = f"{_REF_SHEETS}/simple_encrypted.xlsx"
+    df = read_excel(spark, p, {"workbookPassword": "fooba", "inferSchema": "true"})
+    assert df.columns == ["A", "B", "C", "D"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 3, 4)]
+    with pytest.raises(WrongPasswordError):
+        read_excel(spark, p, {"workbookPassword": "nope"})
+    with pytest.raises(ValueError, match="workbookPassword"):
+        read_excel(spark, p)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_SHEETS), reason="reference fixtures not present"
+)
+def test_encrypted_xls_rc4_cryptoapi_decrypts(spark):
+    """RC4-CryptoAPI-encrypted legacy .xls (FILEPASS, SHA-1 block keys):
+    record-level decryption with 1024-byte re-keying and plaintext-
+    exempt records."""
+    from hudi_spark_utilities_plus_spark.sources.offcrypto import (
+        WrongPasswordError,
+    )
+
+    p = f"{_REF_SHEETS}/simple_encrypted.xls"
+    df = read_excel(spark, p, {"workbookPassword": "fooba", "inferSchema": "true"})
+    assert df.columns == ["A", "B", "C", "D"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 3, 4)]
+    with pytest.raises(WrongPasswordError):
+        read_excel(spark, p, {"workbookPassword": "nope"})
+    with pytest.raises(ValueError, match="workbookPassword"):
+        read_excel(spark, p)
