@@ -82,6 +82,9 @@ _CHECK_ORDER = [
     "stream_sliding",
     "stream_session",
     "join_salted",
+    "agg_mode",
+    "unpivot_measures",
+    "mm_resize",
     # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
     "hudi_mor_read",
     "hudi_upsert",

@@ -103,6 +103,54 @@ def extract_features(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    df_with_payload: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize plumbing: aspect-preserving fit of the (fake-)decoded
+    dimensions into a target box, plus a deterministic stand-in for the
+    resampled payload (byte budget ∝ output area). A real resampler
+    slots into the same Arrow-batched mapInPandas loop — the schema,
+    batch shape, and scale math are the production plumbing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def _dims(raw: bytes) -> tuple[int, int]:
+            h = _hl.sha256(raw).digest()
+            return (
+                int.from_bytes(h[:2], "big") % 1920 + 1,
+                int.from_bytes(h[2:4], "big") % 1080 + 1,
+            )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "in_w": [], "in_h": [],
+                "out_w": [], "out_h": [], "resized": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                in_w, in_h = _dims(raw)
+                scale = min(target_w / in_w, target_h / in_h)
+                out_w = max(1, int(in_w * scale))
+                out_h = max(1, int(in_h * scale))
+                budget = max(1, out_w * out_h // 256)
+                out["doc_id"].append(doc_id)
+                out["in_w"].append(in_w)
+                out["in_h"].append(in_h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized"].append(raw[:budget])
+            yield _pd.DataFrame(out)
+
+    return df_with_payload.mapInPandas(
+        gen,
+        schema="doc_id BIGINT, in_w INT, in_h INT, out_w INT, out_h INT, "
+        "resized BINARY",
+    )
+
+
 def sample_frames(
     df_with_payload: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -340,3 +340,90 @@ def join_salted(spark, sf_dir):
         salted_fact.join(rep_dim, ["user_id", "_salt"])
         .select("event_id", "user_id", "user_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# mode / unpivot / multimodal resize
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority ORDER BY cnt DESC, o_orderstatus DESC
+    ) = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic per-group mode (most frequent value, ties broken by
+    the larger value — SQL MODE() leaves ties undefined, so the rank
+    form IS the portable contract). Two keyed aggregations, both
+    partial-aggregated; the rank window partitions by the group key, so
+    no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("o_orderstatus").desc()
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_orderpriority", F.col("o_orderstatus").alias("mode_status"), "cnt"
+        )
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(l_discount AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax',
+           CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide→long melt via the native ``unpivot`` operator (B-surface
+    extension): one narrow Generate per row, no shuffle at all — the
+    long form is what per-measure aggregation pipelines consume."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    wide = li.select(
+        "l_orderkey", "l_linenumber",
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=cols,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@query("mm_resize")  # rows-only: byte-slice stand-in is payload-layout specific
+def mm_resize(spark, sf_dir):
+    """Multimodal resize plumbing: aspect-preserving fit into a 224×224
+    box over Arrow-batched payload batches (mapInPandas) — the codec is
+    a deterministic stand-in (no imaging libs in this container), the
+    batch shape and scale math are production-real."""
+    from .operators import multimodal as M
+
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return M.resize_media(M.attach_payload(d))

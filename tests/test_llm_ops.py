@@ -334,3 +334,25 @@ def test_bigrams_and_pii(spark):
     ).collect()[0]
     assert r["red"] == "mail me at <EMAIL> or call <PHONE> now"
     assert r["ne"] == 1 and r["np"] >= 1
+
+
+def test_mm_resize_plumbing(spark, docs):
+    """Aspect-preserving fit into the 224x224 box; resized byte budget
+    follows the output area; deterministic across runs."""
+    from hudi_spark_utilities_plus_spark.operators import multimodal as M
+
+    out = {r["doc_id"]: r for r in M.resize_media(M.attach_payload(docs)).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for r in out.values():
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        assert max(r["out_w"], r["out_h"]) >= 200  # fit touches the box
+        assert len(r["resized"]) == max(1, r["out_w"] * r["out_h"] // 256)
+        # aspect preserved within integer truncation (each dim truncates
+        # by < 1, so the ratio can drift by at most ~ratio*(1/ow + 1/oh))
+        ratio = r["in_w"] / r["in_h"]
+        tol = ratio * (1 / r["out_w"] + 1 / r["out_h"]) + 1e-9
+        assert abs(r["out_w"] / r["out_h"] - ratio) <= tol
+    again = {r["doc_id"]: r for r in M.resize_media(M.attach_payload(docs)).collect()}
+    assert {k: bytes(v["resized"]) for k, v in out.items()} == {
+        k: bytes(v["resized"]) for k, v in again.items()
+    }
