@@ -153,6 +153,7 @@ def range_frame_sum(
     val: Column,
     preceding: int,
     out_col: str = "frame_sum",
+    keys_unique: bool = False,
 ) -> DataFrame:
     """``SUM(val) OVER (ORDER BY key RANGE BETWEEN p PRECEDING AND
     CURRENT ROW)`` as a bounded block join (one output row per distinct
@@ -171,9 +172,12 @@ def range_frame_sum(
     contrib = contrib.select(
         "_ck", "_cv", F.explode(F.array(F.col("_blk"), F.col("_blk") + 1)).alias("_blk")
     )
-    rows = df.select(k.alias(key_col)).distinct().withColumn(
-        "_blk", F.floor(F.col(key_col) / preceding)
-    )
+    # keys_unique skips the distinct (a full extra exchange + dedup agg)
+    # when the caller guarantees one row per key — e.g. a primary key
+    rows = df.select(k.alias(key_col))
+    if not keys_unique:
+        rows = rows.distinct()
+    rows = rows.withColumn("_blk", F.floor(F.col(key_col) / preceding))
     return (
         rows.join(contrib, "_blk")
         .filter(

@@ -372,6 +372,7 @@ def win_range_between(spark, sf_dir):
         F.col("o_totalprice").cast("decimal(18,2)"),
         preceding=100,
         out_col="nearby_total",
+        keys_unique=True,  # o_orderkey is the orders primary key
     )
     return out.select(
         "o_orderkey", F.col("nearby_total").cast("double").alias("nearby_total")
