@@ -234,6 +234,14 @@ class HudiTable:
                 "incremental read requires a MERGE_ON_READ table "
                 "(COPY_ON_WRITE rewrites have no commit log to diff)"
             )
+        base = self._seq_base()
+        if since_seq < base - 1:
+            raise ValueError(
+                f"incremental cursor {since_seq} predates the last "
+                f"compaction (history before seq {base} was folded into "
+                "the base files) — run a full read() to resync, then "
+                "continue from latest_commit_seq()"
+            )
         snapshot = self.read(spark)
         if not self._has_log(spark):
             return snapshot.limit(0)
@@ -300,17 +308,32 @@ class HudiTable:
         return pred
 
     # -- MOR delta log --------------------------------------------------
+    def _seq_base(self) -> int:
+        """First commit seq that can still be served from the delta log.
+        Compaction folds seqs < base into the base files and records the
+        watermark in a sidecar so seqs stay MONOTONIC across compactions
+        (a reset would silently break persisted incremental cursors)."""
+        try:
+            p = f"{self._local_fs_path().rstrip('/')}__hudi_seqbase"
+        except NotImplementedError:
+            return 0
+        if os.path.exists(p):
+            with open(p) as fh:
+                return int(fh.read().strip() or 0)
+        return 0
+
     def _next_seq(self, spark: SparkSession) -> int:
         """Monotonic commit sequence for log records (1-row agg over the
-        log's seq column — metadata-scale)."""
+        log's seq column — metadata-scale), floored by the post-
+        compaction watermark."""
         if not self._has_log(spark):
-            return 0
+            return self._seq_base()
         row = (
             spark.read.option("mergeSchema", "true").parquet(self._log_path)
             .agg(F.max("__hudi_seq").alias("m"))
             .collect()[0]
         )
-        return int(row["m"] or 0) + 1
+        return max(int(row["m"] or 0) + 1, self._seq_base())
 
     def _append_log(self, df: DataFrame, op: str, spark: SparkSession) -> None:
         """MERGE_ON_READ write path: append the batch to the delta log —
@@ -346,6 +369,7 @@ class HudiTable:
         After compaction read() is a plain base scan again."""
         if not (self.is_mor and self._has_log(spark)):
             return
+        next_seq = self._next_seq(spark)  # watermark BEFORE the log drops
         merged = self.read(spark)
         self._atomic_rewrite(merged, spark)
         import shutil
@@ -353,6 +377,11 @@ class HudiTable:
         log_local = f"{self._local_fs_path().rstrip('/')}__hudi_log"
         if os.path.exists(log_local):
             shutil.rmtree(log_local)
+        # persist the seq watermark: later commits continue from here, so
+        # incremental cursors stay valid (or fail loudly — never silently
+        # empty) across compaction
+        with open(f"{self._local_fs_path().rstrip('/')}__hudi_seqbase", "w") as fh:
+            fh.write(str(next_seq))
         # base == snapshot again: re-sync so the snapshot name returns
         self._maybe_sync_catalog(spark)
 

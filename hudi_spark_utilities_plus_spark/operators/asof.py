@@ -49,6 +49,10 @@ def asof_join(
     unique (key, ts) when a specific tie policy is needed.
     """
     r_payload = [c for c in right.columns if c != on]
+    # a NULL right_ts can never satisfy right_ts <= left_ts (DuckDB ASOF
+    # parity) — without this filter NULLs sort first in the window and
+    # F.last would hand them to left rows that have no real prior match
+    right = right.filter(F.col(right_ts).isNotNull())
     l_side = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -134,7 +134,7 @@ def global_running_sum(
     offsets, acc = {}, 0
     for pid, t in totals:
         offsets[pid] = acc
-        acc += t
+        acc += t or 0  # SUM of an all-NULL partition is NULL → adds 0
     off_df = F.broadcast(
         sess.createDataFrame(
             [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"

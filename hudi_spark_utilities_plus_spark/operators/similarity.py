@@ -82,8 +82,15 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     """Resolve/validate the vector width. A wrong ``dim`` used to fail
     SILENTLY: zip_with pads with nulls, every hyperplane dot goes null,
     all sign bits collapse to one bucket and the candidate equi-join
-    degenerates to all-pairs. Fail loudly instead."""
-    actual = infer_dim(df, vec_col)
+    degenerates to all-pairs. Fail loudly instead — but an EMPTY corpus
+    with an explicit ``dim`` is fine (the result is simply empty; a
+    filtered-out partition must not crash the caller)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        if dim is not None:
+            return dim
+        raise ValueError(f"cannot infer dim: no rows in column {vec_col!r}")
+    actual = int(row["d"])
     if dim is not None and dim != actual:
         raise ValueError(
             f"dim={dim} does not match the width of {vec_col!r} "
@@ -299,6 +306,10 @@ def similar_pairs(
     # of the candidate join would otherwise re-analyze and re-execute it
     assigned = assigned.persist()
     assigned.count()
+    # assigned ⊇ side (id, v, norm, nv + cluster): everything downstream
+    # — radii, candidate join, verify — reads assigned, so side's cache
+    # can drop now instead of leaking for the session lifetime
+    side.unpersist()
 
     cent_df = spark.createDataFrame(
         [(c, v) for c, v in cents], "cluster INT, centroid ARRAY<DOUBLE>"
@@ -342,15 +353,16 @@ def similar_pairs(
         return cand
     # verify side is broadcast (vector table ≪ candidate pairs); above
     # broadcast capacity drop the hint → SMJ on id, one shuffle per side.
-    # Norms ride along from `side` — one dot product per candidate.
+    # Norms ride along from the cached assignment — one dot product per
+    # candidate.
     va = F.broadcast(
-        side.select(
+        assigned.select(
             F.col("id").alias("id_a"), F.col("v").alias("v_a"),
             F.col("norm").alias("n_a"),
         )
     )
     vb = F.broadcast(
-        side.select(
+        assigned.select(
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
             F.col("norm").alias("n_b"),
         )

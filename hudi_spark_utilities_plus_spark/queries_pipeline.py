@@ -269,7 +269,7 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_ts
       FROM events
@@ -278,7 +278,7 @@ def stream_sliding(spark, sf_dir):
              SUM(CASE WHEN prev_ts IS NULL
                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS seq
       FROM o

@@ -226,8 +226,13 @@ class _ChunkReader:
             self._advance()
             if self.ci >= len(self.chunks):
                 raise ValueError("truncated BIFF string chars")
-            if parts and self.pos == 0:
-                # continuation chunk: fresh grbit for the rest of the chars
+            if self.pos == 0 and self.ci > 0:
+                # character data beginning in (or continuing into) a
+                # CONTINUE record always restarts with a fresh grbit —
+                # including when the string's HEADER consumed the prior
+                # record exactly (zero chars read yet). A header that
+                # starts inside the CONTINUE leaves pos > 0, so this
+                # never misfires on same-chunk strings.
                 high = bool(self.u8() & 0x01)
             chunk = self.chunks[self.ci]
             avail = len(chunk) - self.pos

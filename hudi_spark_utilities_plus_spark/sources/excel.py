@@ -37,10 +37,11 @@ Legacy BIFF8 ``.xls`` workbooks are supported via the stdlib OLE2 +
 record parser in :mod:`.biff`; ENCRYPTED OOXML workbooks (the
 ``workbookPassword`` option — reference docs/file/01.Excel
 Ingestion.md:47,114-119) decrypt via :mod:`.offcrypto` (MS-OFFCRYPTO
-agile + standard schemes, password-verifier checked). Dispatch is by
+agile + standard schemes, password-verifier checked). Encrypted
+legacy ``.xls`` (BIFF FILEPASS RC4, both CryptoAPI and standard
+variants) decrypts through the same module; only FILEPASS
+``wEncryptionType=0`` XOR obfuscation is refused. Dispatch is by
 container magic (see ``_read_rows``), so globs may mix all formats.
-Still raising (documented): encrypted legacy ``.xls`` (BIFF FILEPASS
-RC4 record-level encryption).
 """
 
 from __future__ import annotations

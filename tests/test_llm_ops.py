@@ -356,3 +356,24 @@ def test_mm_resize_plumbing(spark, docs):
     assert {k: bytes(v["resized"]) for k, v in out.items()} == {
         k: bytes(v["resized"]) for k, v in again.items()
     }
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL ts must never be handed out as a match
+    (DuckDB ASOF parity: NULL never satisfies right_ts <= left_ts)."""
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(2, "2024-01-01 09:00:00", "p")], "user_id long, lts string, pid string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(2, None, "junk")], "user_id long, rts string, cid string"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join(left, right, "user_id", "lts", "rts").collect()
+    assert out[0]["cid"] is None
+
+
+def test_ann_lsh_empty_corpus_with_explicit_dim(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert S.ann_topk_lsh(empty, emb.limit(2), dim=64, k=3).count() == 0

@@ -882,3 +882,30 @@ def test_encrypted_xls_rc4_cryptoapi_decrypts(spark):
         read_excel(spark, p, {"workbookPassword": "nope"})
     with pytest.raises(ValueError, match="workbookPassword"):
         read_excel(spark, p)
+
+
+def test_hudi_mor_incremental_cursor_across_compaction(spark, tmp_path):
+    """Compaction must not silently invalidate incremental cursors: seqs
+    stay monotonic via the watermark sidecar; a cursor predating the
+    compaction fails loudly (its history was folded into the base),
+    while a current cursor keeps working."""
+    t = HudiTable(
+        path=str(tmp_path / "cc"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "id int, ver int, v string")
+    )
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
+    stale = -1  # "from the beginning"
+    cursor = t.latest_commit_seq(spark)  # 0
+    t.compact(spark)
+    # seqs continue after the watermark instead of resetting to 0
+    t.upsert(spark.createDataFrame([(2, 2, "b2")], "id int, ver int, v string"))
+    assert t.latest_commit_seq(spark) == cursor + 1
+    got = {r["id"]: r["v"] for r in t.read_incremental(spark, cursor).collect()}
+    assert got == {2: "b2"}
+    with pytest.raises(ValueError, match="predates the last compaction"):
+        t.read_incremental(spark, stale)
