@@ -171,7 +171,10 @@ def _centroid_means(assigned: DataFrame) -> DataFrame:
 
 
 def _assign_nearest(
-    docs: DataFrame, vec_field: str, centroids: list[tuple[int, list[float]]]
+    docs: DataFrame,
+    vec_field: str,
+    centroids: list[tuple[int, list[float]]],
+    with_dist: bool = False,
 ) -> DataFrame:
     """``docs`` + a ``cluster`` column = argmin-distance centroid.
 
@@ -197,10 +200,16 @@ def _assign_nearest(
         F.lit(_json.dumps([c for c, _ in centroids])), "array<int>"
     )
     dists = F.transform(cvecs, lambda c: _sq_dist(F.col(vec_field), c))
-    return docs.withColumn(
+    out = docs.withColumn(
         "cluster",
         F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int")),
     )
+    if with_dist:
+        # distance to the OWN centroid falls out of the argmin for free —
+        # callers needing covering radii avoid a whole second plan that
+        # re-evaluates the distance trees against a broadcast join
+        out = out.withColumn("_cdist", F.sqrt(F.array_min(dists)))
+    return out
 
 
 def _kmeans(
@@ -209,6 +218,7 @@ def _kmeans(
     id_field: str,
     n_clusters: int,
     iters: int,
+    with_dist: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic k-means seeded from the k lowest-id vectors (a
     k-row ``limit`` collect — metadata-scale), then ``iters`` Lloyd
@@ -227,14 +237,17 @@ def _kmeans(
         )
     ]
     assigned = _assign_nearest(docs, vec_field, cents)
-    for _ in range(max(1, iters)):  # ≥1 Lloyd round so means are real
+    rounds = max(1, iters)  # ≥1 Lloyd round so means are real
+    for i in range(rounds):
         cents = [
             (r["cluster"], list(r["centroid"]))
             for r in _centroid_means(
                 assigned.select(F.col(vec_field).alias("v"), "cluster")
             ).collect()  # k rows (metadata)
         ]
-        assigned = _assign_nearest(docs, vec_field, cents)
+        assigned = _assign_nearest(
+            docs, vec_field, cents, with_dist=with_dist and i == rounds - 1
+        )
     return assigned, cents
 
 
@@ -300,7 +313,9 @@ def similar_pairs(
         .persist()
     )
     side.count()  # eager cache fill (k-means + radii + verify reuse it)
-    assigned, cents = _kmeans(side, "nv", "id", n_clusters, kmeans_iters)
+    assigned, cents = _kmeans(
+        side, "nv", "id", n_clusters, kmeans_iters, with_dist=True
+    )
     # persist the assignment: the nearest-centroid expression is a large
     # (k × dim literals) codegen unit, and the radii job plus BOTH sides
     # of the candidate join would otherwise re-analyze and re-execute it
@@ -311,15 +326,13 @@ def similar_pairs(
     # can drop now instead of leaking for the session lifetime
     side.unpersist()
 
-    cent_df = spark.createDataFrame(
-        [(c, v) for c, v in cents], "cluster INT, centroid ARRAY<DOUBLE>"
-    )
+    # covering radii from the _cdist the argmin already produced — a
+    # plain k-row aggregate over the cached assignment, no second
+    # distance-evaluation plan
     radii = {
         r["cluster"]: r["r"]
-        for r in assigned.join(F.broadcast(cent_df), "cluster")
-        .withColumn("cdist", F.sqrt(_sq_dist(F.col("nv"), F.col("centroid"))))
-        .groupBy("cluster")
-        .agg(F.max("cdist").alias("r"))
+        for r in assigned.groupBy("cluster")
+        .agg(F.max("_cdist").alias("r"))
         .collect()  # k rows (metadata)
     }
     # driver-side cluster-pair pruning over k² metadata pairs
