@@ -85,6 +85,8 @@ _CHECK_ORDER = [
     "agg_mode",
     "unpivot_measures",
     "mm_resize",
+    "tpch_q3_shape",
+    "tpch_q10_shape",
     # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
     "hudi_mor_read",
     "hudi_upsert",

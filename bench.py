@@ -42,6 +42,8 @@ HEADLINE = [
     "join_asof",
     "ngram_bigrams",
     "pack_token_budget",
+    "tpch_q3_shape",
+    "tpch_q10_shape",
 ]
 
 
