@@ -87,6 +87,7 @@ _CHECK_ORDER = [
     "mm_resize",
     "tpch_q3_shape",
     "tpch_q10_shape",
+    "dedup_components",
     # (b) risky re-checks: storage cycle, streaming, LLM ops, tricky types
     "hudi_mor_read",
     "hudi_upsert",

@@ -407,3 +407,50 @@ def sample_hash_docs(spark, sf_dir):
     return d.filter(
         T.rolling_fingerprint(F.col("text")) % 100 < 10
     ).select("doc_id", "lang")
+
+
+@query(
+    "dedup_components",
+    oracle=r"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                  THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+                  ELSE list_distinct([
+                    array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                    FOR i IN range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)
+                  ])
+             END AS sh
+      FROM documents
+    ), e AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), ud AS (
+      SELECT x, y FROM e UNION SELECT y, x FROM e
+    ), reach(x, y) AS (
+      SELECT x, y FROM ud
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN ud u ON r.y = u.x
+    ), root AS (
+      SELECT x AS doc, LEAST(x, MIN(y)) AS canon FROM reach GROUP BY x
+    )
+    SELECT d.doc_id, COALESCE(root.canon, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN root ON d.doc_id = root.doc
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: MinHash-LSH near-dup pairs (exact-
+    verified, == the brute-force Jaccard ≥ 0.8 relation) → connected
+    components via hash-min label propagation → every doc mapped to its
+    cluster's min doc id (itself when unduplicated). The oracle closes
+    the same edge set with a recursive CTE — a genuinely iterative
+    algorithm with an exact SQL oracle."""
+    from .operators.graph import canonical_assignment
+
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    return canonical_assignment(
+        d, pairs.select("doc_a", "doc_b"), "doc_id", src="doc_a", dst="doc_b"
+    )

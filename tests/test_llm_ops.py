@@ -377,3 +377,24 @@ def test_ann_lsh_empty_corpus_with_explicit_dim(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     empty = emb.filter(F.col("vec_id") < 0)
     assert S.ann_topk_lsh(empty, emb.limit(2), dim=64, k=3).count() == 0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Multi-hop chains collapse to the min id; disjoint edges stay
+    separate; nodes outside any edge are their own canonical."""
+    from hudi_spark_utilities_plus_spark.operators.graph import (
+        canonical_assignment,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (10, 11)], "src long, dst long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+    ids = spark.createDataFrame([(i,) for i in [2, 3, 4, 5, 10, 11, 99]], "id long")
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in canonical_assignment(ids, edges, "id").collect()
+    }
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 99: 99}
