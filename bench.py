@@ -88,8 +88,16 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # drop per-query persisted intermediates so later queries aren't
-        # taxed by earlier queries' cache residency
+        # taxed by earlier queries' cache residency; the explicit GC lets
+        # the ContextCleaner actually reclaim unreferenced broadcast /
+        # shuffle state now (it only runs on driver GC), so each query is
+        # measured against a steady-state JVM rather than 25 queries of
+        # accumulated garbage
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

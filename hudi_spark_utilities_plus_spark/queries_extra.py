@@ -361,19 +361,26 @@ def win_range_between(spark, sf_dir):
     """B13: RANGE-framed window (value-based frame bounds, vs the
     row-count frame of win_running_sum) — expressed as the bounded
     block join of operators/global_windows.range_frame_sum, so the
-    global-ordered frame never funnels through one task. Exact decimal
-    sums (order-independent) emitted as DOUBLE."""
+    global-ordered frame never funnels through one task.
+
+    Exactness: prices are summed as integer cents (decimal(18,2)*100 →
+    LONG — a ~3× cheaper aggregate than DECIMAL over the block-join
+    intermediate); the final LONG/100.0 is IEEE correctly rounded, i.e.
+    the same double the oracle's CAST(DECIMAL AS DOUBLE) produces, since
+    cent sums stay far below 2^53."""
     from .operators.global_windows import range_frame_sum
 
     o = _t(spark, sf_dir, "orders")["orders"]
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     out = range_frame_sum(
         o,
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)"),
+        cents,
         preceding=100,
         out_col="nearby_total",
         keys_unique=True,  # o_orderkey is the orders primary key
     )
     return out.select(
-        "o_orderkey", F.col("nearby_total").cast("double").alias("nearby_total")
+        "o_orderkey",
+        (F.col("nearby_total") / F.lit(100.0)).alias("nearby_total"),
     )
