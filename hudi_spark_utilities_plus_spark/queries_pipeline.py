@@ -524,3 +524,162 @@ def tpch_q10_shape(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@query(
+    "tpch_q1_shape",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_shape(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary): single-table scan with the ship-
+    date filter pushed to parquet, codegen hash aggregate with map-side
+    partials over a 6-value grouping key — the canonical "one wide scan,
+    one tiny result" report. Averages are emitted as one double division
+    of an exact-decimal sum by the group count (bit-identical cross-
+    engine, unlike native AVG accumulation order).
+
+    Reference parity: the SQL-transform hook (TransformUtils.scala:26-38)
+    makes full aggregate reports like this part of the reference's
+    declared surface."""
+    t = _t(spark, sf_dir, "lineitem")
+    from .queries import dsum
+
+    cnt = F.count(F.lit(1))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_disc_price"
+            ),
+            (dsum("l_quantity") / cnt).alias("avg_qty"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): five joins where the
+    region filter prunes nation, nation prunes supplier, and the
+    local-supplier predicate (c_nationkey = s_nationkey) rides the
+    supplier join. nation/region are broadcast (tiny dims); the
+    customer-orders-lineitem chain stays as shuffled hash joins keyed on
+    the natural keys — at 100 TB those are the co-partitioned fact
+    spine, everything else is map-side."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+           "nation", "region")
+    from .queries import dsum
+
+    asia_nations = (
+        F.broadcast(t["nation"])
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "tpch_q18_shape",
+    oracle="""
+    WITH heavy AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM heavy
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem once
+    into per-order quantities, keep the heavy tail, then enrich with
+    orders + customer. The classic formulation re-joins lineitem and
+    re-aggregates; folding the HAVING aggregate into the output avoids
+    that second pass entirely — one lineitem scan instead of two. The
+    heavy set is a tiny fraction of orders, so both enrichment joins
+    broadcast the aggregated side at any scale where orders ≫ heavy."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    from .queries import dsum
+
+    heavy = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(heavy), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
