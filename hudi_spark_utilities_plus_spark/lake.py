@@ -385,6 +385,139 @@ class HudiTable:
         # base == snapshot again: re-sync so the snapshot name returns
         self._maybe_sync_catalog(spark)
 
+    def cluster(
+        self,
+        spark: SparkSession,
+        sort_cols: list[str],
+        *,
+        strategy: str = "zorder",
+        target_files: int | None = None,
+    ) -> None:
+        """Layout optimization (Hudi clustering: ``hoodie.clustering.*``
+        with ``hoodie.layout.optimize.strategy`` = linear | z-order):
+        rewrite the base files so rows with nearby sort-key values are
+        co-located, shrinking each file's per-column min/max envelope —
+        parquet footer stats then let multi-column range filters skip
+        whole files/row-groups instead of scanning the table.
+
+        ``linear`` range-partitions + sorts on ``sort_cols``
+        lexicographically (perfect skipping on the leading column only).
+        ``zorder`` interleaves the bits of each column's 2^16-bucket
+        rank (equi-width via min/max; strings get hash buckets, i.e.
+        equality-locality), so the envelope shrinks on EVERY sort column
+        — the right layout when queries filter on different columns.
+
+        Scale: one agg for min/max (driver sees 2 scalars per column),
+        one range-shuffle of the data, no driver-side rows. Partitioned
+        tables cluster within each hive partition (the range shuffle
+        keys on the partition column first). MOR tables are compacted
+        first — clustering rewrites the merged state.
+        """
+        if strategy not in ("zorder", "linear"):
+            raise ValueError(f"unknown strategy {strategy!r}: zorder | linear")
+        if not sort_cols:
+            raise ValueError("cluster() needs at least one sort column")
+        if self.is_mor and self._has_log(spark):
+            self.compact(spark)
+        if not self.exists(spark):
+            return
+        df = self.read(spark)
+        n = target_files or max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        if strategy == "linear":
+            keys = [F.col(c) for c in sort_cols]
+            parted = (
+                df.repartitionByRange(n, F.col(self.partition_field), *keys)
+                if self.partition_field
+                else df.repartitionByRange(n, *keys)
+            )
+            clustered = parted.sortWithinPartitions(*keys)
+        else:
+            zkey = self._zorder_key(df, sort_cols, spark)
+            df = df.withColumn("__hudi_zkey", zkey)
+            parted = (
+                df.repartitionByRange(
+                    n, F.col(self.partition_field), F.col("__hudi_zkey")
+                )
+                if self.partition_field
+                else df.repartitionByRange(n, "__hudi_zkey")
+            )
+            clustered = parted.sortWithinPartitions("__hudi_zkey").drop(
+                "__hudi_zkey"
+            )
+        if self.partition_field:
+            self._rewrite_partitions(clustered, spark)
+        else:
+            self._atomic_rewrite(clustered, spark)
+        self._maybe_sync_catalog(spark)
+
+    def _zorder_key(
+        self, df: DataFrame, sort_cols: list[str], spark: SparkSession
+    ):
+        """Morton (Z-curve) key: per column, rank into 2^bits equi-width
+        buckets (numeric/temporal via one min/max agg + width_bucket;
+        strings via xxhash64 — equality-locality only), then interleave
+        the bit planes so the curve alternates columns. All JVM-side
+        codegen expressions: bits_per_col × n_cols shift/and/or terms,
+        no UDF, no driver data beyond the min/max scalars."""
+        from functools import reduce
+
+        bits = min(16, 48 // len(sort_cols))  # ≤3 cols keep full 16 bits
+        n_buckets = 1 << bits
+        numeric = {}
+        for c in sort_cols:
+            dt = df.schema[c].dataType.simpleString()
+            if dt.startswith(("int", "bigint", "smallint", "tinyint",
+                              "float", "double", "decimal")):
+                numeric[c] = F.col(c).cast("double")
+            elif dt == "date" or dt.startswith("timestamp"):
+                # NTZ/date can't cast to double under ANSI; epoch micros
+                # preserves order, which is all bucketing needs
+                numeric[c] = F.unix_micros(
+                    F.col(c).cast("timestamp")
+                ).cast("double")
+        if numeric:
+            row = df.agg(
+                *[F.min(e).alias(f"mn_{c}") for c, e in numeric.items()],
+                *[F.max(e).alias(f"mx_{c}") for c, e in numeric.items()],
+            ).first()
+        buckets = []
+        for c in sort_cols:
+            if c in numeric:
+                mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+                if mn is None or mx is None or mn == mx:
+                    b = F.lit(0).cast("long")
+                else:
+                    # width_bucket: below-range→0, v==max→n+1; clamp to
+                    # [0, n_buckets-1] and send nulls to bucket 0
+                    wb = F.width_bucket(
+                        numeric[c], F.lit(float(mn)), F.lit(float(mx)),
+                        F.lit(n_buckets),
+                    )
+                    b = F.coalesce(
+                        F.least(
+                            F.lit(n_buckets - 1),
+                            F.greatest(F.lit(0), (wb - 1).cast("long")),
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+            else:
+                b = F.coalesce(
+                    F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)),
+                    F.lit(0).cast("long"),
+                ).cast("long")
+            buckets.append(b)
+        k = len(buckets)
+        planes = [
+            F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+            for i in range(bits)
+            for j, b in enumerate(buckets)
+        ]
+        return reduce(lambda a, p: a.bitwiseOR(p), planes)
+
     def upsert(self, df: DataFrame, spark: SparkSession | None = None) -> None:
         """Upsert: merge incoming with existing, latest-wins on
         (record_key, precombine); incoming beats existing on ties, which

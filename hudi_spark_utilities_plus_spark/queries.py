@@ -1106,6 +1106,35 @@ def hudi_mor_read(spark, sf_dir):
 
 
 @query(
+    "hudi_cluster_read",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderdate FROM orders",
+)
+def hudi_cluster_read(spark, sf_dir):
+    """§1.2 layout optimization end-to-end (Hudi clustering,
+    ``hoodie.layout.optimize.strategy=z-order``): bulk_insert orders,
+    Z-order-cluster the files on (o_orderdate, o_totalprice), read back.
+    Clustering is a physical-layout rewrite — content is identical (the
+    oracle is the plain table), but each file's min/max envelope on BOTH
+    sort columns shrinks, so date+price range filters skip files via
+    parquet footer stats instead of scanning (lake.HudiTable.cluster)."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="clu_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+    )
+    t.bulk_insert(o)
+    t.cluster(spark, ["o_orderdate", "o_totalprice"], target_files=8)
+    return t.read(spark)
+
+
+@query(
     "cdc_apply",
     oracle="""
     SELECT user_id, event_id, value FROM (

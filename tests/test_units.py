@@ -909,3 +909,65 @@ def test_hudi_mor_incremental_cursor_across_compaction(spark, tmp_path):
     assert got == {2: "b2"}
     with pytest.raises(ValueError, match="predates the last compaction"):
         t.read_incremental(spark, stale)
+
+
+def test_hudi_cluster_zorder_shrinks_file_envelopes(spark, tmp_path):
+    """Z-order clustering co-locates nearby (x, y) values, shrinking
+    each file's 2-D min/max envelope so a box filter can skip files
+    entirely (footer stats); content is byte-identical before/after."""
+    base = spark.range(20000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(10000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(10000)).alias("y"),
+    )
+    t = HudiTable(path=str(tmp_path / "zc"), record_key="id", precombine="id")
+    t.bulk_insert(base.repartition(8))
+
+    def avg_envelope_area():
+        df = spark.read.parquet(t.path).withColumn("f", F.input_file_name())
+        return (
+            df.groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg((F.col("sx") / 10000) * (F.col("sy") / 10000)))
+            .first()[0]
+        )
+
+    before_rows = {r.id for r in t.read(spark).collect()}
+    unclustered = avg_envelope_area()
+    t.cluster(spark, ["x", "y"], target_files=8)
+    clustered = avg_envelope_area()
+    assert clustered < unclustered * 0.5
+    assert {r.id for r in t.read(spark).collect()} == before_rows
+    # the 10%x10% corner box now touches a strict subset of files
+    touched = (
+        spark.read.parquet(t.path)
+        .filter((F.col("x") < 1000) & (F.col("y") < 1000))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched <= 2
+
+
+def test_hudi_cluster_linear_and_validation(spark, tmp_path):
+    """Linear strategy sorts lexicographically (content preserved);
+    bad strategy / empty cols fail loudly; string + timestamp sort
+    columns are accepted (hash / epoch bucketing)."""
+    t = HudiTable(path=str(tmp_path / "lc"), record_key="id", precombine="id")
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}", i * 100) for i in range(500)],
+        "id int, grp string, val int",
+    ).withColumn("ts", F.timestamp_seconds(F.col("val")))
+    t.bulk_insert(df.repartition(4))
+    before = {r.id for r in t.read(spark).collect()}
+    t.cluster(spark, ["val"], strategy="linear", target_files=4)
+    assert {r.id for r in t.read(spark).collect()} == before
+    t.cluster(spark, ["grp", "ts"], target_files=4)  # string + timestamp
+    assert {r.id for r in t.read(spark).collect()} == before
+    with pytest.raises(ValueError, match="strategy"):
+        t.cluster(spark, ["val"], strategy="hilbert")
+    with pytest.raises(ValueError, match="sort column"):
+        t.cluster(spark, [])
