@@ -10,6 +10,7 @@ so values are bit-identical cross-engine.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import load_tables
@@ -682,4 +683,40 @@ def tpch_q18_shape(spark, sf_dir):
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
         )
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """LLM-pipeline stratified sampling: an exact per-stratum quota (10
+    docs per source) selected by a deterministic multiplicative hash of
+    the key — a replay-stable "random" sample with guaranteed stratum
+    counts, vs the Bernoulli-style bucket sample of sample_hash_docs.
+    The Knuth hash (id × 2654435761 mod 2^32) is plain BIGINT
+    arithmetic, so both engines rank identically — no engine-specific
+    hash function in the contract.
+
+    Scale: one hash-partitioned window per stratum (no global sort, no
+    single-partition exchange); quota selection is rank-truncation
+    inside each group. Mirrors the data-mixture step of corpus curation
+    (fixed documents-per-domain budgets)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.pmod(F.col("doc_id") * 2654435761, F.lit(4294967296)), "doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", "source")
     )
