@@ -44,6 +44,12 @@ HEADLINE = [
     "pack_token_budget",
     "tpch_q3_shape",
     "tpch_q10_shape",
+    "tpch_q1_shape",
+    "tpch_q5_shape",
+    "tpch_q18_shape",
+    "hudi_cluster_read",
+    "sample_stratified",
+    "contamination_check",
 ]
 
 

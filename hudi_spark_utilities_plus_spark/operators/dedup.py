@@ -395,3 +395,54 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Flag training documents whose n-gram shingles overlap a benchmark
+    (eval-set) corpus — the decontamination step of LLM data curation:
+    a doc sharing ``min_frac`` of its shingles with ANY benchmark text
+    is a leak suspect and must be dropped before training.
+
+    Returns (id_col, n_overlap, overlap_frac) for suspects only.
+
+    Scale shape: the benchmark side collapses to its DISTINCT shingle
+    hashes (eval sets are tiny — MB against the corpus's TB), broadcast
+    to every executor; the corpus explodes to (doc, shingle-hash) rows
+    and map-side hash-joins the broadcast set, then one partial-agg
+    count per doc. No corpus self-join, no shuffle of shingle strings —
+    only 8-byte hashes move, and only for matched grams. 64-bit shingle
+    collisions (~5e-15/doc) are the same accepted noise floor as
+    _verify_jaccard's.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    bench_grams = (
+        scatter(bench)
+        .select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    doc_grams = sh.select(
+        "doc", "n_sh", F.explode("sh").alias("g")
+    ).select("doc", "n_sh", F.xxhash64("g").alias("gh"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("overlap_frac", F.col("n_overlap") / F.col("n_sh"))
+        .filter(F.col("overlap_frac") >= min_frac)
+        .select(
+            F.col("doc").alias(id_col), "n_overlap", "overlap_frac"
+        )
+    )

@@ -720,3 +720,43 @@ def sample_stratified(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "contamination_check",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                  THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+                  ELSE list_distinct([
+                    array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                    FOR i IN range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)
+                  ])
+             END AS sh
+      FROM documents
+    ),
+    bench AS (
+      SELECT list_distinct(flatten(list(sh))) AS bg FROM s WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           len(list_intersect(sh, bg)) AS n_overlap,
+           len(list_intersect(sh, bg)) / len(sh) AS overlap_frac
+    FROM s, bench
+    WHERE len(list_intersect(sh, bg)) / len(sh) >= 0.5
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """LLM-pipeline decontamination: flag corpus documents whose 3-gram
+    shingles overlap an eval benchmark (stand-in: every 50th document)
+    at >= 50% — benchmark members themselves surface at 1.0 and their
+    planted near-duplicates at their true overlap, exactly the leaks a
+    training run must drop. Broadcast benchmark shingle hashes +
+    map-side join; see operators.dedup.benchmark_overlap for the 100 TB
+    shape."""
+    from .operators.dedup import benchmark_overlap
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return benchmark_overlap(
+        d, d.filter(F.col("doc_id") % 50 == 0), "text", "doc_id", 3, 0.5
+    )
