@@ -55,3 +55,55 @@ def pack_stats(
             F.sum(F.col(tokens_col).cast("long")).alias("tok_total"),
         )
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+):
+    """Context-window chunking: split each document into token windows
+    of ``size`` tokens advancing by ``stride`` (``size - stride`` tokens
+    of overlap carry context across chunk boundaries) — the step that
+    turns variable-length documents into model-ingestible sequences.
+
+    Chunk count per doc is ``1 + ceil(max(n_tok - size, 0) / stride)``:
+    short docs yield one whole-doc chunk; the final window may be
+    partial. Returns (id_col, chunk_idx, chunk_text, chunk_tokens).
+
+    Scale shape: pure per-row JVM expressions (split → sequence →
+    transform → posexplode); no shuffle at all — chunking pipelines
+    straight into the tokenizer/writer stage, and the output inherits
+    the scan's partitioning. Row width grows by the overlap factor
+    (size/stride), which is the expected amplification of the layout.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import ws_tokens
+
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = ws_tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n_tok - size, F.lit(0)) + (stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, size),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(windows).alias("chunk_idx", "w"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(" ", "w").alias("chunk_text"),
+            F.size("w").alias("chunk_tokens"),
+        )
+    )

@@ -760,3 +760,36 @@ def contamination_check(spark, sf_dir):
     return benchmark_overlap(
         d, d.filter(F.col("doc_id") % 50 == 0), "text", "doc_id", 3, 0.5
     )
+
+
+@query(
+    "chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             1 + CAST(FLOOR((GREATEST(len(toks) - 64, 0) + 47) / 48.0)
+                      AS BIGINT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           i - 1 AS chunk_idx,
+           array_to_string(toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' ')
+               AS chunk_text,
+           len(toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64]) AS chunk_tokens
+    FROM c, UNNEST(range(1, n_chunks + 1)) AS u(i)
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """LLM-pipeline context-window chunking: 64-token windows advancing
+    by 48 (16-token overlap carries context across boundaries), the
+    document → training-sequence step. Pure per-row codegen (split →
+    sequence → slice → posexplode), zero shuffles — see
+    operators.packing.chunk_documents."""
+    from .operators.packing import chunk_documents as chunk
+
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return chunk(d, "text", "doc_id", size=64, stride=48)

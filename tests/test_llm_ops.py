@@ -398,3 +398,34 @@ def test_connected_components_chain_and_singletons(spark):
         for r in canonical_assignment(ids, edges, "id").collect()
     }
     assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 99: 99}
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunking edges: short doc = one whole chunk; exact-size doc = one
+    chunk; size+1 tokens = two chunks with the second partial; overlap
+    region repeats the last (size-stride) tokens of the prior chunk."""
+    from hudi_spark_utilities_plus_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, "a b c"),                                # 3 toks < size
+        (2, " ".join(f"t{i}" for i in range(8))),    # == size
+        (3, " ".join(f"u{i}" for i in range(9))),    # size+1 -> 2 chunks
+        (4, " ".join(f"v{i}" for i in range(20))),   # multi-chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, size=8, stride=6)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_tokens)
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(2, 0)][1] == 8 and (2, 1) not in got
+    assert got[(3, 0)][1] == 8 and got[(3, 1)] == ("u6 u7 u8", 3)
+    # 20 toks, size 8 stride 6: chunks at 0,6,12 -> 1+ceil(12/6)=3
+    assert {(d, i) for (d, i) in got if d == 4} == {(4, 0), (4, 1), (4, 2)}
+    # overlap: chunk k starts with the last 2 tokens of chunk k-1
+    assert got[(4, 1)][0].split()[:2] == got[(4, 0)][0].split()[-2:]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=4, stride=5)
