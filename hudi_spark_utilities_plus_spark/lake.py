@@ -452,6 +452,52 @@ class HudiTable:
             self._atomic_rewrite(clustered, spark)
         self._maybe_sync_catalog(spark)
 
+    def rectify_file_sizes(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Small-file compaction (Hudi's file-sizing guarantee:
+        ``hoodie.parquet.small.file.limit`` steering writes into
+        under-sized file groups): when the table has accumulated many
+        small files — the classic outcome of frequent small batches —
+        rewrite it into ``ceil(total_bytes / target)`` right-sized
+        files. Returns the new file count (0 = no rewrite needed).
+
+        Small files are a first-order 100 TB problem: every file is a
+        scan task + a NameNode/listing entry, and a table written by
+        10k micro-batches reads 10k× slower than its byte size
+        justifies. Only file *metadata* reaches the driver (sizes from
+        the listing); the data moves through one round-robin shuffle.
+        MOR log segments are folded in first (compact) so the rewrite
+        sees the merged state.
+        """
+        if self.is_mor and self._has_log(spark):
+            self.compact(spark)
+        if not self.exists(spark):
+            return 0
+        local = self._local_fs_path()
+        sizes = [
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(local)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        total = sum(sizes)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil
+        # only rewrite meaningful fragmentation (>2x the needed file
+        # count) — re-running after a rectify is then a no-op even as
+        # compression shifts the byte total a little between layouts
+        if len(sizes) <= 2 * n_target:
+            return 0
+        df = self.read(spark).repartition(n_target)
+        if self.partition_field:
+            self._rewrite_partitions(df, spark)
+        else:
+            self._atomic_rewrite(df, spark)
+        self._maybe_sync_catalog(spark)
+        return n_target
+
     def _zorder_key(
         self, df: DataFrame, sort_cols: list[str], spark: SparkSession
     ):

@@ -971,3 +971,29 @@ def test_hudi_cluster_linear_and_validation(spark, tmp_path):
         t.cluster(spark, ["val"], strategy="hilbert")
     with pytest.raises(ValueError, match="sort column"):
         t.cluster(spark, [])
+
+
+def test_hudi_rectify_file_sizes(spark, tmp_path):
+    """Small-file compaction: a table written as many tiny files is
+    rewritten to ceil(total/target) files with identical content; a
+    right-sized table is left untouched (returns 0)."""
+    t = HudiTable(path=str(tmp_path / "rf"), record_key="id", precombine="id")
+    t.bulk_insert(spark.range(50000).select(F.col("id")).repartition(64))
+    n_before = len(
+        [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    )
+    assert n_before == 64
+    total = sum(
+        os.path.getsize(os.path.join(t.path, f))
+        for f in os.listdir(t.path)
+        if f.endswith(".parquet")
+    )
+    target = total // 4  # aim for ~4 files
+    before = {r.id for r in t.read(spark).collect()}
+    n_new = t.rectify_file_sizes(spark, target_file_bytes=target)
+    assert 0 < n_new < 64
+    files = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    assert len(files) == n_new
+    assert {r.id for r in t.read(spark).collect()} == before
+    # second call: already right-sized, no rewrite
+    assert t.rectify_file_sizes(spark, target_file_bytes=target) == 0
