@@ -793,3 +793,43 @@ def chunk_documents(spark, sf_dir):
 
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return chunk(d, "text", "doc_id", size=64, stride=48)
+
+
+@query(
+    "agg_percentile_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS exact_p50,
+           TRUE AS sketch_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_sketch(spark, sf_dir):
+    """Sketch quantiles (approx_percentile / KLL-style) — the 100 TB
+    path for percentiles: mergeable per-partition sketches, no global
+    sort, bounded memory, vs the exact interpolated quantile of
+    agg_percentile. The raw sketch value is engine-specific, so the
+    checkable output is the invariant part: group keys, the exact
+    interpolated median, and ``sketch_ok`` — whether the sketch landed
+    within 2% of exact (same contract shape as agg_approx_distinct).
+    If the sketch machinery regresses the flag flips and the driver
+    hash catches it."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    exact = F.expr(
+        "percentile(CAST(o_totalprice AS DOUBLE), 0.5)"
+    ).alias("exact_p50")
+    approx = F.expr(
+        "approx_percentile(CAST(o_totalprice AS DOUBLE), 0.5, 10000)"
+    ).alias("approx_p50")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(exact, approx)
+        .select(
+            "o_orderpriority",
+            F.col("exact_p50"),
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= F.abs(F.col("exact_p50")) * F.lit(0.02)
+            ).alias("sketch_ok"),
+        )
+    )
