@@ -8,9 +8,15 @@ from .demux import (
     start_binlog_streamer,
     start_console_debug,
 )
-from .windows import session_counts, sliding_counts, tumbling_counts
+from .windows import (
+    deduped_stream,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
 
 __all__ = [
+    "deduped_stream",
     "CDC_SCHEMA",
     "read_cdc_stream",
     "compact_batch",

@@ -70,3 +70,26 @@ def session_counts(
         .withColumn("session_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def deduped_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key emission over an at-least-once stream
+    (``dropDuplicatesWithinWatermark``): the first arrival of each key
+    passes through, replays and redeliveries within the watermark
+    horizon are swallowed, and key state is pruned once the watermark
+    passes — bounded memory on an unbounded stream.
+
+    This is the ingest-side guard a CDC/event pipeline needs in front
+    of the lake writer: upstream buses redeliver on rebalance, and an
+    append-mode sink would otherwise double-write. Keys default to
+    ``event_id``.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

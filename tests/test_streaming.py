@@ -372,3 +372,52 @@ def test_stateful_user_profile_across_batches(spark, tmp_path):
         assert latest["last_ts"].isoformat() == "2024-01-01T11:00:00"
     finally:
         q.stop()
+
+
+@pytest.mark.streaming
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once stream -> exactly-once-per-key: a redelivered
+    event_id in a later micro-batch is swallowed; distinct ids all
+    arrive once; state stays bounded by the watermark."""
+    from hudi_spark_utilities_plus_spark.streaming import deduped_stream
+
+    base = str(tmp_path)
+    src = f"{base}/dedup_in"
+    _write_events(
+        src,
+        "b1",
+        [
+            {"event_id": 1, "event_type": "view", "ts": "2024-01-01T10:00:00"},
+            {"event_id": 2, "event_type": "click", "ts": "2024-01-01T10:01:00"},
+            {"event_id": 1, "event_type": "view", "ts": "2024-01-01T10:00:00"},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "event_id LONG, event_type STRING, ts TIMESTAMP"
+    ).json(src)
+    q = (
+        deduped_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one replay of id 2 (drop) + one new id 3 (keep)
+        _write_events(
+            src,
+            "b2",
+            [
+                {"event_id": 2, "event_type": "click", "ts": "2024-01-01T10:01:00"},
+                {"event_id": 3, "event_type": "view", "ts": "2024-01-01T10:30:00"},
+            ],
+        )
+        q.processAllAvailable()
+        got = sorted(
+            r["event_id"]
+            for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+        )
+        assert got == [1, 2, 3]
+    finally:
+        q.stop()
