@@ -127,3 +127,35 @@ def test_salted_agg_splits_hot_keys(spark, sf_dir):
     two aggregation exchanges (salted partial, then merge)."""
     plan = audit.executed_plan(QUERIES["agg_salted"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 3, plan  # partial+final x2 phases
+
+
+def test_contamination_broadcasts_benchmark_dictionary(spark, sf_dir):
+    """contamination_check: the eval-set shingle dictionary must reach
+    the corpus via a broadcast hash join (map-side, no corpus shuffle
+    of shingle strings) and never a nested-loop product."""
+    df = QUERIES["contamination_check"](spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert audit.has_broadcast_hash_join(df), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_has_no_shuffle(spark, sf_dir):
+    """chunk_documents: pure per-row generate — no exchange beyond the
+    deliberate scatter() repartition of the single-file test input."""
+    df = QUERIES["chunk_documents"](spark, sf_dir)
+    plan = audit.executed_plan(df)
+    # the only exchange allowed is scatter()'s round-robin
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+    assert "SinglePartition" not in plan, plan
+
+
+def test_tpch_q18_single_lineitem_scan(spark, sf_dir):
+    """tpch_q18_shape folds the HAVING aggregate into the output: the
+    executed plan must scan lineitem exactly once (the classic
+    formulation scans it twice)."""
+    plan = audit.executed_plan(QUERIES["tpch_q18_shape"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
