@@ -833,3 +833,87 @@ def agg_percentile_sketch(spark, sf_dir):
             ).alias("sketch_ok"),
         )
     )
+
+
+@query(
+    "hist_totalprice",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+               FROM orders)
+    SELECT CAST(LEAST(19, FLOOR((o_totalprice - mn) / ((mx - mn) / 20)))
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders, b GROUP BY 1
+    """,
+)
+def hist_totalprice(spark, sf_dir):
+    """Data-profiling histogram: 20 equi-width buckets over
+    o_totalprice — the distribution snapshot that drives partition-key
+    and skew decisions. The min/max pre-pass is a 2-scalar aggregate
+    broadcast into the bucketing expression (1-row crossJoin = a free
+    BroadcastNestedLoop of one row); bucket math is a single double
+    division identical in both engines, and the top edge folds into the
+    last bucket. One scan + one partial-agg shuffle of 20 groups."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    b = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 20)
+                ),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "keyword_extract",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+    SELECT doc_id, term, tf, df FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+      FROM tf JOIN df USING (term)) WHERE rn <= 3
+    """,
+)
+def keyword_extract(spark, sf_dir):
+    """Keyword extraction (the TF-IDF plan shape): per-document top-3
+    terms ranked by term frequency with document-frequency rarity as
+    the tie-break — the contract stays in integers (tf, df), so the
+    ranking is engine-exact while exercising the full pipeline: token
+    explode → per-doc tf agg → corpus df agg → broadcast df join →
+    per-doc top-k window. At 100 TB the df side is the vocabulary
+    (small after the agg) and broadcasts; the window partitions by doc,
+    never globally."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), "term"
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df")
+    )
