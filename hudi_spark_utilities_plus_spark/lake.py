@@ -147,6 +147,15 @@ class HudiTable:
 
     def exists(self, spark: SparkSession) -> bool:
         try:
+            # local paths: a cheap fs check, and no JVM stack-trace noise
+            # from probing a table that simply isn't there yet
+            local = self._local_fs_path()
+        except NotImplementedError:
+            pass
+        else:
+            if not os.path.exists(local):
+                return False
+        try:
             spark.read.parquet(self.path).schema
             return True
         except Exception:

@@ -107,3 +107,37 @@ def mongo_main(argv=None) -> None:
 def es_main(argv=None) -> None:
     """HoodieEsBatch equivalent."""
     _main("es", {"--resource": "es.resource", "--nodes": "es.nodes"}, argv)
+
+
+_DISPATCH = {
+    "excel": excel_main,
+    "jdbc": jdbc_main,
+    "mongo": mongo_main,
+    "es": es_main,
+}
+
+
+def main(argv=None) -> None:
+    """``python -m ...pipelines.importer <source> [opts]`` — the single
+    entry point replacing the reference's four per-source binaries; the
+    first positional selects the source, everything after is that
+    importer's own CLI."""
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(
+            "usage: importer {excel|jdbc|mongo|es} [--props F] "
+            "[--hoodie-conf K=V]... [--debug] [source opts]"
+        )
+        raise SystemExit(0 if argv else 2)
+    kind, rest = argv[0], argv[1:]
+    if kind not in _DISPATCH:
+        raise SystemExit(
+            f"unknown source {kind!r}: expected one of {sorted(_DISPATCH)}"
+        )
+    _DISPATCH[kind](rest)
+
+
+if __name__ == "__main__":
+    main()
