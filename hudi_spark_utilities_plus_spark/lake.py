@@ -499,10 +499,17 @@ class HudiTable:
         # compression shifts the byte total a little between layouts
         if len(sizes) <= 2 * n_target:
             return 0
-        df = self.read(spark).repartition(n_target)
         if self.partition_field:
+            # co-locate each hive partition's rows in one task: a plain
+            # round-robin would hand every task a slice of every
+            # partition and the partitionBy write would MULTIPLY files
+            # (tasks × partitions) instead of compacting them
+            df = self.read(spark).repartition(
+                n_target, F.col(self.partition_field)
+            )
             self._rewrite_partitions(df, spark)
         else:
+            df = self.read(spark).repartition(n_target)
             self._atomic_rewrite(df, spark)
         self._maybe_sync_catalog(spark)
         return n_target

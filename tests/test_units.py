@@ -997,3 +997,44 @@ def test_hudi_rectify_file_sizes(spark, tmp_path):
     assert {r.id for r in t.read(spark).collect()} == before
     # second call: already right-sized, no rewrite
     assert t.rectify_file_sizes(spark, target_file_bytes=target) == 0
+
+
+def test_hudi_rectify_partitioned_compacts_not_multiplies(spark, tmp_path):
+    """Partitioned rectify must CO-LOCATE each hive partition's rows
+    before the partitionBy write — a round-robin shuffle would hand
+    every task a slice of every partition and multiply the file count
+    (tasks x partitions) instead of compacting it."""
+    t = HudiTable(
+        path=str(tmp_path / "rfp"),
+        record_key="id",
+        precombine="id",
+        partition_field="grp",
+    )
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    t.bulk_insert(df.repartition(32))
+
+    def count_files():
+        return sum(
+            1
+            for dirpath, _, files in os.walk(t.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n_before = count_files()
+    assert n_before >= 32  # fragmented: every task wrote every partition
+    before = {r.id for r in t.read(spark).collect()}
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(t.path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    t.rectify_file_sizes(spark, target_file_bytes=max(1, total // 4))
+    n_after = count_files()
+    # 4 hive partitions, each co-located -> file count near the
+    # partition count, far below the fragmented layout
+    assert n_after <= 8, n_after
+    assert {r.id for r in t.read(spark).collect()} == before
