@@ -907,12 +907,16 @@ def keyword_extract(spark, sf_dir):
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df falls out of tf — one row per (doc, term) already — as a count
+    # window over the term partition: the corpus is tokenized and
+    # scanned exactly once (a tf⋈df join would re-evaluate the whole
+    # tf subtree on the build side; Spark does not dedupe shared
+    # subtrees across join branches)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), "term"
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df")
