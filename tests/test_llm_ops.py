@@ -429,3 +429,36 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, size=4, stride=5)
+
+
+def test_chunk_documents_properties(spark):
+    """Property sweep over token counts 1..40 x three window shapes:
+    chunk count matches the closed form, every token index is covered,
+    consecutive chunks overlap by exactly min(size-stride, prior-chunk
+    tokens past the next start), and concatenating stride-aligned
+    prefixes reconstructs the document."""
+    import math as _math
+
+    from hudi_spark_utilities_plus_spark.operators.packing import chunk_documents
+
+    shapes = [(8, 6), (5, 5), (10, 3)]
+    rows = [(n, " ".join(f"w{n}_{i}" for i in range(n))) for n in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for size, stride in shapes:
+        out = chunk_documents(df, size=size, stride=stride)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split()
+        for n in range(1, 41):
+            chunks = got[n]
+            expect = 1 + _math.ceil(max(n - size, 0) / stride)
+            assert len(chunks) == expect, (n, size, stride, len(chunks))
+            toks = [f"w{n}_{i}" for i in range(n)]
+            # chunk k must equal toks[k*stride : k*stride+size] exactly
+            for k, ch in chunks.items():
+                assert ch == toks[k * stride : k * stride + size]
+            # coverage: union of chunk token positions is the whole doc
+            seen = set()
+            for k, ch in chunks.items():
+                seen.update(range(k * stride, k * stride + len(ch)))
+            assert seen == set(range(n)), (n, size, stride)
