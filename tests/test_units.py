@@ -1038,3 +1038,18 @@ def test_hudi_rectify_partitioned_compacts_not_multiplies(spark, tmp_path):
     # partition count, far below the fragmented layout
     assert n_after <= 8, n_after
     assert {r.id for r in t.read(spark).collect()} == before
+
+
+def test_hudi_cluster_zorder_constant_and_null_columns(spark, tmp_path):
+    """Z-order edge paths: a constant column (min==max -> bucket 0) and
+    a null-bearing column (null -> bucket 0) must not error and must
+    preserve content exactly."""
+    t = HudiTable(path=str(tmp_path / "zn"), record_key="id", precombine="id")
+    df = spark.createDataFrame(
+        [(i, 7, i * 10 if i % 3 else None) for i in range(300)],
+        "id int, const int, sparse int",
+    )
+    t.bulk_insert(df.repartition(4))
+    before = {(r.id, r.const, r.sparse) for r in t.read(spark).collect()}
+    t.cluster(spark, ["const", "sparse"], target_files=4)
+    assert {(r.id, r.const, r.sparse) for r in t.read(spark).collect()} == before
