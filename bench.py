@@ -50,6 +50,11 @@ HEADLINE = [
     "hudi_cluster_read",
     "sample_stratified",
     "contamination_check",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q14_shape",
+    "tpch_q19_shape",
+    "tpch_q22_shape",
 ]
 
 
@@ -88,10 +93,17 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Per-query guard: one broken query must never erase the round's
+        # perf artifact — record the failure and keep timing the rest.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            failed[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         # drop per-query persisted intermediates so later queries aren't
         # taxed by earlier queries' cache residency; the explicit GC lets
@@ -106,17 +118,16 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

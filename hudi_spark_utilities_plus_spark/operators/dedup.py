@@ -78,11 +78,15 @@ def scatter(df: DataFrame) -> DataFrame:
 
     Small-file inputs (one parquet file → one scan partition) would
     otherwise serialize shingling/hashing on a single core; one cheap
-    round-robin shuffle of the raw rows unlocks full parallelism. At real
-    lake scale the scan already has thousands of partitions and this is a
-    near-no-op (repartition to the same default parallelism).
+    round-robin shuffle of the raw rows unlocks full parallelism. Gated
+    on the input's partition count: a real lake scan already has
+    thousands of partitions, and an unconditional repartition there would
+    be a full extra shuffle of the corpus for nothing.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

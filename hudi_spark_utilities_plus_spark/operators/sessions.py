@@ -27,11 +27,14 @@ def with_session_seq(
     gap_seconds: int = 1800,
 ) -> DataFrame:
     """Tag each event with ``session_seq`` (1-based per user)."""
+    # Parquet event times may arrive as TIMESTAMP_NTZ; unix_micros only
+    # accepts TIMESTAMP. The session TZ is pinned to UTC (session.py), so
+    # the cast is value-preserving.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(ts_us).over(w)
     is_new = (
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_seconds * 1_000_000)
+        prev_us.isNull() | ((ts_us - prev_us) > gap_seconds * 1_000_000)
     ).cast("int")
     run = Window.partitionBy(user_col).orderBy(ts_col, tiebreak).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -51,10 +54,8 @@ def session_stats(
     """One row per (user, session): event count + span in microseconds
     (exact integer arithmetic — no float time math)."""
     tagged = with_session_seq(events, user_col, ts_col, tiebreak, gap_seconds)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     return tagged.groupBy(user_col, "session_seq").agg(
         F.count("*").alias("n_events"),
-        (
-            F.max(F.unix_micros(F.col(ts_col)))
-            - F.min(F.unix_micros(F.col(ts_col)))
-        ).alias("span_us"),
+        (F.max(ts_us) - F.min(ts_us)).alias("span_us"),
     )

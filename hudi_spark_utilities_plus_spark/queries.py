@@ -1194,3 +1194,4 @@ def stream_tumbling(spark, sf_dir):
 from . import queries_llm  # noqa: E402,F401  (registry side effects)
 from . import queries_extra  # noqa: E402,F401  (registry side effects)
 from . import queries_pipeline  # noqa: E402,F401  (registry side effects)
+from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -109,7 +109,7 @@ def agg_percentile(spark, sf_dir):
       FROM t
     )
     SELECT CAST(FLOOR((cum - tok) / 1000) AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs, SUM(tok) AS tok_total
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_total
     FROM c GROUP BY 1
     """,
 )
@@ -219,19 +219,26 @@ def ngram_bigrams(spark, sf_dir):
       FROM v
     )
     SELECT vec_id, vmin, span / 255 AS scale,
-           CASE WHEN span > 0
-                THEN list_transform(dv, x -> CAST(FLOOR((x - vmin) / span * 255)
-                                                  AS INTEGER))
-                ELSE list_transform(dv, x -> 0) END AS q
+           array_to_string(
+             CASE WHEN span > 0
+                  THEN list_transform(dv, x -> CAST(FLOOR((x - vmin) / span * 255)
+                                                    AS INTEGER))
+                  ELSE list_transform(dv, x -> 0) END, ',') AS q_csv
     FROM m
     """,
 )
 def embedding_quantize(spark, sf_dir):
     """Per-vector uint8 scalar quantization (floor-form, engine-agnostic)
     with dequantization params riding along — 4× smaller vectors through
-    every downstream shuffle. No shuffle here at all."""
+    every downstream shuffle. No shuffle here at all.
+
+    The operator API (S.quantize_embeddings) stays array-valued; the
+    registry projection renders ``q`` as a CSV scalar because the
+    driver's pandas-based hash cannot digest raw array cells."""
     e = scatter(_t(spark, sf_dir, "embeddings")["embeddings"])
-    return S.quantize_embeddings(e)
+    return S.quantize_embeddings(e).select(
+        "vec_id", "vmin", "scale", F.concat_ws(",", F.col("q")).alias("q_csv")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -418,16 +425,57 @@ def unpivot_measures(spark, sf_dir):
     )
 
 
-@query("mm_resize")  # rows-only: byte-slice stand-in is payload-layout specific
+@query(
+    "mm_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, sha256(text) AS h,
+             octet_length(CAST(text AS BLOB)) AS len
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, text, len,
+             ('0x' || substr(h, 1, 4))::INTEGER % 1920 + 1 AS in_w,
+             ('0x' || substr(h, 5, 4))::INTEGER % 1080 + 1 AS in_h
+      FROM d
+    ), fit AS (
+      SELECT doc_id, text, len, in_w, in_h,
+             GREATEST(1, CAST(trunc(in_w * LEAST(224.0 / in_w, 224.0 / in_h))
+                              AS INT)) AS out_w,
+             GREATEST(1, CAST(trunc(in_h * LEAST(224.0 / in_w, 224.0 / in_h))
+                              AS INT)) AS out_h
+      FROM dims
+    )
+    SELECT doc_id, in_w, in_h, out_w, out_h,
+           CAST(LEAST(len, GREATEST(1, (out_w * out_h) // 256)) AS INT)
+             AS resized_bytes,
+           sha256(substr(text, 1,
+                         CAST(GREATEST(1, (out_w * out_h) // 256) AS BIGINT)))
+             AS resized_sha
+    FROM fit
+    """,
+)
 def mm_resize(spark, sf_dir):
     """Multimodal resize plumbing: aspect-preserving fit into a 224×224
     box over Arrow-batched payload batches (mapInPandas) — the codec is
     a deterministic stand-in (no imaging libs in this container), the
-    batch shape and scale math are production-real."""
+    batch shape and scale math are production-real. Exact oracle: the
+    fake decode derives (w, h) from the payload's sha256, which DuckDB
+    recomputes via hex-cast of the digest prefix; the fit math is plain
+    IEEE doubles in both engines; the resized payload is a byte-budget
+    prefix, fingerprinted slice-for-slice (ASCII corpus, so char substr
+    = byte slice)."""
     from .operators import multimodal as M
 
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
-    return M.resize_media(M.attach_payload(d))
+    return M.resize_media(M.attach_payload(d)).select(
+        "doc_id",
+        "in_w",
+        "in_h",
+        "out_w",
+        "out_h",
+        F.octet_length("resized").alias("resized_bytes"),
+        F.sha2(F.col("resized"), 256).alias("resized_sha"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,8 +49,11 @@ def _norm(v):
         if math.isnan(v):
             return ("nan",)
         return ("f", v)
+    # Ints stay distinct from floats: the driver's hash is repr-strict, so
+    # an oracle emitting 1040.0 against Spark's 1040 is a real failure this
+    # pre-flight must catch (it bit pack_token_budget in round 3).
     if isinstance(v, int):
-        return ("f", float(v))
+        return ("i", v)
     if isinstance(v, _dt.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, _dt.date):

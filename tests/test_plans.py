@@ -82,8 +82,15 @@ def test_global_windows_avoid_single_partition(spark, sf_dir):
 
 def test_ann_lsh_candidates_are_equi_join(spark, sf_dir):
     """ann_topk_lsh candidates come from an exploded (band, key) hash
-    join — no nested-loop signature comparison."""
-    plan = audit.executed_plan(QUERIES["ann_topk_lsh"](spark, sf_dir))
+    join — no nested-loop signature comparison. Pin the operator itself:
+    the registry id wraps it in a recall check whose brute-force
+    baseline is an intentional broadcast nested loop."""
+    from hudi_spark_utilities_plus_spark.catalog import load_tables
+    from hudi_spark_utilities_plus_spark.operators import similarity as S
+
+    e = load_tables(spark, sf_dir, ["embeddings"], register=False)["embeddings"]
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    plan = audit.executed_plan(S.ann_topk_lsh(e, qs, dim=64, k=5))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -159,3 +166,19 @@ def test_tpch_q18_single_lineitem_scan(spark, sf_dir):
     formulation scans it twice)."""
     plan = audit.executed_plan(QUERIES["tpch_q18_shape"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_scatter_is_noop_on_wide_inputs(spark):
+    """scatter() exists to fan out single-file test inputs; on an input
+    already at >= defaultParallelism partitions it must add NO exchange
+    (at lake scale an unconditional repartition would reshuffle the
+    whole corpus)."""
+    from hudi_spark_utilities_plus_spark.operators.dedup import scatter
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=par + 4)
+    plan = audit.executed_plan(scatter(wide.toDF("doc_id")))
+    assert "Exchange" not in plan, plan
+    narrow = spark.range(0, 10_000, numPartitions=1)
+    plan2 = audit.executed_plan(scatter(narrow.toDF("doc_id")))
+    assert "RoundRobinPartitioning" in plan2, plan2
