@@ -969,3 +969,106 @@ def keyword_extract(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation composites: filter funnel + deterministic split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, lang, sha256(text) AS fp,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             length(text)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS awl
+      FROM documents
+    ), flagged AS (
+      SELECT lang, fp,
+             CASE WHEN n_words >= 25 AND n_words <= 85
+                       AND awl < 5.6 THEN 1 ELSE 0 END AS ok
+      FROM q
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(ok) AS BIGINT) AS n_quality,
+           COUNT(DISTINCT CASE WHEN ok = 1 THEN fp END) AS n_kept
+    FROM flagged GROUP BY lang
+    """,
+)
+def corpus_filter_funnel(spark, sf_dir):
+    """Pretraining filter funnel, end to end in one pass: per language,
+    how many documents enter, how many survive the quality gate
+    (word-count band + average-word-length cap — the Gopher-style rule
+    shapes that fit this corpus), and how many remain after exact
+    dedup (distinct content fingerprints among survivors). One scan,
+    one hash aggregate keyed on lang; the dedup stage rides the same
+    aggregate as a conditional distinct count rather than a second
+    shuffle — at 100 TB this is the report you run before and after
+    every new filter rule."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    n_words = T.token_count_ws(F.col("text"))
+    awl = F.length("text") / n_words
+    ok = ((n_words >= 25) & (n_words <= 85) & (awl < 5.6)).cast("int")
+    return (
+        d.select(
+            "lang",
+            F.sha2(F.col("text"), 256).alias("fp"),
+            ok.alias("ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("ok").alias("n_quality"),
+            F.count_distinct(
+                F.when(F.col("ok") == 1, F.col("fp"))
+            ).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "split_train_val",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b GROUP BY 1, 2
+    """,
+)
+def split_train_val(spark, sf_dir):
+    """Deterministic stratified train/val/test assignment: each doc's
+    split comes from a content-free, engine-portable hash of its id
+    (first 8 hex chars of sha256 → bucket 0-99 → 80/10/10), so the
+    assignment is stable across runs, engines, and re-partitioning —
+    the property that keeps eval sets fixed as the corpus grows. Narrow
+    per-row hashing + one tiny keyed aggregate for the report; the
+    per-doc assignment (b.bucket) is the reusable operator surface."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
