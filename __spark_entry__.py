@@ -57,6 +57,12 @@ _CHECK_ORDER = [
     "tpch_q16_shape",
     "tpch_q19_shape",
     "tpch_q22_shape",
+    "tpch_q2_shape",
+    "tpch_q9_shape",
+    "tpch_q13_shape",
+    "tpch_q17_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
     # (a) never driver-checked in any round
     "set_union_all",
     "agg_having",

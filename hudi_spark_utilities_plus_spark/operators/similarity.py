@@ -312,29 +312,31 @@ def similar_pairs(
         )
         .persist()
     )
-    side.count()  # eager cache fill (k-means + radii + verify reuse it)
+    # lazy cache fill: the k-means seed/means jobs populate it as they
+    # scan — an eager count() here is a whole extra pass over the corpus
+    # (and at real scale, a full-materialization barrier) for nothing
     assigned, cents = _kmeans(
         side, "nv", "id", n_clusters, kmeans_iters, with_dist=True
     )
     # persist the assignment: the nearest-centroid expression is a large
     # (k × dim literals) codegen unit, and the radii job plus BOTH sides
     # of the candidate join would otherwise re-analyze and re-execute it
+    # (the radii collect below is the first action and fills the cache)
     assigned = assigned.persist()
-    assigned.count()
-    # assigned ⊇ side (id, v, norm, nv + cluster): everything downstream
-    # — radii, candidate join, verify — reads assigned, so side's cache
-    # can drop now instead of leaking for the session lifetime
-    side.unpersist()
 
     # covering radii from the _cdist the argmin already produced — a
-    # plain k-row aggregate over the cached assignment, no second
-    # distance-evaluation plan
+    # plain k-row aggregate, and the action that fills assigned's cache
+    # (reading side's cache, filled by the k-means means job)
     radii = {
         r["cluster"]: r["r"]
         for r in assigned.groupBy("cluster")
         .agg(F.max("_cdist").alias("r"))
         .collect()  # k rows (metadata)
     }
+    # assigned ⊇ side (id, v, norm, nv + cluster): everything downstream
+    # — candidate join, verify — reads assigned's cache, so side's can
+    # drop now instead of leaking for the session lifetime
+    side.unpersist()
     # driver-side cluster-pair pruning over k² metadata pairs
     cent_map = dict(cents)
     pairs: list[tuple[int, int]] = []
@@ -613,7 +615,8 @@ def ivf_topk(
         .withColumn("d_norm", l2_norm(F.col("v")))
         .persist()
     )
-    docs.count()
+    # lazy cache fill: the k-means seed/means jobs populate it as they
+    # scan (an eager count() is a whole extra corpus pass)
 
     assigned, cents = _kmeans(docs, "v", "neighbor_id", n_clusters, kmeans_iters)
 

@@ -522,3 +522,272 @@ def tpch_q22_shape(spark, sf_dir):
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q2_shape",
+    oracle="""
+    WITH pc AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), best AS (
+      SELECT pk, sk, cost, MIN(cost) OVER (PARTITION BY pk) AS best_cost
+      FROM pc
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal, cost
+    FROM best
+    JOIN part ON p_partkey = pk
+    JOIN supplier ON s_suppkey = sk
+    WHERE p_size = 25 AND cost = best_cost
+    """,
+)
+def tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for every size-25 part, the
+    supplier(s) achieving the minimum observed unit cost — the
+    correlated-min pattern, expressed as one keyed aggregate plus a
+    per-part window MIN (no re-join of an aggregated subquery against
+    its own source). The part filter broadcasts into the aggregate's
+    output before the window, so the window only ranks surviving parts.
+    (partsupp is absent; per-(part, supplier) min unit price from
+    lineitem stands in for ps_supplycost — identical plan.)"""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    from pyspark.sql import Window
+
+    pc = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    sized = t["part"].filter(F.col("p_size") == 25).select("p_partkey")
+    pc = pc.join(F.broadcast(sized), F.col("pk") == F.col("p_partkey"))
+    w = Window.partitionBy("pk")
+    return (
+        pc.withColumn("best_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("best_cost"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("sk"))
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "cost")
+    )
+
+
+@query(
+    "tpch_q9_shape",
+    oracle="""
+    SELECT n_name, year(o_orderdate) AS yr,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): the five-way star join grouped by
+    supplier nation and order year, with the part-name LIKE filter
+    pushed into the broadcast part side. Profit per line = revenue minus
+    a cost basis (p_retailprice × qty × 0.1 stands in for the absent
+    ps_supplycost), summed as exact decimals."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch_q13_shape",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): left join with a
+    residual predicate ON the join (not a post-filter — customers whose
+    only orders are urgent must still count as zero), then the
+    aggregate-of-aggregate histogram. COUNT(column) skips the nulls the
+    outer join manufactures."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    co = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q17_shape",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             SUM(l_quantity) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): each line compares its
+    quantity against 20% of its part's average — the correlated-scalar-
+    aggregate pattern, planned as one per-part aggregate joined back to
+    the fact (one lineitem shuffle on partkey feeds both sides under
+    exchange reuse). The average is emitted as SUM/COUNT in both
+    engines: quantities are integer-valued doubles, so the sum is exact
+    in any accumulation order and the single division is bit-stable."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"]
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_shape",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 50
+    )
+    """,
+)
+def tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 (excess-volume suppliers): suppliers who moved > 50
+    units of any name-matched part in the year — the IN-over-grouped-
+    HAVING pattern, planned as aggregate → distinct keys → left-semi
+    join (the supplier table never duplicates). Quantity sums are exact
+    (integer-valued doubles). (ps_availqty is absent; the shipped-volume
+    threshold keeps the same nested-aggregate plan.)"""
+    t = _t(spark, sf_dir, "supplier", "lineitem", "part")
+    heavy = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "tpch_q21_shape",
+    oracle="""
+    WITH os AS (
+      SELECT l_orderkey AS ok,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_r_supp
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN os ON ok = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R' AND n_supp >= 2 AND n_r_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS pair over sibling lineitems, rewritten as ONE per-order
+    aggregate — n_supp ≥ 2 encodes the EXISTS (another supplier on the
+    order), n_r_supp = 1 encodes the NOT EXISTS (no OTHER supplier also
+    flagged, since l1 itself is flagged). One extra lineitem aggregate
+    instead of two correlated self-joins — at 100 TB that is two fewer
+    shuffles of the fact table. (l_returnflag = 'R' stands in for the
+    absent receipt-after-commit lateness predicate.)"""
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = t["lineitem"]
+    os_ = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(os_, F.col("ok") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
