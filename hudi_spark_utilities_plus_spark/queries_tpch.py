@@ -671,15 +671,25 @@ def tpch_q17_shape(spark, sf_dir):
     the fact (one lineitem shuffle on partkey feeds both sides under
     exchange reuse). The average is emitted as SUM/COUNT in both
     engines: quantities are integer-valued doubles, so the sum is exact
-    in any accumulation order and the single division is bit-stable."""
+    in any accumulation order and the single division is bit-stable.
+    The per-part aggregate is semi-filtered to brand-matching parts
+    first — the join would drop other parts' averages anyway, and at
+    100 TB that turns a whole-corpus aggregate into a selective one."""
     t = _t(spark, sf_dir, "lineitem", "part")
     li = t["lineitem"]
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3")
+    pa = (
+        li.join(
+            F.broadcast(brand_parts.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
     )
     return (
         li.join(
-            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3")),
+            F.broadcast(brand_parts),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(pa, F.col("pk") == F.col("l_partkey"))
@@ -735,7 +745,7 @@ def tpch_q20_shape(spark, sf_dir):
     )
     return (
         t["supplier"]
-        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
 

@@ -182,3 +182,28 @@ def test_scatter_is_noop_on_wide_inputs(spark):
     narrow = spark.range(0, 10_000, numPartitions=1)
     plan2 = audit.executed_plan(scatter(narrow.toDF("doc_id")))
     assert "RoundRobinPartitioning" in plan2, plan2
+
+
+def test_tpch_shapes_never_nested_loop(spark, sf_dir):
+    """All 22 TPC-H shapes: every join must be hash-based (broadcast or
+    shuffled) — no CartesianProduct, no BroadcastNestedLoopJoin except
+    the deliberate single-row scalar-threshold attaches (q11/q22), which
+    must broadcast exactly one row."""
+    import re as _re
+
+    for n in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+              15, 16, 17, 18, 19, 20, 21, 22]:
+        name = f"tpch_q{n}_shape"
+        plan = audit.executed_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        if n in (11, 22):
+            # scalar-threshold attach: a one-row broadcast join is the plan
+            continue
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_tpch_q21_two_lineitem_scans(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS fold: exactly two lineitem scans (the
+    correlated formulation needs three)."""
+    plan = audit.executed_plan(QUERIES["tpch_q21_shape"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
