@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # go in the first block as they are built.
 _CHECK_ORDER = [
     # round-4 new operators — never checked (prepend as built)
+    "hudi_time_travel",
     "corpus_filter_funnel",
     "split_train_val",
     "tpch_q4_shape",

@@ -172,7 +172,12 @@ class HudiTable:
                 return False
         return os.path.isdir(f"{local.rstrip('/')}__hudi_log")
 
-    def read(self, spark: SparkSession, mode: str = "snapshot") -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        mode: str = "snapshot",
+        as_of_seq: int | None = None,
+    ) -> DataFrame:
         """Current table state. COPY_ON_WRITE: the base files are the
         state. MERGE_ON_READ: merge base + delta log at read time —
         latest-wins per key by (unconditional-delete, precombine, commit
@@ -184,11 +189,32 @@ class HudiTable:
         merges the log; ``read_optimized`` returns the base files only —
         no shuffle, latest compaction's state, pending log commits not
         visible (Hudi's ``hoodie.datasource.query.type=read_optimized``).
+
+        ``as_of_seq`` is time travel (Hudi's ``as.of.instant`` query,
+        HoodieSparkUtils reads with ``hoodie.datasource.read.end.instanttime``):
+        the snapshot as of delta commit ``as_of_seq`` inclusive — the
+        merge simply ignores younger log entries, so the cost is the
+        same one key-shuffle. History folded by a compaction is gone
+        (same horizon rule as read_incremental); asking for it raises.
         """
         if mode not in ("snapshot", "read_optimized"):
             raise ValueError(
                 f"unsupported read mode {mode!r}: snapshot | read_optimized"
             )
+        if as_of_seq is not None:
+            if not self.is_mor:
+                raise ValueError(
+                    "time travel requires a MERGE_ON_READ table "
+                    "(COPY_ON_WRITE rewrites keep no commit history)"
+                )
+            if mode != "snapshot":
+                raise ValueError("time travel is a snapshot-mode read")
+            if as_of_seq < self._seq_base() - 1:
+                raise ValueError(
+                    f"as_of_seq {as_of_seq} predates the last compaction "
+                    f"(history before seq {self._seq_base()} was folded "
+                    "into the base files)"
+                )
         base = spark.read.parquet(self.path)
         if mode == "read_optimized" or not (
             self.is_mor and self._has_log(spark)
@@ -198,6 +224,8 @@ class HudiTable:
         # entries; without it parquet samples ONE file's schema and
         # upsert rows can lose their data/precombine columns to nulls
         log = spark.read.option("mergeSchema", "true").parquet(self._log_path)
+        if as_of_seq is not None:
+            log = log.filter(F.col("__hudi_seq") <= as_of_seq)
         tagged_base = base.withColumn("__hudi_op", F.lit("upsert")).withColumn(
             "__hudi_seq", F.lit(-1).cast("long")
         )

@@ -1106,6 +1106,52 @@ def hudi_mor_read(spark, sf_dir):
 
 
 @query(
+    "hudi_time_travel",
+    oracle="""
+    WITH updated AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             o_orderdate + INTERVAL 1 DAY AS o_orderdate
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderdate, o.o_orderdate) AS o_orderdate
+    FROM orders o LEFT JOIN updated u USING (o_orderkey)
+    """,
+)
+def hudi_time_travel(spark, sf_dir):
+    """§1.2 time travel (Hudi ``as.of.instant``): same MOR write
+    sequence as hudi_mor_read (bulk_insert → upsert keys %10 → delete
+    keys %20), but read AS OF the upsert commit — the later delete must
+    be invisible, so the oracle is the updated table with every key
+    still present. The as-of merge ignores younger log entries; cost is
+    the same single key-shuffle as the snapshot read."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="tt_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(o)
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    t.upsert(updates, spark)
+    upsert_seq = t.latest_commit_seq(spark)
+    t.delete(o.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey"), spark)
+    return t.read(spark, as_of_seq=upsert_seq)
+
+
+@query(
     "hudi_cluster_read",
     oracle="SELECT o_orderkey, o_totalprice, o_orderdate FROM orders",
 )

@@ -1053,3 +1053,46 @@ def test_hudi_cluster_zorder_constant_and_null_columns(spark, tmp_path):
     before = {(r.id, r.const, r.sparse) for r in t.read(spark).collect()}
     t.cluster(spark, ["const", "sparse"], target_files=4)
     assert {(r.id, r.const, r.sparse) for r in t.read(spark).collect()} == before
+
+
+def test_hudi_mor_time_travel(spark, tmp_path):
+    """as_of_seq reads each historical state; later commits invisible;
+    compaction sets the horizon; COW and read_optimized refuse."""
+    t = HudiTable(
+        path=str(tmp_path / "tt"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "id int, ver int, v string"
+        )
+    )
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
+    seq_upsert = t.latest_commit_seq(spark)
+    t.delete(spark.createDataFrame([(3,)], "id int"))
+    seq_delete = t.latest_commit_seq(spark)
+    # as of base (before any delta commit): original rows
+    got = {r["id"]: r["v"] for r in t.read(spark, as_of_seq=-1).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # as of the upsert: update visible, delete not yet
+    got = {r["id"]: r["v"] for r in t.read(spark, as_of_seq=seq_upsert).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+    # as of the delete == current snapshot
+    got = {r["id"]: r["v"] for r in t.read(spark, as_of_seq=seq_delete).collect()}
+    assert got == {1: "a2", 2: "b"}
+    # compaction folds history: pre-compaction instants become unreadable
+    t.compact(spark)
+    with pytest.raises(ValueError, match="predates the last compaction"):
+        t.read(spark, as_of_seq=seq_upsert)
+    # post-compaction current state still reads
+    t.upsert(spark.createDataFrame([(2, 3, "b3")], "id int, ver int, v string"))
+    got = {r["id"]: r["v"] for r in
+           t.read(spark, as_of_seq=t.latest_commit_seq(spark)).collect()}
+    assert got == {1: "a2", 2: "b3"}
+    with pytest.raises(ValueError, match="snapshot-mode"):
+        t.read(spark, mode="read_optimized", as_of_seq=0)
+    cow = HudiTable(path=str(tmp_path / "ttcow"), record_key="id", precombine="v")
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        cow.read(spark, as_of_seq=0)
