@@ -47,6 +47,8 @@ _CHECK_ORDER = [
     "hudi_time_travel",
     "corpus_filter_funnel",
     "split_train_val",
+    "funnel_conversion",
+    "retention_cohorts",
     "tpch_q4_shape",
     "tpch_q6_shape",
     "tpch_q7_shape",

@@ -1072,3 +1072,101 @@ def split_train_val(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event analytics composites: ordered funnel + retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    later timestamps): how many users reach each stage. Each stage is a
+    keyed MIN aggregate joined to the previous stage's anchor time —
+    every join and aggregate shares the user_id partitioning, so at
+    100 TB the three stages ride one co-partitioned shuffle chain
+    (exchange reuse), never a per-event self-join of the full log."""
+    e = _t(spark, sf_dir, "events")["events"].select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events
+    )
+    SELECT cohort_week, active_week, COUNT(*) AS n_users
+    FROM first_seen JOIN activity USING (user_id)
+    GROUP BY cohort_week, active_week
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in every week they were active — the triangle matrix every
+    growth dashboard draws. Two user-keyed aggregates joined on user
+    (co-partitioned — one shuffle chain), then a small keyed count; the
+    week floor is ISO-Monday date_trunc in both engines."""
+    e = _t(spark, sf_dir, "events")["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
