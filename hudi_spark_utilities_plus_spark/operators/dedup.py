@@ -326,30 +326,42 @@ def simhash(text: Column) -> Column:
     """64-bit SimHash from whitespace tokens, fully JVM-side.
 
     For each bit j: sum over tokens of ±1 by bit j of xxhash64(token);
-    bit set iff the vote is positive. Expressed as a fold over the token
-    array with bitwise ops — no Python UDF in the path.
+    bit set iff the vote is positive. ONE pass over the token array — a
+    64-element vote-vector accumulator updated per token (zip_with) —
+    instead of 64 separate folds: same signature bit-for-bit, ~64×
+    less array traversal and a codegen tree that is O(1) aggregates
+    instead of O(bits).
     """
     tok_hashes = F.transform(ws_tokens(text), lambda t: F.xxhash64(t))
-
-    def _vote(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for j in range(64):
-        vote = F.aggregate(tok_hashes, F.lit(0), _vote(j))
-        bits.append(
-            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2**j % (2**63)))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    # bit 63 would overflow a positive long multiplier; fold it via minimum
-    # long semantics: use bitwise OR accumulation instead of sum.
-    out = bits[0]
-    for b in bits[1:63]:
-        out = out.bitwiseOR(b)
-    sign_bit = F.aggregate(tok_hashes, F.lit(0), _vote(63))
-    return F.when(sign_bit > 0, out.bitwiseOR(F.lit(-(2**63)))).otherwise(out)
+    # single-bit masks for bits 0..63; bit 63 is the long's sign bit, so
+    # its mask is MIN_LONG — bitwiseAND/bitwiseOR treat it uniformly
+    masks = F.array(
+        *[F.lit(1 << j) for j in range(63)], F.lit(-(2**63))
+    )
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # positive vote → that bit's mask; OR-fold packs the signature
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_pairs(
