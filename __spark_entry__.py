@@ -45,6 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # round-4 new operators — never checked (prepend as built)
     "hudi_time_travel",
+    "hudi_mor_ro_read",
+    "join_bucketed",
     "corpus_filter_funnel",
     "split_train_val",
     "funnel_conversion",

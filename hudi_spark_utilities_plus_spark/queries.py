@@ -1106,6 +1106,40 @@ def hudi_mor_read(spark, sf_dir):
 
 
 @query(
+    "hudi_mor_ro_read",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderdate FROM orders",
+)
+def hudi_mor_ro_read(spark, sf_dir):
+    """§1.2 MOR read_optimized query type, driver-provable: after the
+    same upsert + delete log commits as hudi_mor_read, a read-optimized
+    read must return ONLY the compacted base — the original bulk_insert
+    state, pending log commits invisible (Hudi's
+    ``hoodie.datasource.query.type=read_optimized``; no merge shuffle)."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="ro_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(o)
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    t.upsert(updates, spark)
+    t.delete(o.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey"), spark)
+    return t.read(spark, mode="read_optimized")
+
+
+@query(
     "hudi_time_travel",
     oracle="""
     WITH updated AS (
@@ -1149,6 +1183,58 @@ def hudi_time_travel(spark, sf_dir):
     upsert_seq = t.latest_commit_seq(spark)
     t.delete(o.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey"), spark)
     return t.read(spark, as_of_seq=upsert_seq)
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Bucketed co-located join end-to-end: both fact tables written
+    bucketBy(16) + sortBy on the join key, then joined WITHOUT a
+    broadcast — the bucket layout replaces the shuffle (no Exchange
+    hashpartitioning on either side; test_plans pins the property on
+    toy tables, this id proves value-correctness on the real data).
+    This is the pre-partitioning pattern for repeated large-large joins
+    at 100 TB: pay the layout once at write time, join for free after.
+    The aggregation keys on o_orderstatus AFTER the join, so the
+    bucketed join's output partitioning feeds the aggregate's partial
+    phase directly."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    li_t, o_t = f"bq_li_{suffix}", f"bq_o_{suffix}"
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    t["lineitem"].select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(li_t)
+    t["orders"].select("o_orderkey", "o_orderstatus").write.bucketBy(
+        16, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o_t)
+    # the merge hint (not a session-conf toggle, which would leak into
+    # the caller's later queries) forces the sort-merge strategy that
+    # reads the bucket layout — planned with zero exchanges
+    return (
+        spark.table(li_t)
+        .hint("merge")
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
 
 
 @query(
