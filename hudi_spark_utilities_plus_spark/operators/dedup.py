@@ -443,15 +443,18 @@ def benchmark_overlap(
     _verify_jaccard's.
     """
     sh = _shingled(df, text_col, id_col, n)
+    # hash INSIDE the array, then explode: the Generate materializes
+    # 8-byte longs instead of shingle strings — less row-buffer traffic
+    # for every downstream operator
+    hash_all = lambda c: F.transform(c, lambda g: F.xxhash64(g))  # noqa: E731
     bench_grams = (
         scatter(bench)
-        .select(F.explode(shingles(F.col(text_col), n)).alias("g"))
-        .select(F.xxhash64("g").alias("gh"))
+        .select(F.explode(hash_all(shingles(F.col(text_col), n))).alias("gh"))
         .distinct()
     )
     doc_grams = sh.select(
-        "doc", "n_sh", F.explode("sh").alias("g")
-    ).select("doc", "n_sh", F.xxhash64("g").alias("gh"))
+        "doc", "n_sh", F.explode(hash_all(F.col("sh"))).alias("gh")
+    )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gh")
         .groupBy("doc", "n_sh")
