@@ -51,6 +51,8 @@ _CHECK_ORDER = [
     "split_train_val",
     "funnel_conversion",
     "retention_cohorts",
+    "win_cume_dist",
+    "agg_stats_moments",
     "tpch_q4_shape",
     "tpch_q6_shape",
     "tpch_q7_shape",

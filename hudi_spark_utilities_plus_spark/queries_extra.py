@@ -384,3 +384,91 @@ def win_range_between(spark, sf_dir):
         "o_orderkey",
         (F.col("nearby_total") / F.lit(100.0)).alias("nearby_total"),
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS DOUBLE)
+             AS cd,
+           CAST(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS DOUBLE)
+             AS pr
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def win_cume_dist(spark, sf_dir):
+    """B12 partitioned distribution functions: cume_dist + percent_rank
+    per priority class. Partitioned windows shuffle once on the
+    partition key — no global-order hazard (the global variants live in
+    win_ntile via the two-phase operator). The (o_totalprice,
+    o_orderkey) order is a total order, so ranks are deterministic;
+    both functions are single divisions of exact integer ranks."""
+    o = _t(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+             CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_linenumber AS DOUBLE)
+                      * CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS syy,
+             CAST(SUM(l_quantity * CAST(l_linenumber AS DOUBLE)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_line
+    FROM m
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """B19 statistical aggregates with cross-engine exactness: native
+    stddev/corr accumulate floats in partition order (Welford variants —
+    last-bit nondeterministic across engines AND across partitionings),
+    so this derives them from exact moment sums instead. l_quantity and
+    l_linenumber are integer-valued, so SUM/SUM-of-squares/cross-sum are
+    exact in any accumulation order; stddev and Pearson r are then each
+    one fixed double expression. Same single map-side-combined aggregate
+    shape as native stddev — determinism costs nothing."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_quantity")
+    y = F.col("l_linenumber").cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_line"),
+    )
