@@ -53,6 +53,9 @@ _CHECK_ORDER = [
     "retention_cohorts",
     "win_cume_dist",
     "agg_stats_moments",
+    "profile_orders",
+    "agg_collect_csv",
+    "date_spine_fill",
     "tpch_q4_shape",
     "tpch_q6_shape",
     "tpch_q7_shape",

@@ -472,3 +472,95 @@ def agg_stats_moments(spark, sf_dir):
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_qty_line"),
     )
+
+
+@query(
+    "profile_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey) AS custkey_distinct,
+           COUNT(o_orderstatus) AS status_nonnull,
+           COUNT(DISTINCT o_orderstatus) AS status_distinct,
+           COUNT(o_orderpriority) AS prio_nonnull,
+           COUNT(DISTINCT o_orderpriority) AS prio_distinct
+    FROM orders
+    """,
+)
+def profile_orders(spark, sf_dir):
+    """Data-profiling summary: per-column non-null + exact distinct
+    counts in ONE aggregate. Spark plans the multi-column distinct via
+    Expand (each row fans out once per distinct column) — one shuffle
+    total, linear in columns, instead of one aggregation pass per
+    column. The profiling report every ingestion pipeline runs first."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.count("o_orderstatus").alias("status_nonnull"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.count("o_orderpriority").alias("prio_nonnull"),
+        F.countDistinct("o_orderpriority").alias("prio_distinct"),
+    )
+
+
+@query(
+    "agg_collect_csv",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_csv(spark, sf_dir):
+    """List aggregation with a deterministic contract: collect_set is
+    unordered by definition (partition arrival order), so the registry
+    output sorts the set and renders CSV — same trick every
+    deterministic pipeline needs when materializing grouped lists."""
+    n = _t(spark, sf_dir, "nation")["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias(
+            "nations_csv"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@query(
+    "date_spine_fill",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(d1 - d0 AS BIGINT) + 1 AS span_days,
+           active_days,
+           CAST(d1 - d0 AS BIGINT) + 1 - active_days AS gap_days
+    FROM span
+    """,
+)
+def date_spine_fill(spark, sf_dir):
+    """Date-spine gap analysis: per user, the calendar span between
+    first and last event vs the days actually active — the
+    sequence-generation + distinct-date pattern behind time-series gap
+    filling (the spine itself is F.sequence(d0, d1); the checkable
+    contract is its arithmetic: span = gaps + active). One user-keyed
+    aggregate, integer-exact."""
+    e = _t(spark, sf_dir, "events")["events"]
+    d = F.col("ts").cast("date")
+    span = e.groupBy("user_id").agg(
+        F.min(d).alias("d0"),
+        F.max(d).alias("d1"),
+        F.countDistinct(d).alias("active_days"),
+    )
+    span_days = F.datediff(F.col("d1"), F.col("d0")).cast("long") + 1
+    return span.select(
+        "user_id",
+        span_days.alias("span_days"),
+        "active_days",
+        (span_days - F.col("active_days")).alias("gap_days"),
+    )
