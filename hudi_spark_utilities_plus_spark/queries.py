@@ -1207,7 +1207,24 @@ def join_bucketed(spark, sf_dir):
     The aggregation keys on o_orderstatus AFTER the join, so the
     bucketed join's output partitioning feeds the aggregate's partial
     phase directly."""
+    import glob
+    import os
+    import shutil
     import uuid
+    from urllib.parse import urlparse
+
+    # reclaim earlier invocations' bucketed tables (uuid-named so a
+    # re-entrant run never collides): catalog entries from this session,
+    # then orphaned warehouse dirs from previous sessions
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(("bq_li_", "bq_o_")):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        for d in glob.glob(os.path.join(wh, "bq_li_*")) + glob.glob(
+            os.path.join(wh, "bq_o_*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
 
     suffix = uuid.uuid4().hex[:8]
     li_t, o_t = f"bq_li_{suffix}", f"bq_o_{suffix}"
