@@ -1096,3 +1096,59 @@ def test_hudi_mor_time_travel(spark, tmp_path):
     cow = HudiTable(path=str(tmp_path / "ttcow"), record_key="id", precombine="v")
     with pytest.raises(ValueError, match="MERGE_ON_READ"):
         cow.read(spark, as_of_seq=0)
+
+
+def test_sessionize_property_sweep_vs_bruteforce(spark):
+    """Deterministic sweep: 3 gap settings x a seeded event set with
+    duplicate timestamps, out-of-order arrival, and single-event users —
+    session_stats must equal a pure-Python brute force on every
+    (user, session) row."""
+    import datetime as dt
+
+    from hudi_spark_utilities_plus_spark.operators.sessions import session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    # splitmix-ish deterministic "random" offsets; includes exact ties
+    rows = []
+    eid = 0
+    for u in range(7):
+        t_us = 0
+        for i in range(u * 3 % 11):  # 0..10 events per user (user 0: none)
+            step = ((u * 2654435761 + i * 40503) % 5000) * 1_000_000
+            t_us += step
+            rows.append((eid, u, base + dt.timedelta(microseconds=t_us)))
+            eid += 1
+            if (u + i) % 4 == 0:  # exact duplicate timestamp, new event id
+                rows.append((eid, u, base + dt.timedelta(microseconds=t_us)))
+                eid += 1
+    df = spark.createDataFrame(
+        [(e, u, t) for e, u, t in rows], "event_id long, user_id long, ts timestamp"
+    )
+    for gap_s in (1, 1800, 4000):
+        # python brute force: sort by (ts, event_id), split on gap > gap_s
+        expected = {}
+        by_user = {}
+        for e, u, t in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+            by_user.setdefault(u, []).append(t)
+        for u, ts_list in by_user.items():
+            seq = 0
+            prev = None
+            bounds = []  # (seq, first, last)
+            for t in ts_list:
+                if prev is None or (t - prev).total_seconds() > gap_s:
+                    seq += 1
+                    bounds.append([seq, t, t])
+                else:
+                    bounds[-1][2] = t
+                prev = t
+            for s, t0, t1 in bounds:
+                n = sum(1 for t in ts_list if t0 <= t <= t1)
+                expected[(u, s)] = (
+                    n,
+                    int((t1 - t0).total_seconds() * 1_000_000),
+                )
+        got = {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["span_us"])
+            for r in session_stats(df, gap_seconds=gap_s).collect()
+        }
+        assert got == expected, f"gap={gap_s}: {got} != {expected}"
