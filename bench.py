@@ -55,6 +55,11 @@ HEADLINE = [
     "tpch_q14_shape",
     "tpch_q19_shape",
     "tpch_q22_shape",
+    "join_bucketed",
+    "corpus_filter_funnel",
+    "funnel_conversion",
+    "retention_cohorts",
+    "hudi_time_travel",
 ]
 
 
