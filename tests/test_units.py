@@ -1152,3 +1152,45 @@ def test_sessionize_property_sweep_vs_bruteforce(spark):
             for r in session_stats(df, gap_seconds=gap_s).collect()
         }
         assert got == expected, f"gap={gap_s}: {got} != {expected}"
+
+
+def test_asof_property_sweep_vs_bruteforce(spark):
+    """Deterministic sweep: tolerance x seeded (key, ts) sets with
+    unmatched keys, exact-tie timestamps (backward INCLUSIVE must take
+    them) and sparse right sides — asof_join must equal a pure-Python
+    scan for every left row."""
+    import datetime as dt
+
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 6, 1)
+    lrows, rrows = [], []
+    for k in range(6):
+        for i in range((k * 5 + 3) % 7 + 1):
+            off = (k * 7919 + i * 104729) % 3600
+            lrows.append((k, base + dt.timedelta(seconds=off)))
+        for j in range(k % 4):  # keys 0 and 4 have NO right rows
+            off = (k * 15485863 + j * 32452843) % 3600
+            rrows.append((k, base + dt.timedelta(seconds=off), k * 100 + j))
+    # exact tie: right row at a left timestamp
+    rrows.append((1, lrows[[r[0] for r in lrows].index(1)][1], 999))
+    ldf = spark.createDataFrame(lrows, "k long, lts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, rts timestamp, payload long")
+    for tol in (None, 600):
+        got = {
+            (r["k"], r["lts"]): (r["rts"], r["payload"])
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        expected = {}
+        for k, lts in lrows:
+            cands = [
+                (rts, p) for (rk, rts, p) in rrows
+                if rk == k and rts <= lts
+                and (tol is None or (lts - rts).total_seconds() <= tol)
+            ]
+            # greatest (ts, payload) wins — the documented tie policy
+            expected[(k, lts)] = max(cands) if cands else (None, None)
+        assert got == expected, f"tol={tol}"
