@@ -131,18 +131,29 @@ def global_running_sum(
         (r["_pid"], r["t"])
         for r in local.groupBy("_pid").agg(F.sum("_v").alias("t")).collect()
     )
+    # offsets inherit the sum's arithmetic from the VALUE column's type:
+    # integral columns stay exact longs (token counts — the original
+    # contract), fractional ones ride as doubles instead of crashing
+    # the offset schema
+    integral = tagged.schema["_v"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
     offsets, acc = {}, 0
     for pid, t in totals:
-        offsets[pid] = acc
+        offsets[pid] = int(acc) if integral else float(acc)
         acc += t or 0  # SUM of an all-NULL partition is NULL → adds 0
     off_df = F.broadcast(
         sess.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+            [(pid, off) for pid, off in offsets.items()],
+            "_pid INT, _off " + ("LONG" if integral else "DOUBLE"),
         )
     )
+    out = (F.col("_off") + F.col("_lcum"))
+    if integral:
+        out = out.cast("long")
     return (
         local.join(off_df, "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("long"))
+        .withColumn(out_col, out)
         .drop("_pid", "_v", "_lcum", "_off")
     )
 

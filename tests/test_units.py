@@ -1194,3 +1194,73 @@ def test_asof_property_sweep_vs_bruteforce(spark):
             # greatest (ts, payload) wins — the documented tie policy
             expected[(k, lts)] = max(cands) if cands else (None, None)
         assert got == expected, f"tol={tol}"
+
+
+def test_global_windows_equal_native_single_partition(spark):
+    """Equivalence sweep: the two-phase global row_number / ntile /
+    percent_rank / running-sum programs must match Spark's native
+    global-ORDER-BY window (safe at toy scale) value-for-value,
+    including duplicate sort keys resolved by the tiebreak column."""
+    from pyspark.sql import Window as W
+
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        global_row_number,
+        global_running_sum,
+        ntile_expr,
+        percent_rank_expr,
+    )
+
+    rows = [(i, (i * 7) % 5, float((i * 13) % 9)) for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, grp long, v double")
+    order = [F.col("v").desc(), F.col("id")]
+    ranked, n_total = global_row_number(df, order)
+    got = ranked.select(
+        "id",
+        F.col("rn"),
+        ntile_expr(F.col("rn"), n_total, 4).alias("nt"),
+        percent_rank_expr(F.col("rn"), n_total).alias("pr"),
+    )
+    w = W.orderBy(*order)
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("nt"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got_rs = global_running_sum(df, order, F.col("v"))
+    want_rs = df.select(
+        "id",
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum"
+        ),
+    )
+    g = {r["id"]: r["cum"] for r in got_rs.select("id", "cum").collect()}
+    t = {r["id"]: r["cum"] for r in want_rs.collect()}
+    assert g.keys() == t.keys()
+    for k in g:
+        assert abs(g[k] - t[k]) < 1e-9, (k, g[k], t[k])
+
+
+def test_packing_property_sweep_vs_bruteforce(spark):
+    """pack_stats vs a pure-Python cumulative-cut reference across three
+    budgets, including docs larger than the budget (they open their own
+    pack and overflow it — concat-and-chunk keeps token order)."""
+    from hudi_spark_utilities_plus_spark.operators.packing import pack_stats
+
+    toks = [(i, ((i * 37) % 90) + 1) for i in range(60)]  # 1..90 tokens
+    df = spark.createDataFrame(toks, "doc_id long, tok long")
+    for budget in (50, 100, 1000):
+        cum = 0
+        expected = {}
+        for _, t in sorted(toks):
+            pid = cum // budget
+            n, tot = expected.get(pid, (0, 0))
+            expected[pid] = (n + 1, tot + t)
+            cum += t
+        got = {
+            r["pack_id"]: (r["n_docs"], r["tok_total"])
+            for r in pack_stats(df, "doc_id", "tok", budget=budget).collect()
+        }
+        assert got == expected, f"budget={budget}"
