@@ -56,6 +56,7 @@ _CHECK_ORDER = [
     "profile_orders",
     "agg_collect_csv",
     "date_spine_fill",
+    "agg_conditional_family",
     "tpch_q4_shape",
     "tpch_q6_shape",
     "tpch_q7_shape",

@@ -564,3 +564,31 @@ def date_spine_fill(spark, sf_dir):
         "active_days",
         (span_days - F.col("active_days")).alias("gap_days"),
     )
+
+
+@query(
+    "agg_conditional_family",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           MIN(l_linestatus) AS any_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_family(spark, sf_dir):
+    """B9/B19 conditional-aggregate family: count_if (FILTER clause),
+    bool_and/bool_or quantifiers, and a deterministic any_value stand-in
+    (MIN — native any_value is arrival-order-dependent, useless under a
+    hash compare). All partial-aggregable — one map-side-combined
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.min("l_linestatus").alias("any_status"),
+    )
