@@ -1264,3 +1264,94 @@ def test_packing_property_sweep_vs_bruteforce(spark):
             for r in pack_stats(df, "doc_id", "tok", budget=budget).collect()
         }
         assert got == expected, f"budget={budget}"
+
+
+def test_flatten_property_sweep_vs_python_reference(spark):
+    """Equivalence sweep: a Python reimplementation of the reference's
+    flatten fixpoint (explode-first-array-of-struct, promote-first-
+    struct, append-at-end, rename chain) run over nested rows with
+    nulls, empty arrays, and two array columns — flatten(df) must match
+    row-multiset AND column order exactly."""
+    rows = [
+        (1, {"a": 1, "b": {"x": "p"}}, [{"v": 1}, {"v": 2}], [{"w": "m"}]),
+        (2, {"a": 2, "b": {"x": None}}, [], [{"w": "n"}, {"w": "o"}]),
+        (3, None, None, []),
+    ]
+    schema = (
+        "id long, s struct<a: long, b: struct<x: string>>, "
+        "arr1 array<struct<v: long>>, arr2 array<struct<w: string>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    from hudi_spark_utilities_plus_spark.operators.flatten import flatten
+
+    out = flatten(df)
+
+    # python reference: same fixpoint over plain dict rows
+    def py_flatten(cols, data):
+        # cols: list of (name, kind) where kind in ('plain','struct','arrstruct')
+        while True:
+            arr_i = next((i for i, c in enumerate(cols) if c[1] == "arrstruct"), None)
+            st_i = next((i for i, c in enumerate(cols) if c[1] == "struct"), None)
+            if arr_i is not None:
+                name, _, sub = cols[arr_i]
+                new_rows = []
+                for r in data:
+                    items = r[name]
+                    if not items:  # explode_outer on empty/null keeps parent
+                        nr = dict(r); nr[name + "_el"] = None
+                        new_rows.append(nr)
+                    else:
+                        for it in items:
+                            nr = dict(r); nr[name + "_el"] = it
+                            new_rows.append(nr)
+                data = new_rows
+                # replacement struct column appended at END
+                cols = cols[:arr_i] + cols[arr_i + 1:] + [(name + "_el", "struct", sub)]
+                # rename to the exploded column's own name (reference
+                # keeps the same name); emulate: promote under original name
+                cols[-1] = (name, "struct", sub)
+                for r in data:
+                    r[name] = r.pop(name + "_el")
+            elif st_i is not None:
+                name, _, sub = cols[st_i]
+                promoted = []
+                for child, kind, csub in sub:
+                    flat = (name + "_" + child).replace(".", "_").replace("$", "_")
+                    flat = flat.replace("__", "_").replace(" ", "").replace("-", "")
+                    promoted.append((flat, kind, csub))
+                for r in data:
+                    s = r.pop(name)
+                    for (child, _, _), (flat, _, _) in zip(sub, promoted):
+                        r[flat] = None if s is None else s.get(child)
+                cols = cols[:st_i] + cols[st_i + 1:] + promoted
+            else:
+                return cols, data
+
+    start_cols = [
+        ("id", "plain", None),
+        ("s", "struct", [("a", "plain", None),
+                         ("b", "struct", [("x", "plain", None)])]),
+        ("arr1", "arrstruct", [("v", "plain", None)]),
+        ("arr2", "arrstruct", [("w", "plain", None)]),
+    ]
+    start_data = [
+        {"id": 1, "s": {"a": 1, "b": {"x": "p"}},
+         "arr1": [{"v": 1}, {"v": 2}], "arr2": [{"w": "m"}]},
+        {"id": 2, "s": {"a": 2, "b": {"x": None}},
+         "arr1": [], "arr2": [{"w": "n"}, {"w": "o"}]},
+        {"id": 3, "s": None, "arr1": None, "arr2": []},
+    ]
+    ref_cols, ref_data = py_flatten(start_cols, start_data)
+    ref_names = [c[0] for c in ref_cols]
+    assert out.columns == ref_names, (out.columns, ref_names)
+
+    def row_of(d):
+        return tuple(
+            (None if d[n] is None else d[n].get("v") if isinstance(d[n], dict) and "v" in d[n]
+             else d[n].get("w") if isinstance(d[n], dict) and "w" in d[n] else d[n])
+            for n in ref_names
+        )
+
+    expected = sorted(row_of(d) for d in ref_data)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == expected, (got, expected)
