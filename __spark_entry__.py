@@ -36,129 +36,120 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order.  Round-4 rotation: (a) the last three ids with no driver row
-# in any round, (b) the three round-3 failures, now fixed, (c) the five ids
-# that had no oracle until this round, (d) re-checks of everything this
-# round's code changes touch (scatter() gating affects every documents/
-# embeddings pipeline), then algorithmic re-checks.  New round-4 operators
-# go in the first block as they are built.
+# in dict order.  Round-5 rotation: (a) the round-4 red row, oracle fixed
+# this round (HUGEINT-typed SUM(CASE) -> COUNT(*) FILTER); (b) round-5 new
+# ids, never driver-checked; (c) ids whose oracle or implementation this
+# round's changes touch (mm ASCII-guard oracles, join_bucketed refactor,
+# verify-join fallback, global_running_sum decimal branch); (d) the stale
+# cohort whose last green row is round 2 — everything else was re-proven in
+# r3/r4.  40 of the 49 r2-cohort ids fit; the nine deferred past the window
+# edge all have same-operator-family siblings INSIDE the window and lead
+# the r6 rotation.
 _CHECK_ORDER = [
-    # round-4 new operators — never checked (prepend as built)
-    "hudi_time_travel",
-    "hudi_mor_ro_read",
-    "join_bucketed",
-    "corpus_filter_funnel",
-    "split_train_val",
-    "funnel_conversion",
-    "retention_cohorts",
-    "win_cume_dist",
-    "agg_stats_moments",
-    "profile_orders",
-    "agg_collect_csv",
-    "date_spine_fill",
-    "agg_conditional_family",
-    "tpch_q4_shape",
-    "tpch_q6_shape",
-    "tpch_q7_shape",
-    "tpch_q8_shape",
-    "tpch_q11_shape",
+    # (a) round-4 red row — oracle rewritten COUNT(*) FILTER, must re-prove
     "tpch_q12_shape",
-    "tpch_q14_shape",
-    "tpch_q15_shape",
-    "tpch_q16_shape",
-    "tpch_q19_shape",
-    "tpch_q22_shape",
-    "tpch_q2_shape",
-    "tpch_q9_shape",
-    "tpch_q13_shape",
-    "tpch_q17_shape",
-    "tpch_q20_shape",
-    "tpch_q21_shape",
-    # (a) never driver-checked in any round
-    "set_union_all",
-    "agg_having",
-    "agg_minmax",
-    # (b) round-3 failures, fixed this round
-    "sessionize_events",
-    "pack_token_budget",
-    "embedding_quantize",
-    # (c) oracle-backed for the first time this round
-    "dedup_simhash",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
+    # (b) round-5 new ids, never driver-checked
+    "join_right",
+    "stream_trigger",
+    "stream_recovery",
+    # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
-    # (d) re-checks touched by the scatter() gating change
-    "dedup_exact",
+    "join_bucketed",
+    "pack_token_budget",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_components",
-    "contamination_check",
-    "mm_features",
-    "pii_scrub",
-    "ngram_bigrams",
-    "chunk_documents",
-    "keyword_extract",
-    "text_quality",
-    "text_repetition",
-    "lang_id",
+    # (d) stale cohort: last green row is round 2 (40 of 49 fit the window)
+    "agg_approx_distinct",
+    "agg_distinct",
+    "agg_group",
+    "agg_rollup",
+    "array_funcs",
+    "cast_types",
+    "cdc_apply",
+    "cte",
+    "date_funcs",
+    "dedup_latest_wins",
+    "derive_partition_dt",
     "doc_fingerprint",
-    "sample_hash_docs",
-    "sample_stratified",
-    "word_freq",
-    # algorithmic re-checks
-    "embedding_similar_pairs",
-    "ann_topk",
-    "join_asof",
-    "win_ntile",
-    "win_range_between",
-    "agg_percentile",
-    "hudi_cluster_read",
+    "filter_eq",
+    "flatten_struct",
     "hudi_mor_read",
     "hudi_upsert",
-    "cdc_apply",
+    "join_anti",
+    "join_broadcast",
+    "join_full",
+    "join_inner",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "json_funcs",
+    "lang_id",
+    "math_funcs",
+    "null_funcs",
+    "project_expr",
+    "scan_parquet",
+    "set_union",
+    "sort_limit_topk",
+    "str_funcs",
     "stream_tumbling",
-    "stream_sliding",
+    "struct_access",
+    "subquery_in",
+    "text_quality",
+    "token_counts",
+    "transform_sql",
+    "win_rank",
+    "win_running_sum",
+    # ---- window edge: position 50 ----
+    # deferred r2-cohort ids (each has a same-family sibling inside the
+    # window above); these lead the round-6 rotation
+    "filter_in",
+    "filter_null",
+    "set_except",
+    "set_intersect",
+    "join_cross",
+    "flatten_cartesian",
+    "flatten_array_struct",
+    "agg_cube",
+    "win_lag",
+    # last green row r3
+    "agg_decimal_total",
+    "agg_grouping_sets",
+    "agg_mode",
+    "agg_percentile",
+    "agg_percentile_sketch",
+    "agg_salted",
+    "ann_topk",
+    "date_arith",
+    "distinct_rows",
+    "embedding_similar_pairs",
+    "hist_totalprice",
+    "hudi_cluster_read",
+    "join_asof",
+    "join_salted",
+    "keyword_extract",
+    "map_access",
+    "order_nulls",
+    "pivot_status",
+    "sample_hash_docs",
+    "sample_stratified",
     "stream_session",
+    "stream_sliding",
+    "subquery_exists",
+    "subquery_scalar",
+    "text_repetition",
+    "tpch_q10_shape",
+    "tpch_q18_shape",
     "tpch_q1_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
-    "tpch_q10_shape",
-    "tpch_q18_shape",
-    "agg_decimal_total",
-    "agg_grouping_sets",
-    "join_salted",
-    "agg_mode",
-    # past the window edge: green rows of record in r1/r2/r3
-    "agg_percentile_sketch",
-    "hist_totalprice",
     "unpivot_measures",
-    "agg_salted",
-    "pivot_status",
     "win_first_last",
-    "subquery_scalar",
-    "subquery_exists",
-    "map_access",
-    "date_arith",
-    "distinct_rows",
-    "order_nulls",
-    "dedup_latest_wins",
-    "agg_approx_distinct",
-    "cast_types",
-    "flatten_struct",
-    "flatten_array_struct",
-    "flatten_cartesian",
-    "agg_rollup",
-    "agg_cube",
-    "win_rank",
-    "win_lag",
-    "win_running_sum",
-    "json_funcs",
-    "subquery_in",
-    "cte",
-    "transform_sql",
-    "agg_group",
-    "join_range",
+    "win_ntile",
+    "win_range_between",
+    "word_freq",
+    # last green row r4 — freshest; any id not listed here appends in
+    # registration order (see _ordered)
 ]
 
 

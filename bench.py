@@ -55,7 +55,8 @@ HEADLINE = [
     "tpch_q14_shape",
     "tpch_q19_shape",
     "tpch_q22_shape",
-    "join_bucketed",
+    "join_bucketed_write",
+    "join_bucketed_join",
     "corpus_filter_funnel",
     "funnel_conversion",
     "retention_cohorts",
@@ -70,6 +71,27 @@ def main() -> None:
 
     from hudi_spark_utilities_plus_spark.queries import QUERIES
     from hudi_spark_utilities_plus_spark.session import build_spark_session
+
+    # join_bucketed benched as two phases (one-time layout write vs the
+    # recurring zero-exchange join) so a join regression isn't masked by
+    # ~3 s of write noise; the registry id join_bucketed stays end-to-end
+    # for correctness. The write phase stashes its table names for the
+    # join phase (HEADLINE order keeps write before join).
+    from hudi_spark_utilities_plus_spark import queries as Q
+
+    bucketed_tables: dict[str, tuple[str, str]] = {}
+
+    def _bucketed_write_phase(spark, d):
+        bucketed_tables[d] = Q.bucketed_write(spark, d)
+        return spark.range(1)  # noop-sink placeholder; timing = the writes
+
+    def _bucketed_join_phase(spark, d):
+        return Q.bucketed_join(spark, *bucketed_tables[d])
+
+    special = {
+        "join_bucketed_write": _bucketed_write_phase,
+        "join_bucketed_join": _bucketed_join_phase,
+    }
 
     spark = build_spark_session(
         app_name="bench",
@@ -90,9 +112,9 @@ def main() -> None:
         warm_dir = sf_dir
     for name in HEADLINE:
         try:
-            QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            special.get(name, QUERIES.get(name))(spark, warm_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
         except Exception:
             pass
     spark.catalog.clearCache()
@@ -100,7 +122,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = special.get(name, QUERIES.get(name))
         t0 = time.perf_counter()
         # Per-query guard: one broken query must never erase the round's
         # perf artifact — record the failure and keep timing the rest.

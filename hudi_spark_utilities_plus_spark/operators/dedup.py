@@ -73,6 +73,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# scatter() decision memo, keyed by (app id, scanned file set). Scan
+# partitioning for a file source is a pure function of the file set and
+# the session's split size, so one probe per corpus per session is
+# enough; repeated operator calls over the same table skip the
+# DataFrame→RDD plan conversion entirely.
+_SCATTER_MEMO: dict[tuple, bool] = {}
+
+
 def scatter(df: DataFrame) -> DataFrame:
     """Spread rows across the cluster before CPU-heavy per-row work.
 
@@ -82,11 +90,26 @@ def scatter(df: DataFrame) -> DataFrame:
     on the input's partition count: a real lake scan already has
     thousands of partitions, and an unconditional repartition there would
     be a full extra shuffle of the corpus for nothing.
+
+    Only wrap RAW-SCAN DataFrames (a file read, optionally projected/
+    filtered): the partition-count probe converts the plan to an RDD, and
+    doing that to a post-shuffle DataFrame under AQE can eagerly execute
+    upstream stages. The probe result is memoized per (session, file set)
+    so steady-state calls never touch ``.rdd``.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        key = (spark.sparkContext.applicationId, tuple(sorted(df.inputFiles())))
+    except Exception:  # non-file source — probe without memoizing
+        key = None
+    if key is not None and key[1] and key in _SCATTER_MEMO:
+        sparse = _SCATTER_MEMO[key]
+    else:
+        sparse = df.rdd.getNumPartitions() < target
+        if key is not None and key[1]:
+            _SCATTER_MEMO[key] = sparse
+    return df.repartition(target) if sparse else df
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -101,7 +124,21 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+# Broadcast the verify-side shingle sets only while they plausibly fit in
+# executor memory: ~1 KB/doc of hashed shingles → ~500 MB at this cap.
+# Above it the verify join falls back to a shuffled (sort-merge/shuffled-
+# hash) join on doc id, which ships each array exactly once.
+_BROADCAST_VERIFY_MAX_DOCS = 500_000
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    *,
+    n_docs: int | None = None,
+    broadcast_verify: bool | None = None,
+) -> DataFrame:
     """Join candidate (doc_a, doc_b) pairs back to their shingle sets and
     keep pairs with exact Jaccard ≥ threshold.
 
@@ -111,12 +148,18 @@ def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataF
     collision folding two shingles is ~5e-15 per doc, far below the
     driver-oracle's noise floor.
 
-    The sets side is broadcast: candidates can outnumber docs 50:1, and
-    shipping KB-sized shingle arrays through a shuffle per candidate
-    dwarfs the map-side hash join. (Above broadcast capacity — billions
-    of docs — drop the hint and this becomes a sort-merge join on doc id,
-    shuffling each array once.)"""
-    sets = F.broadcast(sets)
+    Join strategy: candidates can outnumber docs 50:1, and shipping
+    KB-sized shingle arrays through a shuffle per candidate dwarfs a
+    map-side hash join — so the sets side is broadcast when it fits
+    (``n_docs`` ≤ _BROADCAST_VERIFY_MAX_DOCS). Above that cap (or with
+    ``broadcast_verify=False``) the hint is dropped and the join shuffles
+    on doc id instead, each shingle array crossing the wire once —
+    correct at any corpus size, never an executor OOM. ``broadcast_verify``
+    overrides the size gate in either direction."""
+    if broadcast_verify is None:
+        broadcast_verify = n_docs is not None and n_docs <= _BROADCAST_VERIFY_MAX_DOCS
+    if broadcast_verify:
+        sets = F.broadcast(sets)
     verified = (
         cand.join(
             sets.select(
@@ -151,6 +194,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
@@ -174,7 +218,7 @@ def ngram_jaccard_pairs(
     # count() populates the cache eagerly: otherwise the broadcast-build
     # job and the postings job race and each recomputes the subtree.
     s = s.persist()
-    s.count()
+    n_docs = s.count()
     prefix_len = F.floor(F.size("shh") * (1.0 - threshold)).cast("int") + 1
     posts = s.select(
         "doc", "n_sh", F.explode(F.slice("shh", 1, prefix_len)).alias("shingle")
@@ -194,7 +238,13 @@ def ngram_jaccard_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, s.select("doc", "shh", "n_sh"), threshold)
+    return _verify_jaccard(
+        cand,
+        s.select("doc", "shh", "n_sh"),
+        threshold,
+        n_docs=n_docs,
+        broadcast_verify=broadcast_verify,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +318,7 @@ def minhash_lsh_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, exact-Jaccard verified.
 
@@ -281,7 +332,7 @@ def minhash_lsh_pairs(
     # Signature computation feeds both sides of the band self-join and
     # the verify join — persist to compute shingles+signatures once.
     sigs = minhash_signatures(df, text_col, id_col, n).persist()
-    sigs.count()  # eager cache fill — see ngram_jaccard_pairs
+    n_docs = sigs.count()  # eager cache fill — see ngram_jaccard_pairs
     bands = sigs.select(
         "doc",
         "n_sh",
@@ -314,7 +365,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sigs.select("doc", "shh", "n_sh"), threshold)
+    return _verify_jaccard(
+        cand,
+        sigs.select("doc", "shh", "n_sh"),
+        threshold,
+        n_docs=n_docs,
+        broadcast_verify=broadcast_verify,
+    )
 
 
 # ---------------------------------------------------------------------------

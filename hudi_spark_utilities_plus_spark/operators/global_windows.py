@@ -133,24 +133,34 @@ def global_running_sum(
     )
     # offsets inherit the sum's arithmetic from the VALUE column's type:
     # integral columns stay exact longs (token counts — the original
-    # contract), fractional ones ride as doubles instead of crashing
-    # the offset schema
-    integral = tagged.schema["_v"].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint"
-    )
-    offsets, acc = {}, 0
+    # contract); DECIMAL columns keep exact Decimal offsets (money sums
+    # are exact — collapsing them to float would silently lose cents);
+    # other fractional types ride as doubles
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    vt = tagged.schema["_v"].dataType
+    integral = vt.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    decimal = isinstance(vt, DecimalType)
+    offsets, acc = {}, Decimal(0) if decimal else 0
     for pid, t in totals:
-        offsets[pid] = int(acc) if integral else float(acc)
+        offsets[pid] = int(acc) if integral else (acc if decimal else float(acc))
         acc += t or 0  # SUM of an all-NULL partition is NULL → adds 0
+    off_type = (
+        "LONG" if integral else f"DECIMAL(38,{vt.scale})" if decimal else "DOUBLE"
+    )
     off_df = F.broadcast(
         sess.createDataFrame(
             [(pid, off) for pid, off in offsets.items()],
-            "_pid INT, _off " + ("LONG" if integral else "DOUBLE"),
+            f"_pid INT, _off {off_type}",
         )
     )
     out = (F.col("_off") + F.col("_lcum"))
     if integral:
         out = out.cast("long")
+    elif decimal:
+        out = out.cast(f"decimal(38,{vt.scale})")
     return (
         local.join(off_df, "_pid")
         .withColumn(out_col, out)

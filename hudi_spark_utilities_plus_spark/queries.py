@@ -205,6 +205,40 @@ def join_left(spark, sf_dir):
 
 
 @query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_right(spark, sf_dir):
+    """B5: right outer join — the preserved side is on the right, orders
+    null-extend for customers with no orders (reference basis: the
+    delegated SQL surface accepts any join type, TransformUtils.scala:37).
+
+    Scale: same shuffle as the left-join mirror — Spark plans RIGHT
+    OUTER as a build-side flip of the same hash/sort-merge join, so no
+    extra exchange vs join_left."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+@query(
     "join_full",
     oracle="""
     WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
@@ -1185,6 +1219,77 @@ def hudi_time_travel(spark, sf_dir):
     return t.read(spark, as_of_seq=upsert_seq)
 
 
+def _bucketed_cleanup(spark) -> None:
+    """Reclaim THIS session's earlier bucketed tables plus clearly
+    orphaned warehouse dirs. DROP TABLE removes a managed table's dir;
+    the rm sweep is scoped to dirs older than 6 h so a concurrent
+    session sharing the warehouse never loses a live table (its dirs
+    are minutes old)."""
+    import glob
+    import os
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(("bq_li_", "bq_o_")):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        cutoff = time.time() - 6 * 3600
+        for d in glob.glob(os.path.join(wh, "bq_li_*")) + glob.glob(
+            os.path.join(wh, "bq_o_*")
+        ):
+            try:
+                if os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+
+
+def bucketed_write(spark, sf_dir) -> tuple[str, str]:
+    """Layout phase of the bucketed join: write both fact tables
+    bucketBy(16)+sortBy on the join key (uuid-suffixed names, so a
+    re-entrant run never collides). Returns the (lineitem, orders)
+    table names. Benched separately from the join — the write is the
+    one-time layout cost, the join is the recurring payoff."""
+    import uuid
+
+    _bucketed_cleanup(spark)
+    suffix = uuid.uuid4().hex[:8]
+    li_t, o_t = f"bq_li_{suffix}", f"bq_o_{suffix}"
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    t["lineitem"].select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(li_t)
+    t["orders"].select("o_orderkey", "o_orderstatus").write.bucketBy(
+        16, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o_t)
+    return li_t, o_t
+
+
+def bucketed_join(spark, li_t: str, o_t: str) -> DataFrame:
+    """Join phase over pre-bucketed tables: zero join-side exchanges
+    (test_plans.py pins the no-Exchange property)."""
+    # the merge hint (not a session-conf toggle, which would leak into
+    # the caller's later queries) forces the sort-merge strategy that
+    # reads the bucket layout — planned with zero exchanges
+    return (
+        spark.table(li_t)
+        .hint("merge")
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 @query(
     "join_bucketed",
     oracle="""
@@ -1207,51 +1312,8 @@ def join_bucketed(spark, sf_dir):
     The aggregation keys on o_orderstatus AFTER the join, so the
     bucketed join's output partitioning feeds the aggregate's partial
     phase directly."""
-    import glob
-    import os
-    import shutil
-    import uuid
-    from urllib.parse import urlparse
-
-    # reclaim earlier invocations' bucketed tables (uuid-named so a
-    # re-entrant run never collides): catalog entries from this session,
-    # then orphaned warehouse dirs from previous sessions
-    for tbl in spark.catalog.listTables():
-        if tbl.name.startswith(("bq_li_", "bq_o_")):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if wh:
-        for d in glob.glob(os.path.join(wh, "bq_li_*")) + glob.glob(
-            os.path.join(wh, "bq_o_*")
-        ):
-            shutil.rmtree(d, ignore_errors=True)
-
-    suffix = uuid.uuid4().hex[:8]
-    li_t, o_t = f"bq_li_{suffix}", f"bq_o_{suffix}"
-    t = _t(spark, sf_dir, "lineitem", "orders")
-    t["lineitem"].select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(li_t)
-    t["orders"].select("o_orderkey", "o_orderstatus").write.bucketBy(
-        16, "o_orderkey"
-    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(o_t)
-    # the merge hint (not a session-conf toggle, which would leak into
-    # the caller's later queries) forces the sort-merge strategy that
-    # reads the bucket layout — planned with zero exchanges
-    return (
-        spark.table(li_t)
-        .hint("merge")
-        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
+    li_t, o_t = bucketed_write(spark, sf_dir)
+    return bucketed_join(spark, li_t, o_t)
 
 
 @query(

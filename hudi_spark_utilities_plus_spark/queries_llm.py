@@ -214,10 +214,19 @@ def dedup_simhash(spark, sf_dir):
     contract pattern): raw 64-bit signatures are engine-specific (they
     fold Spark's xxhash64), so the checkable output is the invariant —
     for every exact-Jaccard ≥ 0.8 pair (oracle-computable set), whether
-    the two SimHash signatures are Hamming-close (≤ 16 bits; measured
-    max on this corpus is 12 at sf0.1, random-pair average ≈ 20, so a
-    broken signature flips flags false). The banded candidate join
-    itself (simhash_pairs, 4×16-bit buckets) is pinned by unit tests."""
+    the two SimHash signatures are Hamming-close (≤ 16 bits).
+
+    Threshold derivation (not just a measured constant): for equal-size
+    shingle sets at the J = 0.8 boundary, indicator-vector cosine is
+    2J/(1+J) ≈ 0.889, so each SimHash bit differs with p = acos(0.889)/π
+    ≈ 0.151 — expected Hamming 64p ≈ 9.7, σ = √(64·p(1-p)) ≈ 2.9; 16 ≈
+    mean + 2σ at the WORST admissible Jaccard, and almost all real
+    near-dup pairs sit far above J = 0.8 (measured max Hamming 12 at
+    sf0.01 AND sf0.1; random-pair average ≈ 20 on this shared-vocabulary
+    corpus). tests/test_llm_ops.py re-measures the margin at sf0.01
+    (early-warns at 14) so a corpus regeneration fails in pytest before
+    it can flip the driver gate. The banded candidate join itself
+    (simhash_pairs, 4×16-bit buckets) is pinned by unit tests."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
     exact = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
     sigs = d.select(F.col("doc_id").alias("doc"), D.simhash(F.col("text")).alias("sim"))
@@ -353,7 +362,12 @@ def mm_features(spark, sf_dir):
     "mm_frame_sample",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+      -- char-wise substr == byte slice ONLY for ASCII; fail loudly if
+      -- the corpus ever stops being ASCII instead of hash-mismatching
+      SELECT doc_id, text,
+             CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+                  THEN error('mm oracle requires an ASCII corpus')
+                  ELSE octet_length(CAST(text AS BLOB)) END AS len
       FROM documents
     ), f AS (
       SELECT doc_id, text,

@@ -317,6 +317,123 @@ def stream_session(spark, sf_dir):
 
 
 @query(
+    "stream_trigger",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_trigger(spark, sf_dir):
+    """C1/C2 driver-visible smoke: a REAL StreamingQuery — file source →
+    stateless projection → append-mode parquet sink — on a
+    processing-time trigger (the reference's default mode,
+    HoodieBinlogDeltaStreamer.scala:243-245). The query runs until its
+    progress log shows every source row consumed, then stops; the
+    returned aggregate reads the sink's committed output, so any lost or
+    duplicated micro-batch flips the oracle hash.
+
+    Scale: the sink aggregation is the only shuffle; the stream itself
+    is a stateless pass-through (no state store), which is exactly the
+    ingest shape of the reference's importers."""
+    import os
+    import tempfile
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    expected = batch.count()
+    root = tempfile.mkdtemp(prefix="stream_trigger_")
+    out = os.path.join(root, "out")
+    # the streaming file source monitors a DIRECTORY; stage the single
+    # parquet file behind one via symlink (no copy, no testdata writes)
+    src_dir = os.path.join(root, "src")
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    q = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    from .queries import dsum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "stream_recovery",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_recovery(spark, sf_dir):
+    """C3 driver-visible smoke: checkpoint recovery as a row-count
+    invariant. Run 1 streams the whole source into a parquet sink
+    (available-now trigger) and commits its offsets to the checkpoint;
+    run 2 RESTARTS from the same checkpoint against the same sink. The
+    recovered query must replay nothing — if restart re-processed the
+    source, every count in the returned aggregate would double and the
+    oracle hash would flip. This is the reference's recovery contract
+    (mandatory checkpointLocation, HoodieBinlogDeltaStreamer.scala:
+    91-101) expressed as a driver-checkable invariant."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    root = tempfile.mkdtemp(prefix="stream_recovery_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    src_dir = os.path.join(root, "src")  # dir-staged source, see stream_trigger
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select("user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # initial run: consumes everything, commits offsets
+    run_once()  # restart from checkpoint: must be a no-op replay
+    from .queries import dsum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
     "join_salted",
     oracle="""
     WITH dim AS (
@@ -429,8 +546,12 @@ def unpivot_measures(spark, sf_dir):
     "mm_resize",
     oracle="""
     WITH d AS (
+      -- char-wise substr == byte slice ONLY for ASCII; fail loudly if
+      -- the corpus ever stops being ASCII instead of hash-mismatching
       SELECT doc_id, text, sha256(text) AS h,
-             octet_length(CAST(text AS BLOB)) AS len
+             CASE WHEN octet_length(CAST(text AS BLOB)) <> length(text)
+                  THEN error('mm oracle requires an ASCII corpus')
+                  ELSE octet_length(CAST(text AS BLOB)) END AS len
       FROM documents
     ), dims AS (
       SELECT doc_id, text, len,

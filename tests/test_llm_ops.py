@@ -55,6 +55,59 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert lsh == exact
 
 
+def test_verify_jaccard_smj_fallback_matches_broadcast(spark, docs):
+    """The shuffled (non-broadcast) verify path is the 100-TB fallback —
+    it must yield exactly the broadcast path's pair set, and the auto
+    gate must pick it when the corpus exceeds the broadcast doc cap."""
+
+    def pairs(broadcast_verify):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in D.ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold=0.5,
+                broadcast_verify=broadcast_verify,
+            ).collect()
+        )
+
+    assert pairs(False) == pairs(True)
+    lsh_smj = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in D.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5, broadcast_verify=False
+        ).collect()
+    )
+    assert lsh_smj == pairs(True)
+    # auto gate: corpora above the cap must NOT take the broadcast path
+    import unittest.mock as mock
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic) — the
+    # abstract pyspark.sql.DataFrame base never sees the call
+    with mock.patch.object(type(docs), "count", return_value=D._BROADCAST_VERIFY_MAX_DOCS + 1), \
+         mock.patch.object(D.F, "broadcast", side_effect=AssertionError("broadcast above cap")):
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def test_simhash_margin_on_corpus(spark, sf_dir):
+    """Early warning for the dedup_simhash driver flag: the max Hamming
+    distance over exact-Jaccard ≥ 0.8 pairs on the CURRENT corpus must
+    stay ≤ 14 — two bits inside the gate's ≤ 16 — so a corpus
+    regeneration that erodes the margin fails here first (derivation of
+    the 16 in queries_llm.dedup_simhash's docstring)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    sigs = d.select(F.col("doc_id").alias("doc"), D.simhash(F.col("text")).alias("sim"))
+    ham = (
+        exact.select("doc_a", "doc_b")
+        .join(sigs.select(F.col("doc").alias("doc_a"), F.col("sim").alias("sim_a")), "doc_a")
+        .join(sigs.select(F.col("doc").alias("doc_b"), F.col("sim").alias("sim_b")), "doc_b")
+        .select(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("h"))
+        .agg(F.max("h").alias("max_h"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert ham["n"] > 0  # the corpus must keep planted near-dup pairs
+    assert ham["max_h"] <= 14, f"simhash margin eroded: max Hamming {ham['max_h']}"
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

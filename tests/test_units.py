@@ -1243,6 +1243,29 @@ def test_global_windows_equal_native_single_partition(spark):
         assert abs(g[k] - t[k]) < 1e-9, (k, g[k], t[k])
 
 
+def test_global_running_sum_decimal_exact(spark):
+    """DECIMAL value columns must keep exact decimal arithmetic through
+    the two-phase offsets (money sums are exact; no float collapse)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        global_running_sum,
+    )
+
+    rows = [(i, Decimal(f"{(i * 37) % 100}.{(i * 13) % 100:02d}")) for i in range(97)]
+    df = spark.createDataFrame(rows, "id long, v decimal(10,2)")
+    order = [F.col("v").desc(), F.col("id")]
+    got = global_running_sum(df, order, F.col("v"), n_partitions=7)
+    assert dict(got.dtypes)["cum"] == "decimal(38,2)"
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.select("id", F.sum("v").over(w).alias("cum"))
+    g = {r["id"]: r["cum"] for r in got.select("id", "cum").collect()}
+    t = {r["id"]: r["cum"] for r in want.collect()}
+    assert g == t  # exact Decimal equality, no tolerance
+
+
 def test_packing_property_sweep_vs_bruteforce(spark):
     """pack_stats vs a pure-Python cumulative-cut reference across three
     budgets, including docs larger than the budget (they open their own
