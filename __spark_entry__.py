@@ -52,6 +52,7 @@ _CHECK_ORDER = [
     "join_right",
     "stream_trigger",
     "stream_recovery",
+    "stream_stateful",
     # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
@@ -70,7 +71,6 @@ _CHECK_ORDER = [
     "cte",
     "date_funcs",
     "dedup_latest_wins",
-    "derive_partition_dt",
     "doc_fingerprint",
     "filter_eq",
     "flatten_struct",
@@ -103,6 +103,7 @@ _CHECK_ORDER = [
     # ---- window edge: position 50 ----
     # deferred r2-cohort ids (each has a same-family sibling inside the
     # window above); these lead the round-6 rotation
+    "derive_partition_dt",
     "filter_in",
     "filter_null",
     "set_except",

@@ -341,6 +341,8 @@ def stream_trigger(spark, sf_dir):
     import time
 
     src = os.path.join(sf_dir, "events.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet — a plain session rejects it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(src)
     expected = batch.count()
     root = tempfile.mkdtemp(prefix="stream_trigger_")
@@ -401,6 +403,7 @@ def stream_recovery(spark, sf_dir):
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # nanos ts
     schema = spark.read.parquet(src).schema
     root = tempfile.mkdtemp(prefix="stream_recovery_")
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
@@ -431,6 +434,59 @@ def stream_recovery(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
     )
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """C6+ custom stateful operator, driver-visible: a REAL
+    applyInPandasWithState stream (streaming/stateful.py user-profile
+    state machine) over the events source, update-mode memory sink,
+    available-now trigger. With one micro-batch each user emits exactly
+    one final profile row, so the exact-count/last-seen invariant is the
+    batch GROUP BY — a state-store bug (lost rows, stale last_ts,
+    double-applied batch) flips the oracle hash. total_value stays
+    internal: pandas float summation order is engine-specific, and the
+    driver hash is repr-strict.
+
+    Scale: per-user state rides the state store (checkpointed,
+    RocksDB-capable); each key crosses the JVM→Python boundary once per
+    trigger, Arrow-batched."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import user_profile_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet — read as raw long, truncate
+    # to micros (catalog.load_table's convention, DuckDB-matching)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    root = tempfile.mkdtemp(prefix="stream_stateful_")
+    src_dir = os.path.join(root, "src")  # dir-staged source, see stream_trigger
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sink = f"profiles_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("user_id", "n_events", "last_ts")
 
 
 @query(

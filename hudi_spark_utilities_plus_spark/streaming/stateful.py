@@ -45,14 +45,17 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             ts_max = pd.to_datetime(pdf["ts"]).max()
             last_us = max(last_us, int(ts_max.value // 1000))
         state.update((n, total, last_us))
+        # exact micros reconstruction — utcfromtimestamp(us/1e6) floats
+        # away the last microsecond digit at 2024-scale epochs
+        last_dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=last_us
+        )
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
                 "total_value": [total],
-                "last_ts": [
-                    datetime.datetime.utcfromtimestamp(last_us / 1_000_000)
-                ],
+                "last_ts": [last_dt],
             }
         )
 
