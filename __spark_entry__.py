@@ -53,6 +53,9 @@ _CHECK_ORDER = [
     "stream_trigger",
     "stream_recovery",
     "stream_stateful",
+    "win_lead",
+    "array_hof",
+    "join_nullsafe",
     # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
@@ -62,7 +65,6 @@ _CHECK_ORDER = [
     "dedup_minhash_lsh",
     # (d) stale cohort: last green row is round 2 (40 of 49 fit the window)
     "agg_approx_distinct",
-    "agg_distinct",
     "agg_group",
     "agg_rollup",
     "array_funcs",
@@ -76,7 +78,6 @@ _CHECK_ORDER = [
     "flatten_struct",
     "hudi_mor_read",
     "hudi_upsert",
-    "join_anti",
     "join_broadcast",
     "join_full",
     "join_inner",
@@ -99,10 +100,12 @@ _CHECK_ORDER = [
     "token_counts",
     "transform_sql",
     "win_rank",
-    "win_running_sum",
     # ---- window edge: position 50 ----
     # deferred r2-cohort ids (each has a same-family sibling inside the
     # window above); these lead the round-6 rotation
+    "agg_distinct",
+    "join_anti",
+    "win_running_sum",
     "derive_partition_dt",
     "filter_in",
     "filter_null",

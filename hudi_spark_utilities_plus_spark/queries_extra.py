@@ -592,3 +592,102 @@ def agg_conditional_family(spark, sf_dir):
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.min("l_linestatus").alias("any_status"),
     )
+
+
+@query(
+    "win_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LEAD(value) OVER w AS next_value,
+           LEAD(value, 2, -1.0) OVER w AS next2_value,
+           LAG(value, 3, 0.0) OVER w AS prev3_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lead(spark, sf_dir):
+    """B13 analytic-window completion: LEAD (win_lag's mirror) plus
+    offset/default variants of both directions over one shared window —
+    a single user-key shuffle serves all three expressions (one Window
+    node, no per-expression exchange)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+        F.lead("value", 2, -1.0).over(w).alias("next2_value"),
+        F.lag("value", 3, 0.0).over(w).alias("prev3_value"),
+    )
+
+
+@query(
+    "array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0.0)) AS n_positive,
+           array_to_string(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)), ',')
+             AS milli_csv,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000)
+                                                   AS BIGINT))),
+               (acc, x) -> acc + x) AS milli_sum
+    FROM embeddings
+    """,
+)
+def array_hof(spark, sf_dir):
+    """B21 higher-order functions: filter / transform / aggregate
+    lambdas over the embedding arrays — the JVM-side array programs the
+    LLM-pipeline ops are built from (similarity.dot is this aggregate
+    shape). Values are quantized to exact milli-unit longs BEFORE the
+    fold so the checked sum is association-free (float folds would be
+    engine-order-dependent); per-element transform stays whole-stage
+    codegen, zero Python. The array itself rides out as CSV — the
+    driver comparator can't hash raw array cells."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    milli = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0.0)).alias("n_positive"),
+        F.concat_ws(",", milli).alias("milli_csv"),
+        F.aggregate(milli, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "milli_sum"
+        ),
+    )
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_nn
+      FROM orders
+    ), d AS (
+      SELECT NULLIF(s, 'O') AS status_nn, label FROM (
+        VALUES ('O', 'open'), ('F', 'filled'), ('P', 'partial')
+      ) v(s, label)
+    )
+    SELECT o.o_orderkey, d.label
+    FROM o JOIN d ON o.status_nn IS NOT DISTINCT FROM d.status_nn
+    """,
+)
+def join_nullsafe(spark, sf_dir):
+    """B4 completion: null-safe equi-join (`<=>` / IS NOT DISTINCT
+    FROM) — NULL keys match NULL keys instead of dropping, the contract
+    CDC/dim pipelines need for nullable business keys. Planned as a
+    normal hash join on the null-safe key (NULLs hash to one bucket), so
+    the dim side still broadcasts; no fallback to cartesian."""
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("status_nn")
+    )
+    d = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "partial")], "s string, label string"
+    ).select(F.nullif("s", F.lit("O")).alias("d_status_nn"), "label")
+    return (
+        o.join(F.broadcast(d), F.col("status_nn").eqNullSafe(F.col("d_status_nn")))
+        .select("o_orderkey", "label")
+    )
