@@ -207,3 +207,41 @@ def test_tpch_q21_two_lineitem_scans(spark, sf_dir):
     correlated formulation needs three)."""
     plan = audit.executed_plan(QUERIES["tpch_q21_shape"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+
+
+def test_verify_jaccard_fallback_avoids_broadcast(spark):
+    """The 100-TB verify-join fallback must plan WITHOUT a broadcast on
+    the shingle-set side: with the auto-broadcast threshold off,
+    broadcast_verify=True plans a BroadcastHashJoin (the hint) and
+    broadcast_verify=False plans none — proving the fallback is a real
+    code path, not prose."""
+    from hudi_spark_utilities_plus_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, broadcast_verify=True
+        )
+        fallback = D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, broadcast_verify=False
+        )
+        assert audit.has_broadcast_hash_join(hinted), audit.executed_plan(hinted)
+        assert not audit.has_broadcast_hash_join(fallback), audit.executed_plan(
+            fallback
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_nullsafe_join_broadcasts_dim(spark, sf_dir):
+    """<=> must not fall back to a nested-loop plan: the null-safe key
+    hash-joins, dim side broadcast."""
+    df = QUERIES["join_nullsafe"](spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert audit.has_broadcast_hash_join(df), plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
