@@ -56,6 +56,7 @@ _CHECK_ORDER = [
     "win_lead",
     "array_hof",
     "join_nullsafe",
+    "hudi_incremental_read",
     # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
@@ -76,7 +77,6 @@ _CHECK_ORDER = [
     "doc_fingerprint",
     "filter_eq",
     "flatten_struct",
-    "hudi_mor_read",
     "hudi_upsert",
     "join_broadcast",
     "join_full",
@@ -106,6 +106,7 @@ _CHECK_ORDER = [
     "agg_distinct",
     "join_anti",
     "win_running_sum",
+    "hudi_mor_read",
     "derive_partition_dt",
     "filter_in",
     "filter_null",

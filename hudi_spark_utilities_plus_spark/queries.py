@@ -1219,6 +1219,51 @@ def hudi_time_travel(spark, sf_dir):
     return t.read(spark, as_of_seq=upsert_seq)
 
 
+@query(
+    "hudi_incremental_read",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 2 AS o_totalprice,
+           o_orderdate + INTERVAL 1 DAY AS o_orderdate
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+    """,
+)
+def hudi_incremental_read(spark, sf_dir):
+    """§1.2 Hudi's third MOR query type (incremental pull): same write
+    sequence as hudi_time_travel (bulk_insert → upsert keys %10 with
+    doubled price / +1 day → delete keys %20), then read the CHANGES
+    since the bulk load. The pull returns the current snapshot rows of
+    every key touched after the cursor; keys whose net effect is
+    deletion vanish — so exactly the updated-but-not-deleted keys, with
+    their post-upsert values (the oracle). Cost tracks the delta (a
+    seq-pruned log scan + key semi-join), not the table — the CDC-export
+    shape downstream consumers poll at 100 TB."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="inc_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(o)
+    cursor = t.latest_commit_seq(spark)  # pre-change cursor
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    t.upsert(updates, spark)
+    t.delete(o.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey"), spark)
+    return t.read_incremental(spark, cursor)
+
+
 def _bucketed_cleanup(spark) -> None:
     """Reclaim THIS session's earlier bucketed tables plus clearly
     orphaned warehouse dirs. DROP TABLE removes a managed table's dir;
