@@ -57,6 +57,7 @@ _CHECK_ORDER = [
     "array_hof",
     "join_nullsafe",
     "hudi_incremental_read",
+    "stream_demux",
     # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
@@ -79,7 +80,6 @@ _CHECK_ORDER = [
     "flatten_struct",
     "hudi_upsert",
     "join_broadcast",
-    "join_full",
     "join_inner",
     "join_left",
     "join_range",
@@ -107,6 +107,7 @@ _CHECK_ORDER = [
     "join_anti",
     "win_running_sum",
     "hudi_mor_read",
+    "join_full",
     "derive_partition_dt",
     "filter_in",
     "filter_null",

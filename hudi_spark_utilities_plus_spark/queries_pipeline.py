@@ -437,6 +437,91 @@ def stream_recovery(spark, sf_dir):
 
 
 @query(
+    "stream_demux",
+    oracle="""
+    SELECT event_type AS tbl, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_demux(spark, sf_dir):
+    """A12/C4 driver-visible smoke: the REAL binlog-demux pipeline end to
+    end — a file-based CDC source (reference envelope: op/db/table/id/
+    data/ts), ``start_binlog_streamer``'s foreachBatch demux routing one
+    stream into per-(db, table) keyed lake tables via the
+    ``option.hoodie.path`` template (HoodieBinlogDeltaStreamerSuite
+    .scala:31-44), then a read-back of every routed table. Each
+    event_type becomes its own table, so the invariant is per-table
+    row count + key envelope — a routing bug (lost table, crossed rows,
+    double-applied batch) flips the oracle hash.
+
+    Scale: routing keys are a metadata-sized distinct collect; per-table
+    applies run concurrently on the driver pool, each an independent
+    keyed shuffle (streaming/demux.py:64)."""
+    import os
+    import tempfile
+    import time
+
+    from .streaming.cdc import read_cdc_stream
+    from .streaming.demux import start_binlog_streamer
+    from .lake import HudiTable
+
+    e = _t(spark, sf_dir, "events")["events"]
+    cdc = e.select(
+        F.lit("insert").alias("op"),
+        F.lit("shop").alias("db"),
+        F.col("event_type").alias("table"),
+        F.col("event_id").alias("id"),
+        F.col("value").cast("string").alias("data"),
+        F.col("ts"),
+        F.lit("mysql-bin.000001").alias("binlog_file"),
+        F.col("event_id").alias("binlog_offset"),
+    )
+    expected = cdc.count()
+    tables = sorted(r["table"] for r in cdc.select("table").distinct().collect())
+    root = tempfile.mkdtemp(prefix="stream_demux_")
+    src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
+    cdc.coalesce(1).write.json(src_dir)
+    props = {"option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}"}
+    q = start_binlog_streamer(
+        spark,
+        read_cdc_stream(spark, src_dir),
+        props,
+        checkpoint_location=os.path.join(root, "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    parts = [
+        HudiTable(
+            path=f"{lake_root}/shop/ods_shop_{t}",
+            record_key="id",
+            precombine="ts",
+        )
+        .read(spark)
+        .select(
+            F.lit(t).alias("tbl"),
+            F.col("id").alias("event_id"),
+        )
+        for t in tables
+    ]
+    routed = parts[0]
+    for p in parts[1:]:
+        routed = routed.unionByName(p)
+    return routed.groupBy("tbl").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
     "stream_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
