@@ -58,6 +58,8 @@ _CHECK_ORDER = [
     "join_nullsafe",
     "hudi_incremental_read",
     "stream_demux",
+    "excel_scan",
+    "jdbc_scan",
     # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
@@ -71,7 +73,6 @@ _CHECK_ORDER = [
     "agg_rollup",
     "array_funcs",
     "cast_types",
-    "cdc_apply",
     "cte",
     "date_funcs",
     "dedup_latest_wins",
@@ -97,7 +98,6 @@ _CHECK_ORDER = [
     "struct_access",
     "subquery_in",
     "text_quality",
-    "token_counts",
     "transform_sql",
     "win_rank",
     # ---- window edge: position 50 ----
@@ -108,6 +108,8 @@ _CHECK_ORDER = [
     "win_running_sum",
     "hudi_mor_read",
     "join_full",
+    "cdc_apply",
+    "token_counts",
     "derive_partition_dt",
     "filter_in",
     "filter_null",

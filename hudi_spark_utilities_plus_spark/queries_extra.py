@@ -691,3 +691,104 @@ def join_nullsafe(spark, sf_dir):
         o.join(F.broadcast(d), F.col("status_nn").eqNullSafe(F.col("d_status_nn")))
         .select("o_orderkey", "label")
     )
+
+
+@query(
+    "excel_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def excel_scan(spark, sf_dir):
+    """A3 driver-visible smoke: the Excel source end to end — the nation
+    table is round-tripped through a REAL xlsx workbook (SpreadsheetML
+    zip written by sources/xlsx_writer, inline strings) and read back by
+    sources/excel.read_excel with header + schema inference, exactly the
+    reference's spark-excel read path (HoodieExcelImporter.scala:94-98,
+    header/inferSchema option table). The oracle is the lake table
+    itself, so any parse/inference defect flips the hash.
+
+    Scale note: this smoke reads one workbook; the reader distributes
+    one task per workbook on multi-file globs (excel.py read_excel)."""
+    import os
+    import tempfile
+
+    from .sources.excel import read_excel
+    from .sources.xlsx_writer import write_xlsx
+
+    n = _t(spark, sf_dir, "nation")["nation"]
+    rows = [
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in n.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # nation is a 25-row dimension — driver-side is fine
+    ]
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="excel_scan_"), "nation.xlsx"
+    )
+    write_xlsx(path, ["n_nationkey", "n_name", "n_regionkey"], rows)
+    df = read_excel(
+        spark, path, {"header": "true", "inferSchema": "true"}
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@query(
+    "jdbc_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def jdbc_scan(spark, sf_dir):
+    """A4/A6 driver-visible smoke: the JDBC source end to end against a
+    REAL JDBC engine — the nation table is loaded into an in-memory
+    Derby database (Spark's bundled JVM driver), then read back through
+    sources.registry.read_jdbc with the reference's dialect whitelist and
+    query-as-source path (HoodieJDBCImporter.scala:102-106,140-152). The
+    oracle is the lake table itself. Derby uppercases identifiers, so the
+    projection re-aliases to the lake's lowercase names.
+
+    Scale note: this smoke is single-partition by design; the
+    partitioned-parallel read path (numPartitions/partitionColumn/bounds,
+    A5) forwards through the same reader and is pytest-pinned."""
+    import uuid
+
+    n = _t(spark, sf_dir, "nation")["nation"]
+    rows = [
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in n.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # 25-row dimension — driver-side is fine
+    ]
+    db = f"jdbc_scan_{uuid.uuid4().hex[:8]}"
+    url = f"jdbc:derby:memory:{db}"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    try:
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE nation (n_nationkey INT PRIMARY KEY, "
+            "n_name VARCHAR(64), n_regionkey INT)"
+        )
+        ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        for k, name, rk in rows:
+            ps.setInt(1, int(k))
+            ps.setString(2, str(name))
+            ps.setInt(3, int(rk))
+            ps.executeUpdate()
+    finally:
+        conn.close()
+    from .sources.registry import read_jdbc
+
+    df = read_jdbc(
+        spark,
+        {
+            "url": url,
+            "query": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        },
+    )
+    return df.select(
+        F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
+        F.col("N_NAME").alias("n_name"),
+        F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
+    )
