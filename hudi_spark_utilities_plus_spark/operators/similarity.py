@@ -264,6 +264,7 @@ def similar_pairs(
     n_clusters: int = 16,
     kmeans_iters: int = 1,
     candidates_only: bool = False,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dedup.
 
@@ -366,17 +367,20 @@ def similar_pairs(
     )
     if candidates_only:
         return cand
-    # verify side is broadcast (vector table ≪ candidate pairs); above
-    # broadcast capacity drop the hint → SMJ on id, one shuffle per side.
-    # Norms ride along from the cached assignment — one dot product per
-    # candidate.
-    va = F.broadcast(
+    # verify side is broadcast by default (vector table ≪ candidate
+    # pairs); pass broadcast_verify=False above broadcast capacity —
+    # the hint drops and the verify join shuffles on id instead, each
+    # vector crossing the wire once (same fallback contract as
+    # dedup._verify_jaccard). Norms ride along from the cached
+    # assignment — one dot product per candidate.
+    hint = F.broadcast if broadcast_verify else (lambda df: df)
+    va = hint(
         assigned.select(
             F.col("id").alias("id_a"), F.col("v").alias("v_a"),
             F.col("norm").alias("n_a"),
         )
     )
-    vb = F.broadcast(
+    vb = hint(
         assigned.select(
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
             F.col("norm").alias("n_b"),

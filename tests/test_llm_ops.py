@@ -515,3 +515,31 @@ def test_chunk_documents_properties(spark):
             for k, ch in chunks.items():
                 seen.update(range(k * stride, k * stride + len(ch)))
             assert seen == set(range(n)), (n, size, stride)
+
+
+def test_similar_pairs_smj_fallback_matches_broadcast(spark, clustered_emb):
+    """similar_pairs' non-broadcast verify path (the 100-TB fallback)
+    must return exactly the broadcast path's pair set and must plan
+    without a BroadcastHashJoin when the hint is dropped."""
+    from hudi_spark_utilities_plus_spark.plans import audit
+
+    def pairs(bv):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+            for r in S.similar_pairs(
+                clustered_emb, threshold=0.8, broadcast_verify=bv
+            ).collect()
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert pairs(False) == pairs(True)
+        assert len(pairs(True)) > 0  # the blobs guarantee within-cluster pairs
+        fb = S.similar_pairs(clustered_emb, threshold=0.8, broadcast_verify=False)
+        plan = audit.executed_plan(fb)
+        # the pair list itself is always broadcast (k² metadata rows);
+        # the VECTOR verify joins must not be
+        assert plan.count("BroadcastHashJoin") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
