@@ -60,6 +60,7 @@ _CHECK_ORDER = [
     "stream_demux",
     "excel_scan",
     "jdbc_scan",
+    "csv_scan",
     # (c) oracle / implementation touched this round
     "mm_resize",
     "mm_frame_sample",
@@ -94,7 +95,6 @@ _CHECK_ORDER = [
     "set_union",
     "sort_limit_topk",
     "str_funcs",
-    "stream_tumbling",
     "struct_access",
     "subquery_in",
     "text_quality",
@@ -110,6 +110,7 @@ _CHECK_ORDER = [
     "join_full",
     "cdc_apply",
     "token_counts",
+    "stream_tumbling",
     "derive_partition_dt",
     "filter_in",
     "filter_null",

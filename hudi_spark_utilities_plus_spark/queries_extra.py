@@ -792,3 +792,35 @@ def jdbc_scan(spark, sf_dir):
         F.col("N_NAME").alias("n_name"),
         F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
     )
+
+
+@query(
+    "csv_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_scan(spark, sf_dir):
+    """A14-adjacent driver smoke: the declarative source ROUTER end to
+    end — nation written as CSV, read back through
+    sources.registry.read_source("csv", options) with header+inferSchema
+    option forwarding (the same entry point the importer CLIs resolve
+    connectors through, pipelines/importer.py). Oracle is the lake
+    table; proves the router + file-reader option path, not just the
+    direct reader call."""
+    import os
+    import tempfile
+
+    from .sources.registry import read_source
+
+    n = _t(spark, sf_dir, "nation")["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_scan_"), "nation_csv")
+    n.coalesce(1).write.option("header", "true").csv(out)
+    df = read_source(
+        spark, "csv", {"path": out, "header": "true", "inferSchema": "true"}
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )
