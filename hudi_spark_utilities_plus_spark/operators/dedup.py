@@ -73,12 +73,17 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-# scatter() decision memo, keyed by (app id, scanned file set). Scan
-# partitioning for a file source is a pure function of the file set and
-# the session's split size, so one probe per corpus per session is
-# enough; repeated operator calls over the same table skip the
-# DataFrame→RDD plan conversion entirely.
+# scatter() decision memo, keyed by (app id, analyzed-plan semantic
+# hash, scanned file set). Scan partitioning for a file source is a pure
+# function of the file set, the plan over it, and the session's split
+# size, so one probe per (plan, corpus) per session is enough; repeated
+# operator calls over the same table skip the DataFrame→RDD plan
+# conversion entirely. The semantic hash keeps a repartitioned/
+# post-shuffle DataFrame over the same file set from reusing the raw
+# scan's sparse/dense decision. Bounded: cleared at _SCATTER_MEMO_MAX
+# entries (a probe is cheap; unbounded growth per session is not).
 _SCATTER_MEMO: dict[tuple, bool] = {}
+_SCATTER_MEMO_MAX = 256
 
 
 def scatter(df: DataFrame) -> DataFrame:
@@ -100,14 +105,20 @@ def scatter(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        key = (spark.sparkContext.applicationId, tuple(sorted(df.inputFiles())))
+        key = (
+            spark.sparkContext.applicationId,
+            df.semanticHash(),  # analyzed-plan fingerprint, driver-side
+            tuple(sorted(df.inputFiles())),
+        )
     except Exception:  # non-file source — probe without memoizing
         key = None
-    if key is not None and key[1] and key in _SCATTER_MEMO:
+    if key is not None and key[2] and key in _SCATTER_MEMO:
         sparse = _SCATTER_MEMO[key]
     else:
         sparse = df.rdd.getNumPartitions() < target
-        if key is not None and key[1]:
+        if key is not None and key[2]:
+            if len(_SCATTER_MEMO) >= _SCATTER_MEMO_MAX:
+                _SCATTER_MEMO.clear()
             _SCATTER_MEMO[key] = sparse
     return df.repartition(target) if sparse else df
 
@@ -130,6 +141,30 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
 # hash) join on doc id, which ships each array exactly once.
 _BROADCAST_VERIFY_MAX_DOCS = 500_000
 
+# Session-conf override so a deployment can retune the verify-join
+# strategy for its executor memory without code edits (e.g. small
+# executors → lower; 64 GB executors and fat docs → raise).
+_VERIFY_CAP_CONF = "spark.hudi_spark_utilities_plus.verify.broadcastMaxDocs"
+
+
+def verify_broadcast_cap(spark) -> int:
+    """Doc-count cap for broadcasting the verify side of near-dup joins.
+
+    Reads ``spark.hudi_spark_utilities_plus.verify.broadcastMaxDocs`` from
+    the session conf, falling back to ``_BROADCAST_VERIFY_MAX_DOCS``
+    (500k ≈ 500 MB of hashed shingle sets). Shared by the Jaccard /
+    MinHash / SimHash verify joins and ``similarity.similar_pairs``."""
+    try:
+        raw = spark.conf.get(_VERIFY_CAP_CONF, None)
+    except Exception:
+        raw = None
+    if raw is None:
+        return _BROADCAST_VERIFY_MAX_DOCS
+    try:
+        return int(raw)
+    except ValueError:
+        return _BROADCAST_VERIFY_MAX_DOCS
+
 
 def _verify_jaccard(
     cand: DataFrame,
@@ -151,13 +186,19 @@ def _verify_jaccard(
     Join strategy: candidates can outnumber docs 50:1, and shipping
     KB-sized shingle arrays through a shuffle per candidate dwarfs a
     map-side hash join — so the sets side is broadcast when it fits
-    (``n_docs`` ≤ _BROADCAST_VERIFY_MAX_DOCS). Above that cap (or with
+    (``n_docs`` ≤ ``verify_broadcast_cap(spark)``, default 500k,
+    conf-tunable via
+    ``spark.hudi_spark_utilities_plus.verify.broadcastMaxDocs``). Above
+    that cap (or with
     ``broadcast_verify=False``) the hint is dropped and the join shuffles
     on doc id instead, each shingle array crossing the wire once —
     correct at any corpus size, never an executor OOM. ``broadcast_verify``
     overrides the size gate in either direction."""
     if broadcast_verify is None:
-        broadcast_verify = n_docs is not None and n_docs <= _BROADCAST_VERIFY_MAX_DOCS
+        broadcast_verify = (
+            n_docs is not None
+            and n_docs <= verify_broadcast_cap(cand.sparkSession)
+        )
     if broadcast_verify:
         sets = F.broadcast(sets)
     verified = (

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import verify_broadcast_cap
+
 
 def _scatter(df: DataFrame) -> DataFrame:
     """Round-robin the corpus before vector math — single-file inputs
@@ -264,7 +266,7 @@ def similar_pairs(
     n_clusters: int = 16,
     kmeans_iters: int = 1,
     candidates_only: bool = False,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dedup.
 
@@ -327,13 +329,15 @@ def similar_pairs(
 
     # covering radii from the _cdist the argmin already produced — a
     # plain k-row aggregate, and the action that fills assigned's cache
-    # (reading side's cache, filled by the k-means means job)
-    radii = {
-        r["cluster"]: r["r"]
-        for r in assigned.groupBy("cluster")
-        .agg(F.max("_cdist").alias("r"))
+    # (reading side's cache, filled by the k-means means job); member
+    # counts ride along so the verify-broadcast gate costs no extra job
+    radii_rows = (
+        assigned.groupBy("cluster")
+        .agg(F.max("_cdist").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()  # k rows (metadata)
-    }
+    )
+    radii = {r["cluster"]: r["r"] for r in radii_rows}
+    n_docs = sum(r["n"] for r in radii_rows)
     # assigned ⊇ side (id, v, norm, nv + cluster): everything downstream
     # — candidate join, verify — reads assigned's cache, so side's can
     # drop now instead of leaking for the session lifetime
@@ -367,12 +371,17 @@ def similar_pairs(
     )
     if candidates_only:
         return cand
-    # verify side is broadcast by default (vector table ≪ candidate
-    # pairs); pass broadcast_verify=False above broadcast capacity —
-    # the hint drops and the verify join shuffles on id instead, each
-    # vector crossing the wire once (same fallback contract as
-    # dedup._verify_jaccard). Norms ride along from the cached
-    # assignment — one dot product per candidate.
+    # verify side is broadcast while the corpus fits in executor memory
+    # (row count ≤ dedup.verify_broadcast_cap, default 500k, conf-tunable
+    # via spark.hudi_spark_utilities_plus.verify.broadcastMaxDocs — the
+    # count came free with the radii collect). Above the cap the hint
+    # drops and the verify join shuffles on id instead, each vector
+    # crossing the wire once (same auto-gate contract as
+    # dedup._verify_jaccard); ``broadcast_verify`` overrides the gate in
+    # either direction. Norms ride along from the cached assignment —
+    # one dot product per candidate.
+    if broadcast_verify is None:
+        broadcast_verify = n_docs <= verify_broadcast_cap(spark)
     hint = F.broadcast if broadcast_verify else (lambda df: df)
     va = hint(
         assigned.select(

@@ -55,6 +55,20 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert lsh == exact
 
 
+def test_verify_broadcast_cap_conf_override(spark):
+    """The verify-join broadcast cap must be tunable per deployment via
+    session conf (no code edit), with the 500k default when unset or
+    unparseable."""
+    assert D.verify_broadcast_cap(spark) == D._BROADCAST_VERIFY_MAX_DOCS
+    try:
+        spark.conf.set(D._VERIFY_CAP_CONF, "123")
+        assert D.verify_broadcast_cap(spark) == 123
+        spark.conf.set(D._VERIFY_CAP_CONF, "not-a-number")
+        assert D.verify_broadcast_cap(spark) == D._BROADCAST_VERIFY_MAX_DOCS
+    finally:
+        spark.conf.unset(D._VERIFY_CAP_CONF)
+
+
 def test_verify_jaccard_smj_fallback_matches_broadcast(spark, docs):
     """The shuffled (non-broadcast) verify path is the 100-TB fallback —
     it must yield exactly the broadcast path's pair set, and the auto
@@ -158,9 +172,43 @@ def test_similar_pairs_lsh_matches_bruteforce(spark, sf_dir):
     assert ids == brute  # banding recall is exact on this data (deterministic)
 
 
-def test_multimodal_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"xxx")
+def test_multimodal_decode_paths():
+    """Whichever codec path this environment has must behave per
+    contract: without Pillow decode_image raises NotImplementedError;
+    with it, real bytes decode and junk falls through PIL's own error.
+    decode_dims is total either way, and the stand-in branch (always
+    taken for non-media bytes) is deterministic — the driver oracles'
+    contract."""
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    payload = b"not an image"
+    # stand-in branch: deterministic, PIL-independent
+    assert M.decode_dims(payload) == M.fake_decode_dims(payload)
+    assert M.fake_decode_dims(payload) == M.fake_decode_dims(payload)
+    w, h = M.fake_decode_dims(payload)
+    assert 1 <= w <= 1920 and 1 <= h <= 1080
+
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(payload)
+    else:
+        from io import BytesIO
+
+        from PIL import Image
+
+        buf = BytesIO()
+        Image.new("RGB", (5, 3)).save(buf, format="PNG")
+        png = buf.getvalue()
+        assert M.decode_dims(png) == (5, 3)  # real branch
+        with M.decode_image(png) as im:
+            assert im.size == (5, 3)
+        with pytest.raises(Exception):
+            M.decode_image(payload)  # junk: PIL's own decode error
 
 
 def test_multimodal_frame_sampling_shape(spark, docs):

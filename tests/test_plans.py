@@ -238,6 +238,44 @@ def test_verify_jaccard_fallback_avoids_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_similar_pairs_verify_autogate(spark):
+    """similar_pairs must auto-drop the verify-side broadcast above the
+    conf-tunable doc cap (mirror of dedup._verify_jaccard): with the cap
+    forced below the corpus size the plan's BroadcastHashJoin count
+    matches the explicit broadcast_verify=False plan — the verify join
+    shuffles — and the pair set is identical either way."""
+    from hudi_spark_utilities_plus_spark.operators import dedup as D
+    from hudi_spark_utilities_plus_spark.operators import similarity as S
+
+    # i and i+20 repeat exactly (cycle lcm(4,5)=20) → planted cos=1 pairs
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def run(**kw):
+        df = S.similar_pairs(vecs, 0.95, n_clusters=4, **kw)
+        rows = sorted(
+            (r["id_a"], r["id_b"], round(r["cos_sim"], 9)) for r in df.collect()
+        )
+        return rows, audit.executed_plan(df).count("BroadcastHashJoin")
+
+    try:
+        hinted_rows, hinted_bhj = run(broadcast_verify=True)
+        fb_rows, fb_bhj = run(broadcast_verify=False)
+        assert hinted_rows and hinted_rows == fb_rows
+        # verify-side broadcasts gone; candidate-gen pair_df broadcast stays
+        assert fb_bhj < hinted_bhj, (fb_bhj, hinted_bhj)
+        spark.conf.set(D._VERIFY_CAP_CONF, "4")  # corpus of 24 > cap of 4
+        auto_rows, auto_bhj = run()
+        assert auto_rows == fb_rows and auto_bhj == fb_bhj, (auto_bhj, fb_bhj)
+    finally:
+        spark.conf.unset(D._VERIFY_CAP_CONF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_nullsafe_join_broadcasts_dim(spark, sf_dir):
     """<=> must not fall back to a nested-loop plan: the null-safe key
     hash-joins, dim side broadcast."""
