@@ -763,35 +763,47 @@ def jdbc_scan(spark, sf_dir):
     db = f"jdbc_scan_{uuid.uuid4().hex[:8]}"
     url = f"jdbc:derby:memory:{db}"
     jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
     try:
-        st = conn.createStatement()
-        st.execute(
-            "CREATE TABLE nation (n_nationkey INT PRIMARY KEY, "
-            "n_name VARCHAR(64), n_regionkey INT)"
-        )
-        ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
-        for k, name, rk in rows:
-            ps.setInt(1, int(k))
-            ps.setString(2, str(name))
-            ps.setInt(3, int(rk))
-            ps.executeUpdate()
-    finally:
-        conn.close()
-    from .sources.registry import read_jdbc
+        conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+        try:
+            st = conn.createStatement()
+            st.execute(
+                "CREATE TABLE nation (n_nationkey INT PRIMARY KEY, "
+                "n_name VARCHAR(64), n_regionkey INT)"
+            )
+            ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+            for k, name, rk in rows:
+                ps.setInt(1, int(k))
+                ps.setString(2, str(name))
+                ps.setInt(3, int(rk))
+                ps.executeUpdate()
+        finally:
+            conn.close()
+        from .sources.registry import read_jdbc
 
-    df = read_jdbc(
-        spark,
-        {
-            "url": url,
-            "query": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-        },
-    )
-    return df.select(
-        F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
-        F.col("N_NAME").alias("n_name"),
-        F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
-    )
+        df = read_jdbc(
+            spark,
+            {
+                "url": url,
+                "query": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+            },
+        ).select(
+            F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
+            F.col("N_NAME").alias("n_name"),
+            F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
+        )
+        # materialize BEFORE dropping the database (the read is lazy;
+        # 25 rows — driver-side is fine), then hand back a local frame
+        out = spark.createDataFrame(df.collect(), df.schema)
+    finally:
+        # in-memory Derby dbs live in JVM heap for the session lifetime
+        # unless dropped; Derby signals a successful drop by THROWING
+        # SQLNonTransientConnectionException (state 08006)
+        try:
+            jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass
+    return out
 
 
 @query(
@@ -824,3 +836,97 @@ def csv_scan(spark, sf_dir):
         "n_name",
         F.col("n_regionkey").cast("int"),
     )
+
+
+@query(
+    "mongo_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def mongo_scan(spark, sf_dir):
+    """A7/A8 driver-visible smoke: the Mongo read path executes END TO
+    END through ``spark.read.format("mongodb")`` — a Python Data Source
+    stand-in (sources/standin.py) registered under the connector's
+    format name serves nation rows staged as JSON lines, and
+    sources.registry.read_mongo splices the username/password into the
+    URI before forwarding (HoodieMongoBatch.scala:101-120). The network
+    hop is the only simulated part; format resolution, option
+    forwarding, schema declaration, and the distributed read are the
+    real Spark path. Oracle is the lake table itself."""
+    import json
+    import os
+    import tempfile
+
+    from .sources.registry import read_mongo
+    from .sources.standin import register_standin_sources
+
+    register_standin_sources(spark)
+    n = _t(spark, sf_dir, "nation")["nation"]
+    rows = (
+        n.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # 25-row dimension — driver-side staging is fine
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="mongo_scan_"), "coll.jsonl")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r.asDict()) + "\n")
+    df = read_mongo(
+        spark,
+        {
+            "uri": "mongodb://localhost:27017/lake.nation",
+            "username": "reader",
+            "password": "secret",
+            "database": "lake",
+            "collection": "nation",
+            "standin.path": path,
+            "standin.schema": (
+                "n_nationkey INT, n_name STRING, n_regionkey INT"
+            ),
+        },
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "es_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def es_scan(spark, sf_dir):
+    """A9/A10 driver-visible smoke: the ES read path executes END TO END
+    through ``spark.read.format("es")`` — the elasticsearch-hadoop short
+    name, served by the Python Data Source stand-in — with the es.*
+    option family (resource, query DSL pushdown) forwarded by
+    sources.registry.read_es (HoodieEsBatch.scala:102-109), which also
+    applies the case-collision guard from the reference's documented
+    failure mode. Oracle is the lake table itself."""
+    import json
+    import os
+    import tempfile
+
+    from .sources.registry import read_es
+    from .sources.standin import register_standin_sources
+
+    register_standin_sources(spark)
+    n = _t(spark, sf_dir, "nation")["nation"]
+    rows = (
+        n.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # 25-row dimension — driver-side staging is fine
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="es_scan_"), "idx.jsonl")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r.asDict()) + "\n")
+    df = read_es(
+        spark,
+        {
+            "es.resource": "nation/_doc",
+            "es.query": '{"query": {"match_all": {}}}',
+            "es.read.field.exclude": "unused",
+            "standin.path": path,
+            "standin.schema": (
+                "n_nationkey INT, n_name STRING, n_regionkey INT"
+            ),
+        },
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey")

@@ -26,6 +26,32 @@ def _t(spark, sf_dir, *names):
     return load_tables(spark, sf_dir, list(names), register=False)
 
 
+def _await_stream_rows(q, expected: int, timeout_s: float) -> None:
+    """Block until the StreamingQuery's progress log shows ``expected``
+    input rows consumed (or the deadline passes), then return.
+
+    Accumulates ``numInputRows`` incrementally, tracking the highest
+    ``batchId`` already counted: ``recentProgress`` is a bounded ring
+    buffer (default 100 entries), so a one-shot ``sum()`` over it
+    undercounts whenever consumption spans more progress updates than
+    the buffer holds — the loop would then only exit via the wall-clock
+    deadline, or worse stop before the sink committed everything. Each
+    poll only adds batches newer than the high-water mark, so entries
+    aging out of the ring were already counted."""
+    import time
+
+    deadline = time.time() + timeout_s
+    done, seen_batch = 0, -1
+    while time.time() < deadline:
+        for p in q.recentProgress:
+            if p["batchId"] > seen_batch:
+                done += p["numInputRows"]
+                seen_batch = p["batchId"]
+        if done >= expected:
+            return
+        time.sleep(0.2)
+
+
 @query(
     "join_asof",
     oracle="""
@@ -338,7 +364,6 @@ def stream_trigger(spark, sf_dir):
     ingest shape of the reference's importers."""
     import os
     import tempfile
-    import time
 
     src = os.path.join(sf_dir, "events.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet — a plain session rejects it
@@ -364,12 +389,7 @@ def stream_trigger(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            done = sum(p["numInputRows"] for p in q.recentProgress)
-            if done >= expected:
-                break
-            time.sleep(0.2)
+        _await_stream_rows(q, expected, 120)
     finally:
         q.stop()
     from .queries import dsum
@@ -460,7 +480,6 @@ def stream_demux(spark, sf_dir):
     keyed shuffle (streaming/demux.py:64)."""
     import os
     import tempfile
-    import time
 
     from .streaming.cdc import read_cdc_stream
     from .streaming.demux import start_binlog_streamer
@@ -491,11 +510,7 @@ def stream_demux(spark, sf_dir):
         trigger_seconds=1,
     )
     try:
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            if sum(p["numInputRows"] for p in q.recentProgress) >= expected:
-                break
-            time.sleep(0.2)
+        _await_stream_rows(q, expected, 180)
     finally:
         q.stop()
     parts = [

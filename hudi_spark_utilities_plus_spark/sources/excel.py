@@ -325,7 +325,12 @@ def _plain_str(v: object, plain_number: bool) -> str:
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float) and plain_number:
-        s = format(v, "f")
+        # Decimal of the shortest repr, expanded without exponent:
+        # format(v, "f") would truncate to 6 fractional digits (2.5e-7
+        # → "0.000000" → "0"), silently zeroing small magnitudes
+        from decimal import Decimal
+
+        s = format(Decimal(repr(v)), "f")
         return s.rstrip("0").rstrip(".") if "." in s else s
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")

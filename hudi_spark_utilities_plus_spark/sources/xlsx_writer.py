@@ -52,10 +52,32 @@ def _col_name(i: int) -> str:
     return name
 
 
+def _fmt_float(x: float) -> str:
+    """Shortest repr digits, always plain decimal notation (no exponent);
+    ``float()`` of the result round-trips bit-exactly."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        raise ValueError(f"non-finite float not representable in xlsx: {x}")
+    s = repr(x)
+    if "e" not in s and "E" not in s:
+        return s
+    return format(Decimal(s), "f")
+
+
 def _cell(ref: str, value) -> str:
     if value is None:
-        return ""
-    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        # emit an empty, explicitly-referenced cell: dropping the cell
+        # entirely would misalign readers that index by position rather
+        # than by the r= reference
+        return f'<c r="{ref}"/>'
+    if isinstance(value, float):
+        # repr-stable decimal notation — str()/repr() switch to
+        # scientific for |x| ≥ 1e16 or < 1e-4, which SpreadsheetML
+        # readers may parse differently
+        return f'<c r="{ref}"><v>{_fmt_float(value)}</v></c>'
+    if isinstance(value, int) and not isinstance(value, bool):
         return f'<c r="{ref}"><v>{value}</v></c>'
     text = (
         str(value)

@@ -525,6 +525,48 @@ def test_excel_simple_header_infer(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_xlsx_writer_nulls_and_extreme_floats(spark, tmp_path):
+    """The PRODUCT fixture writer (sources/xlsx_writer): a None in a
+    leading/middle column must occupy its cell reference (not shift the
+    row left), and floats outside repr's plain-notation range must not
+    serialize in scientific notation."""
+    import math
+
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.sources.xlsx_writer import (
+        _fmt_float,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "nulls.xlsx")
+    write_xlsx(
+        p,
+        ["a", "b", "c"],
+        [(None, "mid", 1e17), ("x", None, 2.5e-7)],
+    )
+    rows = sorted(
+        (
+            tuple(r)
+            for r in read_excel(
+                spark, p, {"header": "true", "usePlainNumberFormat": "true"}
+            ).collect()
+        ),
+        key=lambda t: t[2],
+    )
+    # None → NULL in place; floats round-trip through plain decimal text
+    assert rows == [
+        ("x", None, "0.00000025"),
+        (None, "mid", "100000000000000000"),
+    ], rows
+    assert float(_fmt_float(1e17)) == 1e17
+    assert float(_fmt_float(2.5e-7)) == 2.5e-7
+    assert "e" not in _fmt_float(1e17).lower()
+    assert "e" not in _fmt_float(2.5e-7).lower()
+    with _pytest.raises(ValueError):
+        _fmt_float(math.nan)
+
+
 def test_excel_strings_by_default(spark, tmp_path):
     p = str(tmp_path / "s.xlsx")
     write_xlsx(p, [["a", "b"], [1, 2.5]])
