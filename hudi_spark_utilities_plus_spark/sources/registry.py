@@ -69,8 +69,33 @@ def read_mongo(spark: SparkSession, options: dict[str, str]) -> DataFrame:
 
 def read_es(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     """Elasticsearch scan (A9-A10): es.* option family forwarded
-    (query DSL pushdown, array includes, field excludes, SSL/auth)."""
-    return spark.read.format("es").options(**options).load()
+    (query DSL pushdown, array includes, field excludes, SSL/auth).
+
+    Guards the documented ES-vs-Spark case-collision failure
+    (docs/document/02.Elasticsearch Ingestion.md:95-131): ES mappings are
+    case-sensitive (``outFlag`` and ``outflag`` coexist) while Spark's
+    analyzer is case-insensitive by default, so such an index loads into
+    a frame whose first downstream analysis throws an opaque
+    ``Found duplicate column(s)``. Detect it at the source and raise with
+    the reference's remediation: exclude one side via
+    ``es.read.field.exclude``."""
+    df = spark.read.format("es").options(**options).load()
+    seen: dict[str, str] = {}
+    collisions: list[tuple[str, str]] = []
+    for c in df.columns:
+        low = c.lower()
+        if low in seen and seen[low] != c:
+            collisions.append((seen[low], c))
+        seen.setdefault(low, c)
+    if collisions:
+        pairs = ", ".join(f"{a!r}/{b!r}" for a, b in collisions)
+        raise ValueError(
+            "ES mapping has case-colliding fields the Spark analyzer "
+            f"cannot distinguish: {pairs}. Exclude the unused side with "
+            "es.read.field.exclude=<field> (ES fields are case-sensitive; "
+            "Spark columns are not)."
+        )
+    return df
 
 
 def _file_reader(fmt: str):
