@@ -7,11 +7,17 @@ with a typed metadata struct alongside (mime, n_bytes, checksum). Decode
 partitioning is by payload row-group, so a 1000-executor cluster decodes
 embarrassingly parallel.
 
-The actual codec calls are STUBBED in this environment (no image/audio
-libs in the container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless a deterministic fake decoder is requested.
-The Spark-side plumbing — schema, batch iteration, UDF signatures — is
-real and tested.
+Codec strategy: the REAL decode path (Pillow) sits behind a guarded
+import — when PIL is installed, ``decode_image``/``decode_dims`` decode
+actual image bytes and ``resize_media`` re-encodes real resampled
+pixels; when it isn't (this container), or when a payload isn't
+decodable media, they fall back to the deterministic stand-in
+(``fake_decode_dims``: dims from the payload checksum). The driver
+oracles pin the STAND-IN contract — their payloads are UTF-8 text, never
+decodable images, so their results are identical with or without PIL —
+while a real deployment with Pillow installed gets real decoding through
+the same plumbing. The Spark-side plumbing — schema, batch iteration,
+UDF signatures — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -51,11 +57,23 @@ def attach_payload(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder entry point — image libs absent in this container."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode_dims for deterministic testing"
-    )
+    """Real decoder entry point: a PIL Image when Pillow is installed.
+
+    Raises ``NotImplementedError`` when no imaging library is present
+    (this container), and lets PIL's own error propagate for payloads
+    that aren't decodable images — callers wanting a total function use
+    ``decode_dims``."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decoding requires Pillow, not present in this "
+            "environment; use decode_dims/fake_decode_dims for "
+            "deterministic fallback behavior"
+        ) from None
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def fake_decode_dims(payload: bytes) -> tuple[int, int]:
@@ -66,6 +84,26 @@ def fake_decode_dims(payload: bytes) -> tuple[int, int]:
             int.from_bytes(h[2:4], "big") % 1080 + 1)
 
 
+def decode_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a payload — total function.
+
+    Real PIL decode when Pillow is importable AND the bytes are a
+    decodable image; the deterministic checksum stand-in otherwise. The
+    driver oracles feed UTF-8 text payloads, so they always take (and
+    pin) the stand-in branch regardless of whether PIL is installed."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return fake_decode_dims(payload)
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.size
+    except Exception:
+        return fake_decode_dims(payload)
+
+
 def extract_features(df_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over payload batches.
 
@@ -74,13 +112,26 @@ def extract_features(df_with_payload: DataFrame) -> DataFrame:
     a real decoder slots into the same loop)."""
 
     # Self-contained closure (stdlib-only refs): cloudpickle ships it by
-    # value, so executors don't need this package importable.
+    # value, so executors don't need this package importable. Mirrors
+    # decode_dims: guarded PIL import, checksum stand-in fallback.
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import io as _io
 
         import pandas as _pd
 
+        try:
+            from PIL import Image as _Img
+        except ImportError:
+            _Img = None
+
         def _dims(raw: bytes) -> tuple[int, int]:
+            if _Img is not None:
+                try:
+                    with _Img.open(_io.BytesIO(raw)) as im:
+                        return im.size
+                except Exception:
+                    pass  # not decodable media — stand-in below
             h = _hl.sha256(raw).digest()
             return (
                 int.from_bytes(h[:2], "big") % 1920 + 1,
@@ -106,18 +157,25 @@ def extract_features(df_with_payload: DataFrame) -> DataFrame:
 def resize_media(
     df_with_payload: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Resize plumbing: aspect-preserving fit of the (fake-)decoded
-    dimensions into a target box, plus a deterministic stand-in for the
-    resampled payload (byte budget ∝ output area). A real resampler
-    slots into the same Arrow-batched mapInPandas loop — the schema,
-    batch shape, and scale math are the production plumbing."""
+    """Resize: aspect-preserving fit of the decoded dimensions into a
+    target box. With Pillow installed and a decodable payload this is a
+    REAL resample (PIL resize, re-encoded bytes out); otherwise the
+    deterministic stand-in (checksum dims, byte budget ∝ output area).
+    Both branches share the Arrow-batched mapInPandas loop and scale
+    math — the production plumbing is identical."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import io as _io
 
         import pandas as _pd
 
-        def _dims(raw: bytes) -> tuple[int, int]:
+        try:
+            from PIL import Image as _Img
+        except ImportError:
+            _Img = None
+
+        def _fake_dims(raw: bytes) -> tuple[int, int]:
             h = _hl.sha256(raw).digest()
             return (
                 int.from_bytes(h[:2], "big") % 1920 + 1,
@@ -131,17 +189,32 @@ def resize_media(
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                in_w, in_h = _dims(raw)
+                im = None
+                if _Img is not None:
+                    try:
+                        im = _Img.open(_io.BytesIO(raw))
+                        im.load()
+                    except Exception:
+                        im = None  # not decodable media — stand-in
+                in_w, in_h = im.size if im is not None else _fake_dims(raw)
                 scale = min(target_w / in_w, target_h / in_h)
                 out_w = max(1, int(in_w * scale))
                 out_h = max(1, int(in_h * scale))
-                budget = max(1, out_w * out_h // 256)
+                if im is not None:
+                    buf = _io.BytesIO()
+                    fmt = im.format or "PNG"
+                    im.resize((out_w, out_h)).save(buf, format=fmt)
+                    im.close()
+                    resized = buf.getvalue()
+                else:
+                    budget = max(1, out_w * out_h // 256)
+                    resized = raw[:budget]
                 out["doc_id"].append(doc_id)
                 out["in_w"].append(in_w)
                 out["in_h"].append(in_h)
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)
-                out["resized"].append(raw[:budget])
+                out["resized"].append(resized)
             yield _pd.DataFrame(out)
 
     return df_with_payload.mapInPandas(

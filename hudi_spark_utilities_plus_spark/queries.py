@@ -1264,6 +1264,74 @@ def hudi_incremental_read(spark, sf_dir):
     return t.read_incremental(spark, cursor)
 
 
+@query(
+    "hudi_hive_sync_read",
+    oracle="""
+    WITH updated AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             o_orderdate + INTERVAL 1 DAY AS o_orderdate
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderdate, o.o_orderdate) AS o_orderdate
+    FROM orders o LEFT JOIN updated u USING (o_orderkey)
+    """,
+)
+def hudi_hive_sync_read(spark, sf_dir):
+    """Hive-sync driver-provable end to end (``hoodie.datasource.
+    hive_sync.*``, hudi_mongodb_batch.properties:22-29): a MOR table
+    written with sync enabled, read back BY CATALOG NAME. Exercises the
+    full HiveSyncTool-analogue state machine (lake._maybe_sync_catalog):
+    bulk_insert registers ``<db>.<tbl>`` and ``<db>.<tbl>_ro``; the
+    upsert's pending log commit withholds the snapshot name (a by-name
+    query must not silently serve stale base data) while ``_ro`` stays
+    valid; compact() restores the snapshot name, whose catalog read is
+    the returned (and oracle-checked) merged result."""
+    import tempfile
+    import uuid
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    # own database (not the tests' data_import): a shared db would break
+    # any other owner's non-cascade DROP DATABASE; unique table name per
+    # invocation because the returned frame reads by catalog name lazily
+    # (the previous invocation's name can't be dropped/reused here).
+    db, tbl = "hive_sync_q", f"ods_orders_{uuid.uuid4().hex[:8]}"
+    for old in spark.sql(f"SHOW TABLES IN `{db}`").collect() if spark.catalog.databaseExists(db) else []:
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{old['tableName']}`")
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="hive_sync_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+        options={
+            "hoodie.datasource.hive_sync.enable": "true",
+            "hoodie.datasource.hive_sync.database": db,
+            "hoodie.datasource.hive_sync.table": tbl,
+        },
+    )
+    t.bulk_insert(o)
+    if not spark.catalog.tableExists(f"{db}.{tbl}"):
+        raise AssertionError("hive sync did not register the snapshot name")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    t.upsert(updates, spark)
+    # pending log: snapshot name withheld, _ro (base-only) still valid
+    if spark.catalog.tableExists(f"{db}.{tbl}"):
+        raise AssertionError("snapshot name must be withheld while log pends")
+    if not spark.catalog.tableExists(f"{db}.{tbl}_ro"):
+        raise AssertionError("read-optimized name must stay registered")
+    t.compact(spark)
+    return spark.table(f"`{db}`.`{tbl}`")
+
+
 def _bucketed_cleanup(spark) -> None:
     """Reclaim THIS session's earlier bucketed tables plus clearly
     orphaned warehouse dirs. DROP TABLE removes a managed table's dir;
