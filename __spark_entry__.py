@@ -36,73 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order.  Round-5 rotation: (a) the round-4 red row, oracle fixed
-# this round (HUGEINT-typed SUM(CASE) -> COUNT(*) FILTER); (b) round-5 new
-# ids, never driver-checked; (c) ids whose oracle or implementation this
-# round's changes touch (mm ASCII-guard oracles, join_bucketed refactor,
-# verify-join fallback, global_running_sum decimal branch); (d) the stale
-# cohort whose last green row is round 2 — everything else was re-proven in
-# r3/r4.  40 of the 49 r2-cohort ids fit; the nine deferred past the window
-# edge all have same-operator-family siblings INSIDE the window and lead
-# the r6 rotation.
+# in dict order.  Round-6 rotation (the staleness-refresh round VERDICT r5
+# item 1 asks for): (a) round-6 new ids, never driver-checked
+# (hive-sync catalog read; Mongo/ES executed end to end through the
+# Python Data Source stand-ins); (b) the FULL r2 cohort — the 18 ids
+# whose last green driver row is round 2; (c) the 29 oldest r3 ids.
+# The 6 r3 ids deferred past the window edge each have a same-family
+# sibling INSIDE the window and lead the r7 rotation, followed by the
+# r5 ids whose implementation round 6 touched (multimodal PIL guard,
+# stream progress accounting, jdbc Derby drop, xlsx writer) — those are
+# re-proven this round by the full-registry /verify exact-compare and
+# keep their r5 rows meanwhile.
 _CHECK_ORDER = [
-    # (a) round-4 red row — oracle rewritten COUNT(*) FILTER, must re-prove
-    "tpch_q12_shape",
-    # (b) round-5 new ids, never driver-checked
-    "join_right",
-    "stream_trigger",
-    "stream_recovery",
-    "stream_stateful",
-    "win_lead",
-    "array_hof",
-    "join_nullsafe",
-    "hudi_incremental_read",
-    "stream_demux",
-    "excel_scan",
-    "jdbc_scan",
-    "csv_scan",
-    # (c) oracle / implementation touched this round
-    "mm_resize",
-    "mm_frame_sample",
-    "join_bucketed",
-    "pack_token_budget",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    # (d) stale cohort: last green row is round 2 (40 of 49 fit the window)
-    "agg_approx_distinct",
-    "agg_group",
-    "agg_rollup",
-    "array_funcs",
-    "cast_types",
-    "cte",
-    "date_funcs",
-    "dedup_latest_wins",
-    "doc_fingerprint",
-    "filter_eq",
-    "flatten_struct",
-    "hudi_upsert",
-    "join_broadcast",
-    "join_inner",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "json_funcs",
-    "lang_id",
-    "math_funcs",
-    "null_funcs",
-    "project_expr",
-    "scan_parquet",
-    "set_union",
-    "sort_limit_topk",
-    "str_funcs",
-    "struct_access",
-    "subquery_in",
-    "text_quality",
-    "transform_sql",
-    "win_rank",
-    # ---- window edge: position 50 ----
-    # deferred r2-cohort ids (each has a same-family sibling inside the
-    # window above); these lead the round-6 rotation
+    # (a) round-6 new ids, never driver-checked
+    "hudi_hive_sync_read",
+    "mongo_scan",
+    "es_scan",
+    # (b) stale cohort: last green row is round 2 (all 18)
     "agg_distinct",
     "join_anti",
     "win_running_sum",
@@ -121,12 +71,11 @@ _CHECK_ORDER = [
     "flatten_array_struct",
     "agg_cube",
     "win_lag",
-    # last green row r3
+    # (c) oldest r3 ids (29 of 35)
     "agg_decimal_total",
     "agg_grouping_sets",
     "agg_mode",
     "agg_percentile",
-    "agg_percentile_sketch",
     "agg_salted",
     "ann_topk",
     "date_arith",
@@ -138,14 +87,10 @@ _CHECK_ORDER = [
     "join_salted",
     "keyword_extract",
     "map_access",
-    "order_nulls",
     "pivot_status",
     "sample_hash_docs",
-    "sample_stratified",
     "stream_session",
-    "stream_sliding",
     "subquery_exists",
-    "subquery_scalar",
     "text_repetition",
     "tpch_q10_shape",
     "tpch_q18_shape",
@@ -153,12 +98,26 @@ _CHECK_ORDER = [
     "tpch_q3_shape",
     "tpch_q5_shape",
     "unpivot_measures",
-    "win_first_last",
     "win_ntile",
     "win_range_between",
     "word_freq",
-    # last green row r4 — freshest; any id not listed here appends in
-    # registration order (see _ordered)
+    # ---- window edge: position 50 ----
+    # deferred r3 ids (same-family sibling inside the window); r7 head
+    "agg_percentile_sketch",
+    "subquery_scalar",
+    "win_first_last",
+    "order_nulls",
+    "stream_sliding",
+    "sample_stratified",
+    # r5 ids whose implementation round 6 touched — next in r7
+    "mm_features",
+    "mm_resize",
+    "stream_trigger",
+    "stream_demux",
+    "jdbc_scan",
+    "excel_scan",
+    "dedup_ngram_jaccard",
+    # anything not listed appends in registration order (see _ordered)
 ]
 
 

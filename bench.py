@@ -68,6 +68,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Isolation mode: SPARK_GRAFT_ONLY=q1,q2 restricts the suite to the
+    # named queries — for re-measuring one query without 40 neighbors'
+    # JVM/cache noise. Unset → full headline suite (the driver's path).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
 
     from hudi_spark_utilities_plus_spark.queries import QUERIES
     from hudi_spark_utilities_plus_spark.session import build_spark_session
@@ -110,7 +117,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         try:
             special.get(name, QUERIES.get(name))(spark, warm_dir).write.format(
                 "noop"
@@ -121,7 +128,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = special.get(name, QUERIES.get(name))
         t0 = time.perf_counter()
         # Per-query guard: one broken query must never erase the round's
