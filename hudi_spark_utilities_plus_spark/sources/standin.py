@@ -19,7 +19,14 @@ and the ``mongo_scan``/``es_scan`` driver ids do).
 Options understood by both:
 
 - ``standin.path``   — JSON-lines file to serve (one object per line).
-- ``standin.schema`` — DDL schema string for the served rows.
+- ``standin.schema`` — DDL schema string for the served rows. When
+  ABSENT, the schema is inferred by SAMPLING, honoring the Mongo
+  connector's ``samplePoolSize`` option (default 10000 — the reference
+  documents it at docs/document/01.MongoDB Ingestion.md:50): only the
+  first ``samplePoolSize`` documents are analyzed, so a field that
+  first appears later is missing from the schema — the real
+  connector's documented inference hazard, reproduced so it can be
+  tested.
 - ``standin.echo``   — optional path; when set, the reader dumps the
   exact options map it received there (driver-side, at plan time) so
   tests can assert what arrived through the format boundary.
@@ -50,18 +57,78 @@ class _StandInReader(DataSourceReader):
         if not path:
             return
         names = [f.name for f in self._schema.fields]
+        types = [f.dataType.simpleString() for f in self._schema.fields]
+
+        def _coerce(v, t):
+            # sampled-schema widening can declare STRING over mixed-type
+            # fields; serve values in the declared type like a connector
+            if v is None:
+                return None
+            if t == "string" and not isinstance(v, str):
+                return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+            if t == "double" and isinstance(v, int):
+                return float(v)
+            return v
+
         with open(path) as fh:
             for line in fh:
                 if line.strip():
                     obj = json.loads(line)
-                    yield tuple(obj.get(n) for n in names)
+                    yield tuple(
+                        _coerce(obj.get(n), t) for n, t in zip(names, types)
+                    )
+
+
+def _infer_sampled_schema(path: str, pool: int) -> str:
+    """Schema-by-sampling over the first ``pool`` documents, mirroring
+    the Mongo connector's samplePoolSize semantics: union of fields seen
+    in the pool; long/double/boolean/string leaf types, numeric widening
+    long→double, any other conflict widening to string. Fields first
+    appearing after the pool are (by contract) absent."""
+    fields: dict[str, str] = {}
+    seen = 0
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            if seen >= pool:
+                break
+            seen += 1
+            for k, v in json.loads(line).items():
+                if isinstance(v, bool):
+                    t = "BOOLEAN"
+                elif isinstance(v, int):
+                    t = "BIGINT"
+                elif isinstance(v, float):
+                    t = "DOUBLE"
+                elif v is None:
+                    continue  # type unknown; another doc may tell
+                else:
+                    t = "STRING"
+                prev = fields.get(k)
+                if prev is None or prev == t:
+                    fields[k] = t
+                elif {prev, t} == {"BIGINT", "DOUBLE"}:
+                    fields[k] = "DOUBLE"
+                else:
+                    fields[k] = "STRING"
+    if not fields:
+        return "value STRING"
+    return ", ".join(f"{k} {t}" for k, t in fields.items())
 
 
 class _StandInSource(DataSource):
     """Shared body; subclasses pin the format name."""
 
     def schema(self):  # DDL string — Spark parses it
-        return self.options.get("standin.schema", "value STRING")
+        declared = self.options.get("standin.schema")
+        if declared:
+            return declared
+        path = self.options.get("standin.path")
+        if path:
+            pool = int(self.options.get("samplePoolSize", "10000"))
+            return _infer_sampled_schema(path, pool)
+        return "value STRING"
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _StandInReader(schema, self.options)

@@ -90,6 +90,44 @@ def test_es_standin_forwards_es_options(spark, staged):
     assert got["es.read.field.as.array.include"] == "tags"
 
 
+def test_mongo_sample_pool_schema_inference(spark, tmp_path):
+    """samplePoolSize semantics (reference doc 01.MongoDB
+    Ingestion.md:50, default 10000): schema is inferred from only the
+    first N documents, so a field that first appears later is absent —
+    and present once the pool covers it. Numeric widening long→double;
+    mixed types widen to string."""
+    register_standin_sources(spark)
+    data = tmp_path / "docs.jsonl"
+    lines = [json.dumps({"a": i, "b": float(i)}) for i in range(5)]
+    lines.append(json.dumps({"a": 5, "b": 6, "late": "x"}))  # 6th doc
+    data.write_text("\n".join(lines))
+
+    small = read_mongo(
+        spark, {"uri": "mongodb://h/db", "standin.path": str(data),
+                "samplePoolSize": "5"}
+    )
+    assert small.columns == ["a", "b"]  # 'late' outside the pool
+    full = read_mongo(
+        spark, {"uri": "mongodb://h/db", "standin.path": str(data)}
+    )
+    assert full.columns == ["a", "b", "late"]
+    assert dict(full.dtypes) == {"a": "bigint", "b": "double",
+                                 "late": "string"}
+    rows = sorted(full.collect(), key=lambda r: r["a"])
+    assert rows[-1]["late"] == "x" and rows[0]["late"] is None
+    assert rows[-1]["b"] == 6.0  # int served as the widened double
+
+    mixed = tmp_path / "mixed.jsonl"
+    mixed.write_text(
+        json.dumps({"k": 1}) + "\n" + json.dumps({"k": "one"})
+    )
+    m = read_mongo(
+        spark, {"uri": "mongodb://h/db", "standin.path": str(mixed)}
+    )
+    assert dict(m.dtypes) == {"k": "string"}
+    assert sorted(r["k"] for r in m.collect()) == ["1", "one"]
+
+
 def test_es_case_collision_guard(spark, staged):
     """The reference's documented failure (02.Elasticsearch
     Ingestion.md:95-131): case-sensitive ES fields `outFlag`/`outflag`
