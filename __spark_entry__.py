@@ -39,9 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # in dict order.  Round-6 rotation (the staleness-refresh round VERDICT r5
 # item 1 asks for): (a) round-6 new ids, never driver-checked
 # (hive-sync catalog read; Mongo/ES executed end to end through the
-# Python Data Source stand-ins); (b) the FULL r2 cohort — the 18 ids
-# whose last green driver row is round 2; (c) the 29 oldest r3 ids.
-# The 6 r3 ids deferred past the window edge each have a same-family
+# Python Data Source stand-ins; streaming stateful dedup; hashed-feature
+# quality model); (b) the FULL r2 cohort — the 18 ids whose last green
+# driver row is round 2; (c) the 27 oldest r3 ids.
+# The 8 r3 ids deferred past the window edge each have a same-family
 # sibling INSIDE the window and lead the r7 rotation, followed by the
 # r5 ids whose implementation round 6 touched (multimodal PIL guard,
 # stream progress accounting, jdbc Derby drop, xlsx writer) — those are
@@ -52,6 +53,8 @@ _CHECK_ORDER = [
     "hudi_hive_sync_read",
     "mongo_scan",
     "es_scan",
+    "stream_dedup",
+    "quality_model_score",
     # (b) stale cohort: last green row is round 2 (all 18)
     "agg_distinct",
     "join_anti",
@@ -85,8 +88,6 @@ _CHECK_ORDER = [
     "hudi_cluster_read",
     "join_asof",
     "join_salted",
-    "keyword_extract",
-    "map_access",
     "pivot_status",
     "sample_hash_docs",
     "stream_session",
@@ -109,6 +110,8 @@ _CHECK_ORDER = [
     "order_nulls",
     "stream_sliding",
     "sample_stratified",
+    "keyword_extract",
+    "map_access",
     # r5 ids whose implementation round 6 touched — next in r7
     "mm_features",
     "mm_resize",

@@ -99,6 +99,55 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# Hashed-feature linear quality model (fasttext-style shape): tokens
+# hash into _QM_BUCKETS feature buckets; each bucket carries a fixed
+# integer weight derived from a Knuth multiplicative mix. Deliberately
+# expressible in BOTH Spark and ANSI SQL built-ins so the score is
+# oracle-exact: the per-token weight is integer (exact BIGINT sum, no
+# float-order dependence), and the final score is ONE double division.
+_QM_BUCKETS = 64
+_QM_MIX = 2654435761  # Knuth's 2^32 / phi multiplier
+_QM_MOD = 997  # prime → weights spread over [-498, 498]
+
+
+def _qm_weight(token: Column) -> Column:
+    """Integer weight of a token's feature bucket.
+
+    bucket = (31·len(t) + codepoint(t[0])) mod 64 — cheap, portable
+    (``length``/``ascii`` exist identically in Spark and DuckDB);
+    weight = (bucket · MIX) mod 997 − 498 ∈ [−498, 498]."""
+    bucket = (F.length(token) * 31 + F.ascii(token)) % _QM_BUCKETS
+    return (bucket * F.lit(_QM_MIX)) % _QM_MOD - 498
+
+
+def quality_model_score(text: Column) -> dict[str, Column]:
+    """Linear quality-model score over hashed token features.
+
+    Production shape: a learned weight vector over hashed n-gram
+    buckets (fasttext / quality-classifier style) applied as a pure
+    Column expression — map-only, JVM-side codegen, no UDF, no shuffle;
+    at 100 TB this scores in the scan stage. The fixed weights here are
+    the deterministic stand-in for trained weights (swap `_qm_weight`
+    for a broadcast weight-array lookup when a trained model exists —
+    same plan shape).
+
+    Returns integer `raw` (exact BIGINT sum of per-token weights),
+    `n_toks`, and `score` = raw / (n_toks · 498) ∈ [−1, 1] via a single
+    double division (bit-identical cross-engine)."""
+    toks = ws_tokens(text)
+    raw = F.aggregate(
+        F.transform(toks, _qm_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    return {
+        "raw": raw,
+        "n_toks": n,
+        "score": raw.cast("double") / (n * 498.0),
+    }
+
+
 def dup_line_fraction(text: Column) -> Column:
     """Gopher-style repetition signal: fraction of lines that are
     repeats of an earlier line — ``1 - distinct/total`` over the raw

@@ -94,6 +94,44 @@ def token_counts(spark, sf_dir):
 
 
 @query(
+    "quality_model_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(toks,
+             t -> ((31 * length(t) + ascii(t)) % 64 * 2654435761) % 997 - 498
+           )) AS raw,
+           len(toks) AS n_toks,
+           CAST(list_sum(list_transform(toks,
+             t -> ((31 * length(t) + ascii(t)) % 64 * 2654435761) % 997 - 498
+           )) AS DOUBLE) / (len(toks) * 498.0) AS score,
+           list_sum(list_transform(toks,
+             t -> ((31 * length(t) + ascii(t)) % 64 * 2654435761) % 997 - 498
+           )) >= 0 AS keep
+    FROM t
+    """,
+)
+def quality_model_score(spark, sf_dir):
+    """Model-based quality scoring: a hashed-feature linear classifier
+    (fasttext-style) as a pure Column program — integer bucket weights
+    summed exactly per doc, one double division, keep/drop flag at the
+    decision boundary. Map-only; scores in the scan stage at any scale
+    (operators/text.quality_model_score)."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    s = T.quality_model_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["raw"].alias("raw"),
+        s["n_toks"].cast("long").alias("n_toks"),
+        s["score"].alias("score"),
+        (s["raw"] >= 0).alias("keep"),
+    )
+
+
+@query(
     "text_quality",
     oracle=r"""
     SELECT doc_id,

@@ -457,6 +457,65 @@ def stream_recovery(spark, sf_dir):
 
 
 @query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """C6-family driver smoke: Spark's STATEFUL streaming dedup — the
+    ingest-side exact-dedup a CDC/at-least-once source needs. The events
+    table is staged TWICE behind the streaming file source (every row a
+    duplicate), and ``dropDuplicates`` on the key keeps per-key state in
+    the checkpointed state store across micro-batches; the sink must
+    receive each event exactly once, so any state-store miss doubles a
+    count and flips the oracle hash.
+
+    Scale: state is hash-partitioned by key across executors (same
+    shuffle as a keyed agg); at 100 TB the unbounded key state is the
+    knob to watch — production bounds it with
+    ``dropDuplicatesWithinWatermark`` once keys have an event-time
+    horizon; the smoke's key space is bounded so plain dropDuplicates is
+    the honest equivalent here."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # nanos ts
+    schema = spark.read.parquet(src).schema
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    src_dir = os.path.join(root, "src")
+    os.mkdir(src_dir)
+    # two links -> two source files -> every event arrives twice
+    os.symlink(src, os.path.join(src_dir, "events_a.parquet"))
+    os.symlink(src, os.path.join(src_dir, "events_b.parquet"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # the copies land in DIFFERENT
+        .parquet(src_dir)                 # micro-batches: cross-batch state
+        .select("event_id", "event_type", "value")
+        .dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from .queries import dsum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
     "stream_demux",
     oracle="""
     SELECT event_type AS tbl, COUNT(*) AS n,

@@ -160,6 +160,19 @@ def test_chunk_documents_has_no_shuffle(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_quality_model_score_is_map_only(spark, sf_dir):
+    """quality_model_score must score in the scan stage: a pure Column
+    program with no exchange beyond scatter()'s round-robin for the
+    single-file test input — the property that makes it free at 100 TB."""
+    df = QUERIES["quality_model_score"](spark, sf_dir)
+    plan = audit.executed_plan(df)
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_tpch_q18_single_lineitem_scan(spark, sf_dir):
     """tpch_q18_shape folds the HAVING aggregate into the output: the
     executed plan must scan lineitem exactly once (the classic
