@@ -101,6 +101,48 @@ def test_verify_jaccard_smj_fallback_matches_broadcast(spark, docs):
         D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+def test_ngram_jaccard_equals_bruteforce_random_sweep(spark):
+    """Property sweep: on seeded random corpora the prefix-filtered
+    inverted-index + verify pipeline must return EXACTLY the brute-force
+    O(n²) pure-Python pair set — the PPJoin filters are lossless by
+    construction, and this guards every future tweak of the prefix /
+    length-filter math."""
+    import itertools
+    import random
+
+    vocab = [f"w{i}" for i in range(30)]
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(24):
+            docs.append((i, " ".join(rng.choices(vocab, k=rng.randint(3, 18)))))
+        # planted near-dups: copy with a small tail edit
+        for i, (base_id, text) in enumerate(docs[:4]):
+            docs.append((100 + i, text + " w0"))
+
+        def sh(text, n=3):
+            toks = text.split()
+            if len(toks) < n:
+                return {" ".join(toks)}
+            return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+        brute = set()
+        for (ida, ta), (idb, tb) in itertools.combinations(docs, 2):
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                brute.add((min(ida, idb), max(ida, idb)))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.5
+            ).collect()
+        }
+        assert got == brute, f"seed {seed}: {got ^ brute}"
+
+
 def test_simhash_margin_on_corpus(spark, sf_dir):
     """Early warning for the dedup_simhash driver flag: the max Hamming
     distance over exact-Jaccard ≥ 0.8 pairs on the CURRENT corpus must
