@@ -74,7 +74,7 @@ _CHECK_ORDER = [
     "flatten_array_struct",
     "agg_cube",
     "win_lag",
-    # (c) oldest r3 ids (29 of 35)
+    # (c) oldest r3 ids (27 of 35)
     "agg_decimal_total",
     "agg_grouping_sets",
     "agg_mode",

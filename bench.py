@@ -72,9 +72,17 @@ def main() -> None:
     # named queries — for re-measuring one query without 40 neighbors'
     # JVM/cache noise. Unset → full headline suite (the driver's path).
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
-    )
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = wanted - set(HEADLINE)
+        if unknown:  # fail loudly: a typo must not pollute the perf record
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY names unknown queries: {sorted(unknown)} "
+                f"(headline ids: {sorted(HEADLINE)})"
+            )
+        headline = [q for q in HEADLINE if q in wanted]
+    else:
+        headline = HEADLINE
 
     from hudi_spark_utilities_plus_spark.queries import QUERIES
     from hudi_spark_utilities_plus_spark.session import build_spark_session

@@ -104,12 +104,17 @@ def decode_dims(payload: bytes) -> tuple[int, int]:
         return fake_decode_dims(payload)
 
 
-def extract_features(df_with_payload: DataFrame) -> DataFrame:
+def extract_features(
+    df_with_payload: DataFrame, use_codec: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction over payload batches.
 
     mapInPandas: each Arrow batch crosses the JVM→Python boundary once;
     per-row work is plain bytes hashing (vectorized-enough for the stub;
-    a real decoder slots into the same loop)."""
+    a real decoder slots into the same loop). ``use_codec=False`` pins
+    the checksum stand-in dims even with Pillow installed — the
+    driver-oracle contract (PIL's PPM/XBM plugins can decode some
+    plain-ASCII payloads, so text-ness alone doesn't pin the branch)."""
 
     # Self-contained closure (stdlib-only refs): cloudpickle ships it by
     # value, so executors don't need this package importable. Mirrors
@@ -120,10 +125,12 @@ def extract_features(df_with_payload: DataFrame) -> DataFrame:
 
         import pandas as _pd
 
-        try:
-            from PIL import Image as _Img
-        except ImportError:
-            _Img = None
+        _Img = None
+        if use_codec:
+            try:
+                from PIL import Image as _Img
+            except ImportError:
+                _Img = None
 
         def _dims(raw: bytes) -> tuple[int, int]:
             if _Img is not None:
@@ -155,14 +162,26 @@ def extract_features(df_with_payload: DataFrame) -> DataFrame:
 
 
 def resize_media(
-    df_with_payload: DataFrame, target_w: int = 224, target_h: int = 224
+    df_with_payload: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    use_codec: bool = True,
 ) -> DataFrame:
     """Resize: aspect-preserving fit of the decoded dimensions into a
     target box. With Pillow installed and a decodable payload this is a
     REAL resample (PIL resize, re-encoded bytes out); otherwise the
     deterministic stand-in (checksum dims, byte budget ∝ output area).
     Both branches share the Arrow-batched mapInPandas loop and scale
-    math — the production plumbing is identical."""
+    math — the production plumbing is identical.
+
+    The ENTIRE real branch (decode, resize, re-encode) is guarded: a
+    payload PIL can open but not re-encode (PSD/DDS and other read-only
+    formats), or any other codec error, falls back to the stand-in for
+    that row instead of failing the Spark task — the operator is total.
+    ``use_codec=False`` pins the stand-in branch regardless of whether
+    Pillow is installed — the driver-oracle contract (some plain-ASCII
+    payloads ARE decodable images to PIL's PPM/XBM plugins, so 'text
+    payload' alone does not guarantee the stand-in branch)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -170,10 +189,12 @@ def resize_media(
 
         import pandas as _pd
 
-        try:
-            from PIL import Image as _Img
-        except ImportError:
-            _Img = None
+        _Img = None
+        if use_codec:
+            try:
+                from PIL import Image as _Img
+            except ImportError:
+                _Img = None
 
         def _fake_dims(raw: bytes) -> tuple[int, int]:
             h = _hl.sha256(raw).digest()
@@ -182,6 +203,13 @@ def resize_media(
                 int.from_bytes(h[2:4], "big") % 1080 + 1,
             )
 
+        def _fake_resize(raw: bytes) -> tuple[int, int, int, int, bytes]:
+            in_w, in_h = _fake_dims(raw)
+            scale = min(target_w / in_w, target_h / in_h)
+            out_w = max(1, int(in_w * scale))
+            out_h = max(1, int(in_h * scale))
+            return in_w, in_h, out_w, out_h, raw[: max(1, out_w * out_h // 256)]
+
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "in_w": [], "in_h": [],
@@ -189,32 +217,37 @@ def resize_media(
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                im = None
+                row = None
                 if _Img is not None:
                     try:
-                        im = _Img.open(_io.BytesIO(raw))
-                        im.load()
+                        with _Img.open(_io.BytesIO(raw)) as im:
+                            im.load()
+                            in_w, in_h = im.size
+                            scale = min(target_w / in_w, target_h / in_h)
+                            out_w = max(1, int(in_w * scale))
+                            out_h = max(1, int(in_h * scale))
+                            buf = _io.BytesIO()
+                            fmt = im.format or "PNG"
+                            try:
+                                im.resize((out_w, out_h)).save(buf, format=fmt)
+                            except Exception:
+                                # read-only format (PSD/DDS/...): PIL
+                                # decodes but has no save handler
+                                buf = _io.BytesIO()
+                                im.resize((out_w, out_h)).convert("RGB").save(
+                                    buf, format="PNG"
+                                )
+                            row = (in_w, in_h, out_w, out_h, buf.getvalue())
                     except Exception:
-                        im = None  # not decodable media — stand-in
-                in_w, in_h = im.size if im is not None else _fake_dims(raw)
-                scale = min(target_w / in_w, target_h / in_h)
-                out_w = max(1, int(in_w * scale))
-                out_h = max(1, int(in_h * scale))
-                if im is not None:
-                    buf = _io.BytesIO()
-                    fmt = im.format or "PNG"
-                    im.resize((out_w, out_h)).save(buf, format=fmt)
-                    im.close()
-                    resized = buf.getvalue()
-                else:
-                    budget = max(1, out_w * out_h // 256)
-                    resized = raw[:budget]
+                        row = None  # not decodable media — stand-in
+                if row is None:
+                    row = _fake_resize(raw)
                 out["doc_id"].append(doc_id)
-                out["in_w"].append(in_w)
-                out["in_h"].append(in_h)
-                out["out_w"].append(out_w)
-                out["out_h"].append(out_h)
-                out["resized"].append(resized)
+                out["in_w"].append(row[0])
+                out["in_h"].append(row[1])
+                out["out_w"].append(row[2])
+                out["out_h"].append(row[3])
+                out["resized"].append(row[4])
             yield _pd.DataFrame(out)
 
     return df_with_payload.mapInPandas(

@@ -1297,12 +1297,14 @@ def hudi_hive_sync_read(spark, sf_dir):
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
     # own database (not the tests' data_import): a shared db would break
-    # any other owner's non-cascade DROP DATABASE; unique table name per
-    # invocation because the returned frame reads by catalog name lazily
-    # (the previous invocation's name can't be dropped/reused here).
+    # any other owner's non-cascade DROP DATABASE. Unique table name per
+    # invocation because the returned frame reads by catalog name
+    # LAZILY — which is also why there is no cleanup of earlier
+    # invocations' tables here: a caller may still hold (and re-collect)
+    # a prior returned frame, and dropping its table would break that
+    # re-evaluation. The leak is two catalog entries per invocation,
+    # bounded by the handful of driver/pytest runs per session.
     db, tbl = "hive_sync_q", f"ods_orders_{uuid.uuid4().hex[:8]}"
-    for old in spark.sql(f"SHOW TABLES IN `{db}`").collect() if spark.catalog.databaseExists(db) else []:
-        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{old['tableName']}`")
     t = HudiTable(
         path=tempfile.mkdtemp(prefix="hive_sync_q_") + "/t",
         record_key="o_orderkey",

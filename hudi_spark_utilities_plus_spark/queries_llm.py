@@ -392,7 +392,9 @@ def mm_features(spark, sf_dir):
     mapInPandas feature extraction (byte length + checksum here; a real
     codec slots into the same batch loop)."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
-    feats = M.extract_features(M.attach_payload(d))
+    # use_codec=False pins the checksum stand-in branch (the oracle
+    # contract) even on a deployment with Pillow installed
+    feats = M.extract_features(M.attach_payload(d), use_codec=False)
     return feats.select("doc_id", "n_bytes", "payload_sha")
 
 

@@ -803,7 +803,8 @@ def mm_resize(spark, sf_dir):
     from .operators import multimodal as M
 
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
-    return M.resize_media(M.attach_payload(d)).select(
+    # use_codec=False pins the stand-in branch (the oracle contract)
+    return M.resize_media(M.attach_payload(d), use_codec=False).select(
         "doc_id",
         "in_w",
         "in_h",

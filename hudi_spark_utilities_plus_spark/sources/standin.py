@@ -114,7 +114,8 @@ def _infer_sampled_schema(path: str, pool: int) -> str:
                     fields[k] = "STRING"
     if not fields:
         return "value STRING"
-    return ", ".join(f"{k} {t}" for k, t in fields.items())
+    # backtick-quote: Mongo field names legally contain '-', '.', spaces
+    return ", ".join(f"`{k}` {t}" for k, t in fields.items())
 
 
 class _StandInSource(DataSource):

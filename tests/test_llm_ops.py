@@ -253,6 +253,25 @@ def test_multimodal_decode_paths():
             M.decode_image(payload)  # junk: PIL's own decode error
 
 
+def test_multimodal_use_codec_false_pins_standin(spark, docs):
+    """use_codec=False must produce the checksum stand-in dims for every
+    payload regardless of whether Pillow is installed — the invariant
+    the mm driver oracles rest on (PIL's PPM/XBM plugins can decode some
+    plain-ASCII payloads, so text-ness alone doesn't pin the branch)."""
+    src = M.attach_payload(docs.limit(4))
+    feats = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in M.extract_features(src, use_codec=False).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(4).collect()}
+    for doc_id, (w, h) in feats.items():
+        assert (w, h) == M.fake_decode_dims(texts[doc_id].encode("utf-8"))
+    rs = M.resize_media(src, use_codec=False).collect()
+    for r in rs:
+        iw, ih = M.fake_decode_dims(texts[r["doc_id"]].encode("utf-8"))
+        assert (r["in_w"], r["in_h"]) == (iw, ih)
+
+
 def test_multimodal_frame_sampling_shape(spark, docs):
     frames = M.sample_frames(M.attach_payload(docs), every_n_bytes=16, max_frames=3)
     rows = frames.filter(F.col("doc_id") == 0).collect()

@@ -128,6 +128,21 @@ def test_mongo_sample_pool_schema_inference(spark, tmp_path):
     assert sorted(r["k"] for r in m.collect()) == ["1", "one"]
 
 
+def test_mongo_inferred_schema_quotes_awkward_field_names(spark, tmp_path):
+    """Mongo field names legally contain '-', '.', spaces; the sampled
+    schema must backtick-quote them so Spark's DDL parser accepts the
+    inference instead of throwing where the real connector would serve
+    the field."""
+    register_standin_sources(spark)
+    data = tmp_path / "awk.jsonl"
+    data.write_text(json.dumps({"user-id": 7, "a b": "x", "select": True}))
+    df = read_mongo(
+        spark, {"uri": "mongodb://h/db", "standin.path": str(data)}
+    )
+    row = df.collect()[0]
+    assert row["user-id"] == 7 and row["a b"] == "x" and row["select"] is True
+
+
 def test_es_case_collision_guard(spark, staged):
     """The reference's documented failure (02.Elasticsearch
     Ingestion.md:95-131): case-sensitive ES fields `outFlag`/`outflag`
