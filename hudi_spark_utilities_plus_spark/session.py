@@ -74,6 +74,11 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # align externally built sessions with build_spark_session: the
+        # Spark default of 200 mainly taxes the stateful streaming ids
+        # (200 state-store partitions per micro-batch); results are
+        # partition-count independent by design, so this is perf-only
+        ("spark.sql.shuffle.partitions", "32"),
     ):
         try:
             spark.conf.set(k, v)
