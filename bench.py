@@ -75,10 +75,12 @@ def main() -> None:
     if only:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         unknown = wanted - set(HEADLINE)
-        if unknown:  # fail loudly: a typo must not pollute the perf record
+        # fail loudly: a typo or empty list must not pollute the perf
+        # record with a silently partial (or zero-query) artifact
+        if unknown or not wanted:
             raise SystemExit(
-                f"SPARK_GRAFT_ONLY names unknown queries: {sorted(unknown)} "
-                f"(headline ids: {sorted(HEADLINE)})"
+                f"SPARK_GRAFT_ONLY names no valid queries "
+                f"(unknown: {sorted(unknown)}; headline ids: {sorted(HEADLINE)})"
             )
         headline = [q for q in HEADLINE if q in wanted]
     else:

@@ -353,21 +353,27 @@ def similar_pairs(
     import numpy as np
 
     live = sorted(radii)  # clusters that ended up with members
-    cent_map = dict(cents)
-    C = np.asarray([cent_map[c] for c in live], dtype=np.float64)
-    R = np.asarray([radii[c] for c in live], dtype=np.float64)
-    sq = np.einsum("ij,ij->i", C, C)
-    cd2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (C @ C.T), 0.0)
-    bound = (R[:, None] + R[None, :] + d_max) ** 2 * (1.0 + 1e-12)
-    keep = cd2 <= bound
     pairs: list[tuple[int, int]] = []
-    for i, c1 in enumerate(live):
-        for j in range(i, len(live)):
-            if keep[i, j]:
-                c2 = live[j]
-                pairs.append((c1, c2))
-                if c1 != c2:
-                    pairs.append((c2, c1))  # both directions: a<b may sit either way
+    if live:  # an empty/filtered-out corpus must not crash the caller
+        cent_map = dict(cents)
+        C = np.asarray([cent_map[c] for c in live], dtype=np.float64)
+        R = np.asarray([radii[c] for c in live], dtype=np.float64)
+        sq = np.einsum("ij,ij->i", C, C)
+        cd2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (C @ C.T), 0.0)
+        # relative slack covers reassociation; the absolute 1e-9 term
+        # covers cancellation error of the a²+b²−2ab form when the
+        # bound itself is tiny (near-zero radii at very high τ) — both
+        # only ever ADMIT borderline pairs, keeping the bound
+        # conservative: recall stays 100% by construction
+        bound = (R[:, None] + R[None, :] + d_max) ** 2 * (1.0 + 1e-12) + 1e-9
+        keep = cd2 <= bound
+        for i, c1 in enumerate(live):
+            for j in range(i, len(live)):
+                if keep[i, j]:
+                    c2 = live[j]
+                    pairs.append((c1, c2))
+                    if c1 != c2:
+                        pairs.append((c2, c1))  # both directions: a<b may sit either way
     pair_df = F.broadcast(spark.createDataFrame(pairs, "ca INT, cb INT"))
 
     ids = assigned.select("id", "cluster")

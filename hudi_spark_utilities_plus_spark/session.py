@@ -74,14 +74,21 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        # align externally built sessions with build_spark_session: the
-        # Spark default of 200 mainly taxes the stateful streaming ids
-        # (200 state-store partitions per micro-batch); results are
-        # partition-count independent by design, so this is perf-only
-        ("spark.sql.shuffle.partitions", "32"),
     ):
         try:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # Align shuffle parallelism with build_spark_session ONLY when the
+    # session owner left Spark's 200 default in place (the default
+    # mainly taxes the stateful streaming ids: 200 state-store
+    # partitions per micro-batch on a 32-core box). A deliberately
+    # configured value — e.g. 2000 for a large cluster — is capacity
+    # intent and must not be clobbered. Results are partition-count
+    # independent by design either way, so this is perf-only.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark

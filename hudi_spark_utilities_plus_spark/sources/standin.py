@@ -115,7 +115,10 @@ def _infer_sampled_schema(path: str, pool: int) -> str:
     if not fields:
         return "value STRING"
     # backtick-quote: Mongo field names legally contain '-', '.', spaces
-    return ", ".join(f"`{k}` {t}" for k, t in fields.items())
+    # (and backticks, escaped by doubling per Spark's DDL rules)
+    return ", ".join(
+        "`{}` {}".format(k.replace("`", "``"), t) for k, t in fields.items()
+    )
 
 
 class _StandInSource(DataSource):
