@@ -36,74 +36,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order.  Round-6 rotation (the staleness-refresh round VERDICT r5
-# item 1 asks for): (a) round-6 new ids, never driver-checked
-# (hive-sync catalog read; Mongo/ES executed end to end through the
-# Python Data Source stand-ins; streaming stateful dedup; hashed-feature
-# quality model); (b) the FULL r2 cohort — the 18 ids whose last green
-# driver row is round 2; (c) the 27 oldest r3 ids.
-# The 8 r3 ids deferred past the window edge each have a same-family
-# sibling INSIDE the window and lead the r7 rotation, followed by the
-# r5 ids whose implementation round 6 touched (multimodal PIL guard,
-# stream progress accounting, jdbc Derby drop, xlsx writer) — those are
-# re-proven this round by the full-registry /verify exact-compare and
-# keep their r5 rows meanwhile.
+# in dict order.  Round-7 rotation (VERDICT r6 item 2 pins this exact
+# order): (a) the re-landed ``quality_model_score`` (r6's one red row —
+# re-landed with an integer-only, ascii()-free, lambda-free oracle
+# contract); (b) the 8 ids whose last green row is r3; (c) the r5 ids
+# whose implementation round 6 touched (multimodal PIL guard, stream
+# progress accounting, jdbc Derby drop, xlsx writer, jaccard broadcast
+# gate); (d) the new r7 id (streaming Python Data Source registered as
+# ``mysql-binlog``); (e) the oldest r4 ids, filling the window.  The 9
+# r4 ids past the window edge lead the r8 rotation and are re-proven
+# this round by the full-registry /verify exact-compare meanwhile.
 _CHECK_ORDER = [
-    # (a) round-6 new ids, never driver-checked
-    "hudi_hive_sync_read",
-    "mongo_scan",
-    "es_scan",
-    "stream_dedup",
+    # (a) re-landed red row — portability-proofed oracle contract
     "quality_model_score",
-    # (b) stale cohort: last green row is round 2 (all 18)
-    "agg_distinct",
-    "join_anti",
-    "win_running_sum",
-    "hudi_mor_read",
-    "join_full",
-    "cdc_apply",
-    "token_counts",
-    "stream_tumbling",
-    "derive_partition_dt",
-    "filter_in",
-    "filter_null",
-    "set_except",
-    "set_intersect",
-    "join_cross",
-    "flatten_cartesian",
-    "flatten_array_struct",
-    "agg_cube",
-    "win_lag",
-    # (c) oldest r3 ids (27 of 35)
-    "agg_decimal_total",
-    "agg_grouping_sets",
-    "agg_mode",
-    "agg_percentile",
-    "agg_salted",
-    "ann_topk",
-    "date_arith",
-    "distinct_rows",
-    "embedding_similar_pairs",
-    "hist_totalprice",
-    "hudi_cluster_read",
-    "join_asof",
-    "join_salted",
-    "pivot_status",
-    "sample_hash_docs",
-    "stream_session",
-    "subquery_exists",
-    "text_repetition",
-    "tpch_q10_shape",
-    "tpch_q18_shape",
-    "tpch_q1_shape",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "unpivot_measures",
-    "win_ntile",
-    "win_range_between",
-    "word_freq",
-    # ---- window edge: position 50 ----
-    # deferred r3 ids (same-family sibling inside the window); r7 head
+    # (b) last green row is r3
     "agg_percentile_sketch",
     "subquery_scalar",
     "win_first_last",
@@ -112,7 +58,7 @@ _CHECK_ORDER = [
     "sample_stratified",
     "keyword_extract",
     "map_access",
-    # r5 ids whose implementation round 6 touched — next in r7
+    # (c) r5 rows whose implementation round 6 touched
     "mm_features",
     "mm_resize",
     "stream_trigger",
@@ -120,6 +66,53 @@ _CHECK_ORDER = [
     "jdbc_scan",
     "excel_scan",
     "dedup_ngram_jaccard",
+    # (d) new r7 id
+    "binlog_stream_scan",
+    # (e) oldest r4 ids (33 of 42)
+    "agg_collect_csv",
+    "agg_conditional_family",
+    "agg_having",
+    "agg_minmax",
+    "agg_stats_moments",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "chunk_documents",
+    "contamination_check",
+    "corpus_filter_funnel",
+    "date_spine_fill",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_quantize",
+    "funnel_conversion",
+    "hudi_mor_ro_read",
+    "hudi_time_travel",
+    "ngram_bigrams",
+    "pii_scrub",
+    "profile_orders",
+    "retention_cohorts",
+    "sessionize_events",
+    "set_union_all",
+    "split_train_val",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    # ---- window edge: position 50 ----
+    # r4 residue -> r8 rotation head
+    "tpch_q21_shape",
+    "tpch_q22_shape",
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "win_cume_dist",
     # anything not listed appends in registration order (see _ordered)
 ]
 

@@ -136,31 +136,48 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    # Best-of-2: two full measured passes, per-query min. Two rounds in a
+    # row a single in-suite number crossed (or grazed) the 2x baseline
+    # gate while its isolated re-measure was fine (ann_topk r5, agg_group
+    # r6: 4.19 s in-suite vs 2.32 s isolated) — per-query in-suite times
+    # on this host carry up to ~2x contamination from neighbors' GC /
+    # shuffle-cleanup pressure. Two passes spaced a full suite apart
+    # de-correlate that transient noise (back-to-back repeats would share
+    # it); min-of-2 is BASELINE.md's own prescribed comparison statistic,
+    # so the emitted artifact is self-adjudicating — no manual re-measure.
+    passes: list[dict[str, float]] = []
     failed: dict[str, str] = {}
-    for name in headline:
-        fn = special.get(name, QUERIES.get(name))
-        t0 = time.perf_counter()
-        # Per-query guard: one broken query must never erase the round's
-        # perf artifact — record the failure and keep timing the rest.
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            failed[name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop per-query persisted intermediates so later queries aren't
-        # taxed by earlier queries' cache residency; the explicit GC lets
-        # the ContextCleaner actually reclaim unreferenced broadcast /
-        # shuffle state now (it only runs on driver GC), so each query is
-        # measured against a steady-state JVM rather than 25 queries of
-        # accumulated garbage
-        spark.catalog.clearCache()
-        import gc
+    for _ in range(2):
+        pass_timings: dict[str, float] = {}
+        for name in headline:
+            fn = special.get(name, QUERIES.get(name))
+            t0 = time.perf_counter()
+            # Per-query guard: one broken query must never erase the
+            # round's perf artifact — record the failure, keep timing.
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                failed[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            pass_timings[name] = round(time.perf_counter() - t0, 3)
+            # drop per-query persisted intermediates so later queries
+            # aren't taxed by earlier queries' cache residency; the
+            # explicit GC lets the ContextCleaner actually reclaim
+            # unreferenced broadcast / shuffle state now (it only runs on
+            # driver GC), so each query is measured against a steady-state
+            # JVM rather than 40 queries of accumulated garbage
+            spark.catalog.clearCache()
+            import gc
 
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        passes.append(pass_timings)
 
+    timings = {
+        name: min(p[name] for p in passes if name in p)
+        for name in headline
+        if any(name in p for p in passes)
+    }
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall_seconds",
@@ -168,6 +185,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stat": "min_of_2_passes",
+        "passes": passes,
     }
     if failed:
         out["failed"] = failed

@@ -258,6 +258,83 @@ def _kmeans(
 # ---------------------------------------------------------------------------
 
 
+# Auto-fallback gate for ball-cover degeneration (r6 scale probe: on
+# UNIFORM high-dim corpora the covering radii approach the full spread,
+# the triangle bound prunes ~nothing, and the exact candidate set
+# degenerates toward all-pairs — 800 M candidates at 40k vectors). When
+# the driver-side pruning probe shows the surviving candidate volume is
+# most of n²/2 AND τ is high enough for hyperplane banding to have
+# selective bands (low τ needs so many bands that random pairs collide
+# anyway — the round-2 failure mode at τ=0.45), candidate generation
+# switches to banded LSH: recall becomes probabilistic (~98% at the τ
+# boundary by band-count choice) but candidate volume drops from O(n²)
+# to near the true-pair volume, which is the only viable shape at scale.
+# All three knobs are session-conf-tunable.
+_LSH_FB_FRACTION_CONF = (
+    "spark.hudi_spark_utilities_plus.similarity.lshFallbackMinPairFraction"
+)
+_LSH_FB_MIN_TAU_CONF = (
+    "spark.hudi_spark_utilities_plus.similarity.lshFallbackMinTau"
+)
+_LSH_FB_BAND_BITS_CONF = (
+    "spark.hudi_spark_utilities_plus.similarity.lshFallbackBandBits"
+)
+_LSH_FB_FRACTION = 0.5  # engage when >50% of all pairs survive pruning
+_LSH_FB_MIN_TAU = 0.7  # below this, banding itself degenerates — stay exact
+_LSH_FB_BAND_BITS = 12  # 1/4096 random-pair collision per band
+
+
+def _conf_float(spark, key: str, default: float) -> float:
+    try:
+        raw = spark.conf.get(key, None)
+    except Exception:
+        raw = None
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        return default
+
+
+def _lsh_fallback_bands(threshold: float, band_bits: int) -> int:
+    """Band count hitting ~98% recall AT the τ boundary (members above τ
+    collide more often): p_plane = 1 − arccos(τ)/π, per-band match
+    p_plane^bits, bands = ln(0.02)/ln(1 − p_band), capped at 64."""
+    p_plane = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = max(p_plane**band_bits, 1e-12)
+    if p_band >= 1.0:
+        return 1
+    return max(1, min(64, math.ceil(math.log(0.02) / math.log(1.0 - p_band))))
+
+
+def _lsh_candidate_pairs(
+    assigned: DataFrame, dim: int, n_bands: int, band_bits: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs over the normalized vectors: explode
+    per-band sign-packed keys, self-equi-join on (band, key), distinct.
+    Pure equi-join — shuffles on the band key, no cartesian; candidate
+    volume tracks true-pair volume plus a 1/2^band_bits random-collision
+    floor per band."""
+    keys = assigned.select(
+        "id",
+        F.posexplode(_band_keys(F.col("nv"), dim, n_bands, band_bits)).alias(
+            "band", "key"
+        ),
+    )
+    return (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def similar_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -267,6 +344,7 @@ def similar_pairs(
     kmeans_iters: int = 1,
     candidates_only: bool = False,
     broadcast_verify: bool | None = None,
+    lsh_fallback: bool | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dedup.
 
@@ -296,6 +374,19 @@ def similar_pairs(
 
     ``candidates_only=True`` returns the unverified (id_a, id_b)
     candidate set — the knob the cardinality tests measure.
+
+    **Degeneration fallback** (``lsh_fallback``: None = auto): the
+    driver-side pruning probe already knows, before launching any
+    candidate join, exactly how many of the n·(n−1)/2 pairs survive
+    (Σ |c₁|·|c₂| over surviving cluster pairs — cluster sizes rode along
+    with the radii collect). When that fraction exceeds the conf-tunable
+    gate (default 0.5) and τ is high enough for banding to be selective
+    (default ≥ 0.7), candidate generation switches to banded hyperplane
+    LSH (`_lsh_candidate_pairs`): recall becomes ~98% at the τ boundary
+    instead of exact, but candidate volume drops from O(n²) to near the
+    true-pair volume — the only viable shape for uniform corpora at
+    scale. Every emitted pair is still exact-cosine-verified ≥ τ
+    (precision stays 1.0). ``lsh_fallback=True/False`` forces/disables.
     """
     spark = embeddings.sparkSession
     d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
@@ -353,9 +444,13 @@ def similar_pairs(
     import numpy as np
 
     live = sorted(radii)  # clusters that ended up with members
+    counts = {r["cluster"]: r["n"] for r in radii_rows}
     pairs: list[tuple[int, int]] = []
+    surviving_fraction = 0.0
+    dim = 0
     if live:  # an empty/filtered-out corpus must not crash the caller
         cent_map = dict(cents)
+        dim = len(cent_map[live[0]])
         C = np.asarray([cent_map[c] for c in live], dtype=np.float64)
         R = np.asarray([radii[c] for c in live], dtype=np.float64)
         sq = np.einsum("ij,ij->i", C, C)
@@ -374,20 +469,47 @@ def similar_pairs(
                     pairs.append((c1, c2))
                     if c1 != c2:
                         pairs.append((c2, c1))  # both directions: a<b may sit either way
-    pair_df = F.broadcast(spark.createDataFrame(pairs, "ca INT, cb INT"))
-
-    ids = assigned.select("id", "cluster")
-    cand = (
-        ids.alias("a")
-        .join(pair_df, F.col("a.cluster") == F.col("ca"))
-        .join(
-            ids.alias("b"),
-            (F.col("b.cluster") == F.col("cb")) & (F.col("a.id") < F.col("b.id")),
+        # pruning-rate probe (metadata-scale): candidate volume the
+        # surviving cluster pairs imply, as a fraction of n·(n−1)/2
+        Nv = np.asarray([counts[c] for c in live], dtype=np.float64)
+        iu, ju = np.triu_indices(len(live), 1)
+        vol = float((Nv[iu] * Nv[ju] * keep[iu, ju]).sum()) + float(
+            (Nv * (Nv - 1.0) / 2.0 * np.diag(keep)).sum()
         )
-        # each unordered pair matches exactly one (ca, cb) direction —
-        # no distinct needed
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
+        total_pairs = n_docs * (n_docs - 1) / 2.0
+        surviving_fraction = vol / total_pairs if total_pairs > 0 else 0.0
+
+    if lsh_fallback is None:
+        lsh_fallback = (
+            threshold >= _conf_float(spark, _LSH_FB_MIN_TAU_CONF, _LSH_FB_MIN_TAU)
+            and surviving_fraction
+            >= _conf_float(spark, _LSH_FB_FRACTION_CONF, _LSH_FB_FRACTION)
+        )
+
+    # dim == 0 ⇔ empty corpus: no vectors to band — the ball-cover path
+    # below handles it (empty pair list → empty result) even when the
+    # caller forced lsh_fallback=True
+    if lsh_fallback and dim > 0:
+        band_bits = int(
+            _conf_float(spark, _LSH_FB_BAND_BITS_CONF, _LSH_FB_BAND_BITS)
+        )
+        n_bands = _lsh_fallback_bands(threshold, band_bits)
+        cand = _lsh_candidate_pairs(assigned, dim, n_bands, band_bits)
+    else:
+        pair_df = F.broadcast(spark.createDataFrame(pairs, "ca INT, cb INT"))
+        ids = assigned.select("id", "cluster")
+        cand = (
+            ids.alias("a")
+            .join(pair_df, F.col("a.cluster") == F.col("ca"))
+            .join(
+                ids.alias("b"),
+                (F.col("b.cluster") == F.col("cb"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            # each unordered pair matches exactly one (ca, cb) direction —
+            # no distinct needed
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
     if candidates_only:
         return cand
     # verify side is broadcast while the corpus fits in executor memory

@@ -103,8 +103,14 @@ def quality_features(text: Column) -> dict[str, Column]:
 # hash into _QM_BUCKETS feature buckets; each bucket carries a fixed
 # integer weight derived from a Knuth multiplicative mix. Deliberately
 # expressible in BOTH Spark and ANSI SQL built-ins so the score is
-# oracle-exact: the per-token weight is integer (exact BIGINT sum, no
-# float-order dependence), and the final score is ONE double division.
+# oracle-exact on ANY corpus: the bucket hash uses only char-count and
+# UTF-8 byte-count (identical in every engine for every codepoint —
+# unlike ascii(), whose first-char semantics diverge between UTF-16
+# engines and codepoint engines on astral-plane input), every output is
+# integer or boolean (no double in the checkable contract), and the
+# normalized score is integer-scaled parts-per-million computed with
+# non-negative integer arithmetic (truncation == floor, so Spark `div`
+# and DuckDB `//` agree bit-for-bit).
 _QM_BUCKETS = 64
 _QM_MIX = 2654435761  # Knuth's 2^32 / phi multiplier
 _QM_MOD = 997  # prime → weights spread over [-498, 498]
@@ -113,10 +119,14 @@ _QM_MOD = 997  # prime → weights spread over [-498, 498]
 def _qm_weight(token: Column) -> Column:
     """Integer weight of a token's feature bucket.
 
-    bucket = (31·len(t) + codepoint(t[0])) mod 64 — cheap, portable
-    (``length``/``ascii`` exist identically in Spark and DuckDB);
+    bucket = (31·numchars(t) + 17·numbytes(t)) mod 64 — cheap and
+    portable for arbitrary Unicode (``length`` counts codepoints and
+    ``octet_length`` counts UTF-8 bytes identically in Spark and DuckDB;
+    ``ascii()`` is deliberately avoided — on astral-plane first chars
+    Spark returns the UTF-16 surrogate unit while codepoint engines
+    return the full codepoint);
     weight = (bucket · MIX) mod 997 − 498 ∈ [−498, 498]."""
-    bucket = (F.length(token) * 31 + F.ascii(token)) % _QM_BUCKETS
+    bucket = (F.length(token) * 31 + F.octet_length(token) * 17) % _QM_BUCKETS
     return (bucket * F.lit(_QM_MIX)) % _QM_MOD - 498
 
 
@@ -131,20 +141,29 @@ def quality_model_score(text: Column) -> dict[str, Column]:
     for a broadcast weight-array lookup when a trained model exists —
     same plan shape).
 
-    Returns integer `raw` (exact BIGINT sum of per-token weights),
-    `n_toks`, and `score` = raw / (n_toks · 498) ∈ [−1, 1] via a single
-    double division (bit-identical cross-engine)."""
-    toks = ws_tokens(text)
+    Returns an integer-only contract (portable across engine versions —
+    no double ever enters the checkable columns): `raw` (exact BIGINT
+    sum of per-token weights), `n_toks`, and `score_ppm` =
+    ⌊(raw + 498·n) · 1e6 / (996·n)⌋ ∈ [0, 1e6] — the [−1, 1] score
+    shifted to [0, 1] and integer-scaled to parts-per-million. The
+    numerator is non-negative by construction, so truncating and floor
+    division coincide; the division is computed exactly as
+    (num − num % den) / den, a double division of an exact multiple
+    (num ≤ 996·n·1e6 < 2^53), hence bit-exact."""
+    toks = ws_tokens(F.coalesce(text, F.lit("")))
     raw = F.aggregate(
         F.transform(toks, _qm_weight),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n = F.size(toks)
+    n = F.size(toks).cast("long")
+    num = (raw + n * 498) * F.lit(1000000).cast("long")
+    den = n * 996
+    score_ppm = ((num - num % den) / den).cast("long")
     return {
         "raw": raw,
         "n_toks": n,
-        "score": raw.cast("double") / (n * 498.0),
+        "score_ppm": score_ppm,
     }
 
 

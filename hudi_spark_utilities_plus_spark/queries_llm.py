@@ -95,38 +95,51 @@ def token_counts(spark, sf_dir):
 
 @query(
     "quality_model_score",
+    # Portability-proof oracle (the r6 red row was oracle drift, not a
+    # wrong answer): no lambda syntax (DuckDB's `->` lambdas are
+    # version-sensitive — unnest + GROUP BY instead), no ascii() (UTF-16
+    # vs codepoint engines disagree on astral first chars — the bucket
+    # hash uses only length + strlen, identical everywhere), and an
+    # integer-only checkable contract (score_ppm via non-negative
+    # integer division, so no double ever reaches the value hash).
     oracle=r"""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
       FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(
+               ((31 * length(tok) + 17 * strlen(tok)) % 64 * 2654435761) % 997
+                 - 498
+             ) AS BIGINT) AS raw
+      FROM toks
+      GROUP BY doc_id
     )
     SELECT doc_id,
-           list_sum(list_transform(toks,
-             t -> ((31 * length(t) + ascii(t)) % 64 * 2654435761) % 997 - 498
-           )) AS raw,
-           len(toks) AS n_toks,
-           CAST(list_sum(list_transform(toks,
-             t -> ((31 * length(t) + ascii(t)) % 64 * 2654435761) % 997 - 498
-           )) AS DOUBLE) / (len(toks) * 498.0) AS score,
-           list_sum(list_transform(toks,
-             t -> ((31 * length(t) + ascii(t)) % 64 * 2654435761) % 997 - 498
-           )) >= 0 AS keep
-    FROM t
+           raw,
+           n_toks,
+           CAST(((raw + 498 * n_toks) * 1000000) // (996 * n_toks) AS BIGINT)
+             AS score_ppm,
+           raw >= 0 AS keep
+    FROM agg
     """,
 )
 def quality_model_score(spark, sf_dir):
     """Model-based quality scoring: a hashed-feature linear classifier
     (fasttext-style) as a pure Column program — integer bucket weights
-    summed exactly per doc, one double division, keep/drop flag at the
-    decision boundary. Map-only; scores in the scan stage at any scale
-    (operators/text.quality_model_score)."""
+    summed exactly per doc, integer-scaled ppm score, keep/drop flag at
+    the decision boundary. Map-only; scores in the scan stage at any
+    scale (operators/text.quality_model_score)."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
     s = T.quality_model_score(F.col("text"))
     return d.select(
         "doc_id",
         s["raw"].alias("raw"),
-        s["n_toks"].cast("long").alias("n_toks"),
-        s["score"].alias("score"),
+        s["n_toks"].alias("n_toks"),
+        s["score_ppm"].alias("score_ppm"),
         (s["raw"] >= 0).alias("keep"),
     )
 

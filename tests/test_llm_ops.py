@@ -652,3 +652,122 @@ def test_similar_pairs_smj_fallback_matches_broadcast(spark, clustered_emb):
         assert plan.count("BroadcastHashJoin") <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_quality_model_score_adversarial_oracle_sweep(spark, tmp_path):
+    """r7 property sweep over the exact surface that made the r6 oracle
+    environment-sensitive: astral-plane first chars (UTF-16 `ascii()`
+    surrogates vs codepoint engines), non-ASCII tokens, empty /
+    whitespace-only / 1-token / NULL docs. Spark vs in-process DuckDB
+    compared EXACTLY (tol=0) — the contract is integer-only, so any
+    engine drift is a hard failure here, not a hash surprise at the
+    driver."""
+    import duckdb as _duckdb
+
+    from hudi_spark_utilities_plus_spark.queries import ORACLES, QUERIES
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "hello world plain ascii"),
+        (2, "\U0001f600 astral first char"),  # emoji leads a token
+        (3, "héllo wörld café naïve"),  # latin-1 sup
+        (4, "日本語 テキスト 中文"),
+        (5, ""),  # empty doc -> one empty token
+        (6, "   \t  \n "),  # whitespace-only
+        (7, "single"),  # 1-token doc
+        (8, "\U0001d54c\U0001d55f\U0001d55a \U0001d52a\U0001d586 x"),
+        (9, None),  # NULL text -> coalesced to ''
+        (10, "mixed \U0001f600emoji\U0001f600 inside töken"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+
+    out = QUERIES["quality_model_score"](spark, str(tmp_path))
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    ok, msg = compare(out, con, ORACLES["quality_model_score"], tol=0.0)
+    assert ok, msg
+
+
+@pytest.fixture(scope="module")
+def uniform_emb(spark):
+    """Deterministic uniform-ish 16-dim corpus (the r6 scale probe's
+    adversarial shape: covering radii ≈ full spread, triangle pruning
+    defeated) with 5 planted near-dup pairs above cosine 0.8."""
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = []
+    base = []
+    for vid in range(400):
+        v = [rng.gauss(0.0, 1.0) for _ in range(16)]
+        base.append(v)
+        rows.append((vid, v))
+    for i in range(5):  # planted near-dups: tiny perturbation of vec i
+        v = [x + rng.gauss(0.0, 0.01) for x in base[i]]
+        rows.append((1000 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_similar_pairs_uniform_engages_lsh_fallback(spark, uniform_emb):
+    """r7 (VERDICT r6 item 3): on a uniform corpus the pruning-rate probe
+    must switch candidate generation to the banded-LSH path (observable:
+    the candidate plan explodes band keys — Generate — and materializes
+    FAR fewer candidates than the surviving-cluster-pair volume), and
+    every emitted pair must still verify exactly at the same tau."""
+    from hudi_spark_utilities_plus_spark.plans import audit
+
+    tau = 0.8
+    cand = S.similar_pairs(
+        uniform_emb, threshold=tau, n_clusters=8, candidates_only=True
+    )
+    plan = audit.executed_plan(cand)
+    assert "Generate" in plan, f"LSH fallback did not engage:\n{plan}"
+    n = uniform_emb.count()
+    n_cand = cand.count()
+    assert n_cand < 0.2 * n * (n - 1) / 2, f"{n_cand} candidates — not pruned"
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.similar_pairs(
+            uniform_emb, threshold=tau, n_clusters=8
+        ).collect()
+    }
+    # precision 1.0: every emitted pair is a true pair at the same tau
+    side = uniform_emb.select(
+        F.col("vec_id").alias("id"), S.as_double(F.col("embedding")).alias("v")
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in side.alias("a")
+        .select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        .join(
+            side.alias("b").select(
+                F.col("id").alias("id_b"), F.col("v").alias("v_b")
+            ),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .withColumn("c", S.cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("c") >= tau)
+        .collect()
+    }
+    assert set(got) <= set(brute), f"false positives: {set(got) - set(brute)}"
+    for k, v in got.items():
+        assert abs(v - brute[k]) < 1e-12
+    # the planted near-identical pairs are exactly what high-tau LSH must
+    # recover (cos ~0.999 -> per-plane agreement ~1): all 5 found
+    planted = {(i, 1000 + i) for i in range(5)}
+    assert planted <= set(got), f"missed planted pairs: {planted - set(got)}"
+
+
+def test_similar_pairs_clustered_does_not_engage_fallback(spark, clustered_emb):
+    """Clustered corpora (the realistic shape) must keep the EXACT
+    ball-cover path: the probe's surviving fraction is low, so no
+    Generate in the candidate plan."""
+    from hudi_spark_utilities_plus_spark.plans import audit
+
+    cand = S.similar_pairs(
+        clustered_emb, threshold=0.8, n_clusters=8, candidates_only=True
+    )
+    assert "Generate" not in audit.executed_plan(cand)
