@@ -863,13 +863,18 @@ class HudiTable:
             return
         # MOR: a path-based parquet table can only serve the BASE files —
         # pending log commits are invisible to it. Mirroring Hudi's
-        # HiveSyncTool split, register `<tbl>_ro` (read-optimized view,
-        # always valid as base-only) and register the snapshot name only
-        # while base == snapshot (no pending log); otherwise drop it so a
-        # by-name query fails loudly instead of silently serving stale
-        # pre-merge data. compact() re-syncs, restoring `<tbl>`.
+        # HiveSyncTool naming, register `<tbl>_ro` (read-optimized view,
+        # always valid as base-only) and `<tbl>_rt` (real-time/snapshot
+        # view — HiveSyncTool's convention consumers expect), plus the
+        # unsuffixed `<tbl>` as the snapshot's short name. The two
+        # snapshot names are registered only while base == snapshot (no
+        # pending log); otherwise they're dropped so a by-name query
+        # fails loudly instead of silently serving stale pre-merge data.
+        # compact() re-syncs, restoring them.
         _register(f"{tbl}_ro")
         if self._has_log(spark):
             spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+            spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}_rt`")
         else:
             _register(tbl)
+            _register(f"{tbl}_rt")

@@ -109,6 +109,11 @@ def scatter(df: DataFrame) -> DataFrame:
             spark.sparkContext.applicationId,
             df.semanticHash(),  # analyzed-plan fingerprint, driver-side
             tuple(sorted(df.inputFiles())),
+            # split-size confs shape the probed partition count: a
+            # mid-session retune must not be served a stale decision
+            spark.conf.get("spark.sql.files.maxPartitionBytes", ""),
+            spark.conf.get("spark.sql.files.openCostInBytes", ""),
+            target,
         )
     except Exception:  # non-file source — probe without memoizing
         key = None

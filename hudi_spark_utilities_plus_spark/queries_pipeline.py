@@ -540,7 +540,7 @@ def stream_demux(spark, sf_dir):
     import os
     import tempfile
 
-    from .streaming.cdc import read_cdc_stream
+    from .streaming.cdc import read_binlog_stream
     from .streaming.demux import start_binlog_streamer
     from .lake import HudiTable
 
@@ -561,9 +561,13 @@ def stream_demux(spark, sf_dir):
     src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
     cdc.coalesce(1).write.json(src_dir)
     props = {"option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}"}
+    # the stream originates through the CONNECTOR'S format name —
+    # readStream.format("mysql-binlog") resolved via the registered
+    # streaming Python Data Source stand-in, exactly the reference's
+    # read path (HoodieBinlogDeltaStreamer.scala:77)
     q = start_binlog_streamer(
         spark,
-        read_cdc_stream(spark, src_dir),
+        read_binlog_stream(spark, src_dir, database_pattern="shop"),
         props,
         checkpoint_location=os.path.join(root, "ckpt"),
         trigger_seconds=1,
@@ -592,6 +596,91 @@ def stream_demux(spark, sf_dir):
         F.count("*").alias("n"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
+    "binlog_stream_scan",
+    oracle="""
+    SELECT event_type AS tbl, COUNT(*) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def binlog_stream_scan(spark, sf_dir):
+    """A11/C-family driver smoke: ``readStream.format("mysql-binlog")``
+    end to end — the reference's exact streaming read path
+    (HoodieBinlogDeltaStreamer.scala:77-89) resolved through the
+    registered streaming Python Data Source stand-in. The fixture holds
+    the events table as CDC envelopes PLUS two planted decoy families —
+    a foreign-db copy (db='noise') and a pre-start-position copy
+    (binlog_file mysql-bin.000001 when reading from binlogIndex=2) — so
+    the oracle only matches if the source's server-side db-pattern and
+    binlog-position filtering both engage: a forwarding bug that drops
+    an option doubles a count and flips the hash.
+
+    Scale note: a binlog is ONE ordered byte stream tailed from a single
+    connection (what spark-binlog does too) — the single-reader source is
+    the honest topology; parallelism starts at the demux shuffle."""
+    import os
+    import tempfile
+
+    from .streaming.cdc import read_binlog_stream
+
+    e = _t(spark, sf_dir, "events")["events"]
+    real = e.select(
+        F.lit("insert").alias("op"),
+        F.lit("shop").alias("db"),
+        F.col("event_type").alias("table"),
+        F.col("event_id").alias("id"),
+        F.col("value").cast("string").alias("data"),
+        F.col("ts"),
+        F.lit("mysql-bin.000002").alias("binlog_file"),
+        # +1000 keeps every offset past the start position (offset 4):
+        # low event_ids must not be start-position-filtered away
+        (F.col("event_id") + 1000).alias("binlog_offset"),
+    )
+    decoy_db = real.withColumn("db", F.lit("noise"))
+    decoy_pos = real.withColumn("binlog_file", F.lit("mysql-bin.000001"))
+    expected = real.count()
+    root = tempfile.mkdtemp(prefix="binlog_scan_")
+    src_dir = os.path.join(root, "src")
+    real.unionByName(decoy_db).unionByName(decoy_pos).coalesce(1).write.json(
+        src_dir
+    )
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = (
+        read_binlog_stream(
+            spark,
+            src_dir,
+            database_pattern="shop",
+            binlog_index=2,
+            binlog_file_offset=4,
+        )
+        .select("table", "id", "data")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _await_stream_rows(q, expected, 180)
+    finally:
+        q.stop()
+    from .queries import dsum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("table").alias("tbl"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            dsum(F.col("data").cast("double")).alias("total_value"),
+        )
     )
 
 

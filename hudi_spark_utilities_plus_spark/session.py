@@ -79,16 +79,20 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
-    # Align shuffle parallelism with build_spark_session ONLY when the
-    # session owner left Spark's 200 default in place (the default
-    # mainly taxes the stateful streaming ids: 200 state-store
+    # Align shuffle parallelism with the host's actual core count ONLY
+    # when the session owner left Spark's 200 default in place (the
+    # default mainly taxes the stateful streaming ids: 200 state-store
     # partitions per micro-batch on a 32-core box). A deliberately
     # configured value — e.g. 2000 for a large cluster — is capacity
-    # intent and must not be clobbered. Results are partition-count
-    # independent by design either way, so this is perf-only.
+    # intent and must not be clobbered. defaultParallelism, not a
+    # hardcoded 32: on other hosts the literal is simply wrong. Results
+    # are partition-count independent by design either way — perf-only.
     try:
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, spark.sparkContext.defaultParallelism)),
+            )
     except Exception:
         pass
     return spark

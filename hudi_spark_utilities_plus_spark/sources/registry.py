@@ -79,10 +79,27 @@ def read_es(spark: SparkSession, options: dict[str, str]) -> DataFrame:
     ``Found duplicate column(s)``. Detect it at the source and raise with
     the reference's remediation: exclude one side via
     ``es.read.field.exclude``."""
-    df = spark.read.format("es").options(**options).load()
+    # With the real elasticsearch-hadoop connector the duplicate-column
+    # AnalysisException can be thrown during load()/schema resolution
+    # itself — wrap it so the friendly remediation is reachable exactly
+    # in the production scenario it targets, not only in the post-load
+    # column sweep below (which catches connectors that defer analysis).
+    try:
+        df = spark.read.format("es").options(**options).load()
+        columns = df.columns
+    except Exception as e:
+        msg = str(e)
+        if "duplicate column" in msg.lower():
+            raise ValueError(
+                "ES mapping has case-colliding fields the Spark analyzer "
+                f"cannot distinguish ({msg.splitlines()[0]}). Exclude the "
+                "unused side with es.read.field.exclude=<field> (ES fields "
+                "are case-sensitive; Spark columns are not)."
+            ) from e
+        raise
     seen: dict[str, str] = {}
     collisions: list[tuple[str, str]] = []
-    for c in df.columns:
+    for c in columns:
         low = c.lower()
         if low in seen and seen[low] != c:
             collisions.append((seen[low], c))

@@ -39,7 +39,11 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -155,6 +159,172 @@ class EsStandInSource(_StandInSource):
 
 
 def register_standin_sources(spark) -> None:
-    """Idempotently register both stand-ins on the session."""
+    """Idempotently register the stand-ins on the session."""
     spark.dataSource.register(MongoStandInSource)
     spark.dataSource.register(EsStandInSource)
+    spark.dataSource.register(BinlogStandInSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming stand-in: format("mysql-binlog")
+# ---------------------------------------------------------------------------
+
+# The reference's CDC stream originates from
+# ``spark.readStream.format("mysql-binlog")`` with the spark-binlog
+# connector options (HoodieBinlogDeltaStreamer.scala:77-89: host/port/
+# userName/password, databaseNamePattern, tableNamePattern — comma lists
+# pre-rewritten to '|' — and the start position bingLogNamePrefix [the
+# reference preserves spark-binlog's "bingLog" typo] / binlogIndex /
+# binlogFileOffset). This stand-in registers a PySpark 4 STREAMING
+# Python Data Source under that exact format name, serving CDC-envelope
+# JSON-lines files staged under ``standin.path`` — so the full streaming
+# path (format resolution, option forwarding, offset tracking,
+# checkpointed replay via readBetweenOffsets) is the real Spark
+# machinery; only the MySQL network hop is simulated.
+#
+# A SimpleDataSourceStreamReader reads driver-side — which matches the
+# real topology: a MySQL binlog is ONE ordered byte stream tailed from a
+# single connection (spark-binlog does exactly this), then distributed.
+# Offsets count fully-consumed files of the sorted directory listing —
+# files are immutable and append-only in the emulation, so
+# readBetweenOffsets replays any committed batch deterministically.
+
+_BINLOG_SCHEMA = (
+    "op STRING, db STRING, `table` STRING, id BIGINT, data STRING, "
+    "ts TIMESTAMP, binlog_file STRING, binlog_offset BIGINT"
+)
+
+
+def _binlog_files(path: str) -> list[str]:
+    import os
+
+    if not path or not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".json") or f.endswith(".jsonl")
+    )
+
+
+class _BinlogStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict[str, str]) -> None:
+        import re
+
+        self._schema = schema
+        # Spark hands a CaseInsensitiveDict whose BACKING keys are
+        # lowercased — a plain dict() copy silently breaks camelCase
+        # lookups like "databaseNamePattern" (the filters would no-op and
+        # every decoy row would leak through). Normalize to lowercase and
+        # look everything up lowercase.
+        self._options = {str(k).lower(): v for k, v in options.items()}
+        self._path = self._options.get("standin.path")
+        echo = self._options.get("standin.echo")
+        if echo:  # driver-side, at stream-start time
+            with open(echo, "w") as fh:
+                json.dump(self._options, fh)
+        # server-side filtering, as the connector does: db/table regex
+        # routing + binlog start position (file name, byte offset)
+        self._db_re = re.compile(
+            "^(%s)$" % self._options.get("databasenamepattern", ".*")
+        )
+        self._tbl_re = re.compile(
+            "^(%s)$" % self._options.get("tablenamepattern", ".*")
+        )
+        prefix = self._options.get(
+            "binglognameprefix",  # reference-preserved typo...
+            self._options.get("binlognameprefix", "mysql-bin"),  # ...and fixed
+        )
+        idx = self._options.get("binlogindex")
+        self._start_file = f"{prefix}.{int(idx):06d}" if idx is not None else None
+        self._start_off = int(self._options.get("binlogfileoffset", "4"))
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def _keep(self, obj) -> bool:
+        if not self._db_re.match(obj.get("db") or ""):
+            return False
+        if not self._tbl_re.match(obj.get("table") or ""):
+            return False
+        if self._start_file is not None:
+            bf, off = obj.get("binlog_file"), obj.get("binlog_offset")
+            if bf is not None:  # positionless events are kept (old fixtures)
+                if bf < self._start_file:
+                    return False
+                if bf == self._start_file and off is not None:
+                    if off < self._start_off:
+                        return False
+        return True
+
+    def _rows(self, files: list[str]):
+        import datetime as _dt
+
+        names = [f.name for f in self._schema.fields]
+        types = [f.dataType.simpleString() for f in self._schema.fields]
+
+        def _coerce(v, t):
+            if v is None:
+                return None
+            if t == "timestamp" and isinstance(v, str):
+                # Spark's JSON writer emits ISO-8601 (optionally zoned)
+                s = v.replace("Z", "+00:00")
+                try:
+                    return _dt.datetime.fromisoformat(s)
+                except ValueError:
+                    return None
+            if t == "bigint" and isinstance(v, str):
+                return int(v)
+            if t == "string" and not isinstance(v, str):
+                return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+            return v
+
+        for path in files:
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    if self._keep(obj):
+                        yield tuple(
+                            _coerce(obj.get(n), t) for n, t in zip(names, types)
+                        )
+
+    # read()/readBetweenOffsets return iter(list), not a bare generator
+    # OR a bare list: Spark's SimpleStreamReaderWrapper caches each
+    # batch's ITERATOR for exactly-once replay and copy.copy()s it — a
+    # generator can't be copied ("cannot pickle 'generator' object" in
+    # planPartitions) and a list isn't an iterator (latestOffset's
+    # add_result_to_cache). A list_iterator is both copyable and an
+    # iterator. Driver-side materialization is the documented
+    # SimpleDataSourceStreamReader contract anyway.
+    def read(self, start: dict):
+        files = _binlog_files(self._path)
+        n0 = int(start.get("files", 0))
+        return iter(list(self._rows(files[n0:]))), {"files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _binlog_files(self._path)
+        return iter(
+            list(
+                self._rows(
+                    files[int(start.get("files", 0)) : int(end.get("files", 0))]
+                )
+            )
+        )
+
+
+class BinlogStandInSource(DataSource):
+    """Serves ``format("mysql-binlog")`` — the spark-binlog format name
+    the reference's delta streamer reads
+    (HoodieBinlogDeltaStreamer.scala:77)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql-binlog"
+
+    def schema(self):
+        return self.options.get("standin.schema") or _BINLOG_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _BinlogStreamReader(schema, self.options)

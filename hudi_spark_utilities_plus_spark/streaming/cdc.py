@@ -84,6 +84,62 @@ def read_cdc_stream(
     return df
 
 
+def read_binlog_stream(
+    spark: SparkSession,
+    path: str,
+    database_pattern: str = ".*",
+    table_pattern: str = ".*",
+    binlog_name_prefix: str = "mysql-bin",
+    binlog_index: int | str | None = None,
+    binlog_file_offset: int | str | None = None,
+    host: str = "localhost",
+    port: int | str = 3306,
+    username: str = "",
+    password: str = "",
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """CDC stream through the CONNECTOR'S format name — the reference
+    reads ``spark.readStream.format("mysql-binlog")`` with the
+    spark-binlog option set (HoodieBinlogDeltaStreamer.scala:77-89).
+    This resolves that exact format via the registered streaming Python
+    Data Source stand-in (sources/standin.BinlogStandInSource): format
+    resolution, option forwarding (including the reference-preserved
+    ``bingLogNamePrefix`` typo key and the comma→'|' pattern rewrite),
+    offset tracking, and checkpointed replay are all the real Spark
+    streaming machinery; only the MySQL network hop is simulated by the
+    JSON-lines fixture dir at ``path``.
+
+    ``read_cdc_stream`` (above) remains the file-source emulation used
+    where a plain file stream is the point (e.g. maxFilesPerTrigger
+    batching control); pipelines that want reference parity end to end
+    use this one."""
+    from ..sources.standin import register_standin_sources
+
+    register_standin_sources(spark)
+    reader = (
+        spark.readStream.format("mysql-binlog")
+        .option("standin.path", path)
+        .option("host", host)
+        .option("port", str(port))
+        .option("userName", username)
+        .option("password", password)
+        .option("databaseNamePattern", "|".join(
+            p.strip() for p in database_pattern.split(",")
+        ))
+        .option("tableNamePattern", "|".join(
+            p.strip() for p in table_pattern.split(",")
+        ))
+        .option("bingLogNamePrefix", binlog_name_prefix)
+    )
+    if binlog_index is not None:
+        reader = reader.option("binlogIndex", str(int(binlog_index))).option(
+            "binlogFileOffset", str(int(binlog_file_offset or 4))
+        )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> DataFrame:
     """Within-batch latest-wins: keep only the last op per key."""
     w = Window.partitionBy(record_key).orderBy(F.col(precombine).desc())

@@ -159,3 +159,131 @@ def test_es_case_collision_guard(spark, staged):
                 "standin.schema": "outFlag STRING, outflag BIGINT, k INT",
             },
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming stand-in: format("mysql-binlog")
+# ---------------------------------------------------------------------------
+
+
+def _write_cdc_file(path, rows):
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _cdc_row(i, db="shop", table="orders", bf="mysql-bin.000002", off=None):
+    return {
+        "op": "insert",
+        "db": db,
+        "table": table,
+        "id": i,
+        "data": str(i * 1.5),
+        "ts": "2024-01-01T00:00:%02d" % (i % 60),
+        "binlog_file": bf,
+        "binlog_offset": off if off is not None else 1000 + i,
+    }
+
+
+def _run_binlog_stream(spark, src_dir, out, ckpt, expected, **kw):
+    from hudi_spark_utilities_plus_spark.streaming.cdc import read_binlog_stream
+
+    q = (
+        read_binlog_stream(spark, str(src_dir), **kw)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.read.parquet(str(out))
+
+
+def test_binlog_streaming_standin_resolves_format_name(spark, tmp_path):
+    """readStream.format(\"mysql-binlog\") must resolve end to end
+    through Spark's format-resolution path — the reference's exact read
+    (HoodieBinlogDeltaStreamer.scala:77) — and deliver the staged CDC
+    envelope with declared types (id BIGINT, ts TIMESTAMP)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_cdc_file(src / "b0.json", [_cdc_row(i) for i in range(10)])
+    got = _run_binlog_stream(
+        spark, src, tmp_path / "out", tmp_path / "ckpt", expected=10
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert set(rows) == set(range(10))
+    assert rows[3]["table"] == "orders" and rows[3]["data"] == "4.5"
+    import datetime
+
+    assert isinstance(rows[3]["ts"], datetime.datetime)
+
+
+def test_binlog_streaming_standin_option_forwarding_and_filters(spark, tmp_path):
+    """The spark-binlog option set — including the reference-preserved
+    bingLogNamePrefix typo key — must cross the format boundary (echoed
+    by the reader at stream start) and must filter SERVER-side: foreign
+    db, foreign table, pre-start-position file, and pre-offset rows of
+    the start file all stay in the source."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = (
+        [_cdc_row(i) for i in range(5)]                      # kept
+        + [_cdc_row(10 + i, db="noise") for i in range(3)]   # filtered: db
+        + [_cdc_row(20 + i, table="other") for i in range(3)]  # filtered: table
+        + [_cdc_row(30 + i, bf="mysql-bin.000001") for i in range(3)]  # file
+        + [_cdc_row(40 + i, off=3) for i in range(3)]        # offset < 4
+    )
+    _write_cdc_file(src / "b0.json", rows)
+    echo = tmp_path / "echo.json"
+    got = _run_binlog_stream(
+        spark,
+        src,
+        tmp_path / "out",
+        tmp_path / "ckpt",
+        expected=5,
+        database_pattern="shop",
+        table_pattern="orders",
+        binlog_index=2,
+        binlog_file_offset=4,
+        extra_options={"standin.echo": str(echo)},
+    )
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3, 4]
+    # the full spark-binlog option set crossed the format boundary
+    # (reader echoes lowercase-normalized keys at stream start)
+    arrived = json.loads(echo.read_text())
+    assert arrived["databasenamepattern"] == "shop"
+    assert arrived["tablenamepattern"] == "orders"
+    assert arrived["binglognameprefix"] == "mysql-bin"  # typo key, as shipped
+    assert arrived["binlogindex"] == "2"
+    assert arrived["binlogfileoffset"] == "4"
+    assert "host" in arrived and "username" in arrived
+
+
+def test_binlog_streaming_standin_checkpoint_replay(spark, tmp_path):
+    """Restarting from the checkpoint must not re-deliver committed
+    files, and newly arriving files are picked up — the offset contract
+    (files-consumed high-water mark) survives a stop/start."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_cdc_file(src / "b0.json", [_cdc_row(i) for i in range(4)])
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    got = _run_binlog_stream(spark, src, out, ckpt, expected=4)
+    assert got.count() == 4
+    # second file lands while the stream is DOWN; restart must deliver
+    # exactly the new rows
+    _write_cdc_file(src / "b1.json", [_cdc_row(100 + i) for i in range(3)])
+    got = _run_binlog_stream(spark, src, out, ckpt, expected=3)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [0, 1, 2, 3, 100, 101, 102], ids

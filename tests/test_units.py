@@ -451,18 +451,22 @@ def test_hive_sync_mor_registers_ro_view(spark, tmp_path):
         },
     )
     t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
-    # no pending log: both names valid
+    # no pending log: snapshot names (unsuffixed + HiveSyncTool's _rt)
+    # and the _ro view all valid
     assert spark.catalog.tableExists("data_import.ods_m")
+    assert spark.catalog.tableExists("data_import.ods_m_rt")
     assert spark.catalog.tableExists("data_import.ods_m_ro")
     t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
-    # pending log: _ro serves the (stale-by-contract) base, snapshot name gone
+    # pending log: _ro serves the (stale-by-contract) base, snapshot names gone
     assert not spark.catalog.tableExists("data_import.ods_m")
+    assert not spark.catalog.tableExists("data_import.ods_m_rt")
     assert (
         spark.sql("SELECT v FROM data_import.ods_m_ro").collect()[0]["v"] == "a"
     )
     t.compact(spark)
     assert spark.sql("SELECT v FROM data_import.ods_m").collect()[0]["v"] == "a2"
-    for name in ("ods_m", "ods_m_ro"):
+    assert spark.sql("SELECT v FROM data_import.ods_m_rt").collect()[0]["v"] == "a2"
+    for name in ("ods_m", "ods_m_rt", "ods_m_ro"):
         spark.sql(f"DROP TABLE IF EXISTS data_import.`{name}`")
     spark.sql("DROP DATABASE data_import")
 
@@ -1420,3 +1424,85 @@ def test_flatten_property_sweep_vs_python_reference(spark):
     expected = sorted(row_of(d) for d in ref_data)
     got = sorted(tuple(r) for r in out.collect())
     assert got == expected, (got, expected)
+
+
+# -- A13 hudi-bundle passthrough (lake.py:write_via_hudi_bundle) ----------
+
+
+def test_hudi_bundle_error_contract_when_absent(spark, tmp_path):
+    """No Hudi bundle jar ships in this container, so the passthrough's
+    reachable behavior HERE is its error contract: a RuntimeError naming
+    the bundle and pointing at the parquet-native methods. (The
+    round-trip test below runs when a jar IS supplied.)"""
+    if _hudi_bundle_jar():
+        pytest.skip("bundle present — the round-trip test covers this")
+    t = HudiTable(path=str(tmp_path / "t"), record_key="id", precombine="ts")
+    df = spark.createDataFrame([(1, 1, "a")], "id long, ts long, v string")
+    with pytest.raises(RuntimeError, match="Hudi Spark bundle"):
+        t.write_via_hudi_bundle(df)
+
+
+def _hudi_bundle_jar():
+    import os
+
+    jar = os.environ.get("SPARK_GRAFT_HUDI_JAR")
+    return jar if jar and os.path.exists(jar) else None
+
+
+@pytest.mark.skipif(
+    not _hudi_bundle_jar(),
+    reason="set SPARK_GRAFT_HUDI_JAR=/path/to/hudi-spark-bundle.jar to run",
+)
+def test_hudi_bundle_passthrough_roundtrips_keyed_upsert(tmp_path):
+    """Real-deployment parity (HoodieExcelImporter.scala:109-113): with a
+    bundle jar on the classpath, write_via_hudi_bundle must round-trip a
+    keyed upsert to the SAME final state the parquet fallback produces.
+    Runs in a subprocess because the bundle must be on the JVM classpath
+    at session start — the shared test session can't add jars."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+        from pyspark.sql import SparkSession
+        from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.jars", {_hudi_bundle_jar()!r})
+                 .config("spark.serializer",
+                         "org.apache.spark.serializer.KryoSerializer")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        rows1 = [(1, 1, "a"), (2, 1, "b")]
+        rows2 = [(2, 2, "B"), (3, 1, "c")]  # newer 2 wins; 3 inserts
+        schema = "id long, ts long, v string"
+        opts = {{
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.datasource.write.precombine.field": "ts",
+            "hoodie.table.name": "bundle_rt",
+        }}
+        bundle = HudiTable(path={str(tmp_path / "bundle")!r}, record_key="id",
+                           precombine="ts", table_name="bundle_rt",
+                           options=opts)
+        bundle.write_via_hudi_bundle(spark.createDataFrame(rows1, schema),
+                                     mode="overwrite")
+        bundle.write_via_hudi_bundle(spark.createDataFrame(rows2, schema))
+        got = spark.read.format("hudi").load({str(tmp_path / "bundle")!r})
+        fb = HudiTable(path={str(tmp_path / "fallback")!r}, record_key="id",
+                       precombine="ts")
+        fb.bulk_insert(spark.createDataFrame(rows1, schema), spark)
+        fb.upsert(spark.createDataFrame(rows2, schema), spark)
+        want = fb.read(spark)
+        g = sorted((r["id"], r["ts"], r["v"]) for r in got.collect())
+        w = sorted((r["id"], r["ts"], r["v"]) for r in want.collect())
+        assert g == w, (g, w)
+        print("BUNDLE_ROUNDTRIP_OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert "BUNDLE_ROUNDTRIP_OK" in out.stdout, out.stdout + out.stderr
