@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose implementation round 6 touched (multimodal PIL guard, stream
 # progress accounting, jdbc Derby drop, xlsx writer, jaccard broadcast
 # gate); (d) the new r7 id (streaming Python Data Source registered as
-# ``mysql-binlog``); (e) the oldest r4 ids, filling the window.  The 9
+# ``mysql-binlog``); (e) the oldest r4 ids, filling the window.  The 11
 # r4 ids past the window edge lead the r8 rotation and are re-proven
 # this round by the full-registry /verify exact-compare meanwhile.
 _CHECK_ORDER = [
@@ -66,9 +66,11 @@ _CHECK_ORDER = [
     "jdbc_scan",
     "excel_scan",
     "dedup_ngram_jaccard",
-    # (d) new r7 id
+    # (d) new r7 ids
     "binlog_stream_scan",
-    # (e) oldest r4 ids (33 of 42)
+    "embedding_similar_pairs_lsh",
+    "stream_dedup_watermark",
+    # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
     "agg_having",
@@ -100,10 +102,10 @@ _CHECK_ORDER = [
     "tpch_q15_shape",
     "tpch_q16_shape",
     "tpch_q17_shape",
-    "tpch_q19_shape",
-    "tpch_q20_shape",
     # ---- window edge: position 50 ----
     # r4 residue -> r8 rotation head
+    "tpch_q19_shape",
+    "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
     "tpch_q2_shape",

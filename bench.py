@@ -34,6 +34,7 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "embedding_similar_pairs",
+    "embedding_similar_pairs_lsh",
     "win_ntile",
     "win_range_between",
     "hudi_mor_read",

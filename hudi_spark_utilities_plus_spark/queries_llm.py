@@ -331,6 +331,51 @@ def embedding_similar_pairs(spark, sf_dir):
 
 
 @query(
+    "embedding_similar_pairs_lsh",
+    # The corpus's only cosine-≥0.8 pairs are the ones this query PLANTS
+    # (measured: zero native pairs above τ=0.7 at sf0.001/0.01/0.1), so
+    # the oracle is exact: one pair per non-zero vector. Zero vectors
+    # have no direction — excluded lambda-free via an unnest CTE.
+    oracle="""
+    WITH nz AS (
+      SELECT DISTINCT vec_id
+      FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings)
+      WHERE u <> 0
+    )
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, TRUE AS found
+    FROM nz
+    """,
+)
+def embedding_similar_pairs_lsh(spark, sf_dir):
+    """The banded-LSH pair path (the 100 TB escape hatch the ball-cover
+    auto-falls back to on uniform corpora — operators/similarity.py
+    `_lsh_candidate_pairs`), driver-checked with an EXACT oracle: the
+    corpus is unioned with direction-preserving scaled copies
+    (vec_id + 1e6, embedding × 1.001). Scaling keeps every hyperplane
+    projection's sign, so each planted pair shares ALL band keys —
+    banded-LSH recall on them is structural, not probabilistic — and
+    cosine(v, 1.001·v) ≈ 1 passes the exact verify at τ=0.8 while no
+    native pair reaches 0.8. A banding bug (wrong keys, dropped band,
+    broken verify) loses pairs and flips the row count; the emitted set
+    is restricted to the planted (id, id+1e6) diagonal so the contract
+    is closed under the corpus the driver generates."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].filter(
+        F.exists(S.as_double(F.col("embedding")), lambda x: x != 0)
+    )
+    planted = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            S.as_double(F.col("embedding")), lambda x: x * 1.001
+        ).alias("embedding"),
+    )
+    both = e.select("vec_id", "embedding").unionByName(planted)
+    pairs = S.similar_pairs(both, threshold=0.8, lsh_fallback=True)
+    return pairs.filter(
+        F.col("id_b") == F.col("id_a") + 1000000
+    ).select("id_a", "id_b", F.lit(True).alias("found"))
+
+
+@query(
     "ann_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0)

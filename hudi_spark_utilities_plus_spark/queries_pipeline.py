@@ -516,6 +516,83 @@ def stream_dedup(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """C6-family: the PRODUCTION form of streaming ingest dedup —
+    ``dropDuplicatesWithinWatermark`` bounds per-key state by an
+    event-time horizon instead of holding it forever (the scale knob the
+    plain ``stream_dedup`` id names as the 100 TB path: unbounded key
+    state is what kills a year-long CDC stream). The events table is
+    staged twice (every row a duplicate, identical event time), the
+    copies land in different micro-batches, and the 1-hour watermark
+    horizon comfortably covers the duplicate gap — so the sink must
+    still receive each event exactly once while the state store is
+    EVICTABLE: expired keys are dropped at watermark advance rather
+    than accumulating.
+
+    Scale: state hash-partitions by key like a keyed agg; eviction makes
+    state size proportional to the dup-arrival horizon, not stream
+    lifetime."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # nanos ts
+    schema = spark.read.parquet(src).schema
+    # events.ts is TIMESTAMP(NANOS) parquet: depending on session conf
+    # history it loads as a nanos BIGINT (legacy conf) or TIMESTAMP_NTZ
+    # (native) — derive the event-time column from whichever arrived
+    ts_is_long = dict(zip(schema.names, schema.fields))[
+        "ts"
+    ].dataType.simpleString() in ("bigint", "long")
+    event_time = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    root = tempfile.mkdtemp(prefix="stream_dedup_wm_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    src_dir = os.path.join(root, "src")
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events_a.parquet"))
+    os.symlink(src, os.path.join(src_dir, "events_b.parquet"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # duplicates arrive in a LATER
+        .parquet(src_dir)                 # micro-batch: cross-batch state
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            event_time.alias("event_time"),
+        )
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from .queries import dsum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
     "stream_demux",
     oracle="""
     SELECT event_type AS tbl, COUNT(*) AS n,
