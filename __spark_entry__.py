@@ -42,10 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # contract); (b) the 8 ids whose last green row is r3; (c) the r5 ids
 # whose implementation round 6 touched (multimodal PIL guard, stream
 # progress accounting, jdbc Derby drop, xlsx writer, jaccard broadcast
-# gate); (d) the new r7 id (streaming Python Data Source registered as
-# ``mysql-binlog``); (e) the oldest r4 ids, filling the window.  The 11
-# r4 ids past the window edge lead the r8 rotation and are re-proven
-# this round by the full-registry /verify exact-compare meanwhile.
+# gate); (d) the new r7 ids (streaming Python Data Source registered as
+# ``mysql-binlog``, LSH similar-pairs, watermark dedup, stream-stream /
+# stream-static joins, SCD2 build, exact z-score outliers, integer
+# tf-idf, portable text normalization); (e) the oldest r4 ids, filling
+# the window.  The 17 r4 ids past the window edge lead the r8 rotation
+# and are re-proven this round by the full-registry /verify
+# exact-compare meanwhile.
 _CHECK_ORDER = [
     # (a) re-landed red row — portability-proofed oracle contract
     "quality_model_score",
@@ -70,6 +73,12 @@ _CHECK_ORDER = [
     "binlog_stream_scan",
     "embedding_similar_pairs_lsh",
     "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_static_join",
+    "scd2_build",
+    "outlier_zscore",
+    "tfidf_topterms",
+    "text_normalize",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -96,14 +105,14 @@ _CHECK_ORDER = [
     "sessionize_events",
     "set_union_all",
     "split_train_val",
+    # ---- window edge: position 50 ----
+    # r4 residue -> r8 rotation head
     "tpch_q11_shape",
     "tpch_q13_shape",
     "tpch_q14_shape",
     "tpch_q15_shape",
     "tpch_q16_shape",
     "tpch_q17_shape",
-    # ---- window edge: position 50 ----
-    # r4 residue -> r8 rotation head
     "tpch_q19_shape",
     "tpch_q20_shape",
     "tpch_q21_shape",

@@ -678,3 +678,119 @@ def dedup_components(spark, sf_dir):
     return canonical_assignment(
         d, pairs.select("doc_a", "doc_b"), "doc_id", src="doc_a", dst="doc_b"
     )
+
+
+@query(
+    "tfidf_topterms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             (tf.tf * nd.n_docs * 1000) // df.df AS score_scaled
+      FROM tf JOIN df USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, tf, df, score_scaled FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score_scaled DESC, token) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def tfidf_topterms(spark, sf_dir):
+    """Corpus keyword extraction, IR-style: top-3 terms per document by
+    a tf-idf surrogate computed ENTIRELY in integer arithmetic —
+    score = (tf * n_docs * 1000) div df is monotone in tf/df like
+    tf*log-idf rankings but bit-identical across engines (no ln, no
+    doubles), so the per-doc top-3 cut can't flip on float error. Ties
+    break on token text; tf/df/score all emitted so the oracle checks
+    the full scoring pipeline, not just the winners.
+
+    Scale: explode -> two partial-agg groupBys (doc-term, then term) ->
+    term-keyed join of tf against the much smaller df table -> per-doc
+    window over ~unique-terms-per-doc rows. All shuffles are keyed and
+    partial-aggregated; n_docs joins in as a broadcast scalar, not a
+    driver constant."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr("(tf * n_docs * 1000) div df").alias("score_scaled"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+@query(
+    "text_normalize",
+    oracle=rf"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(translate(text, '{_UPPER}', '{_LOWER}'),
+                            '[^a-z0-9 \t\n\r]', ' ', 'g'),
+             '[ \t\n\r]+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+             regexp_replace(translate(text, '{_UPPER}', '{_LOWER}'),
+                            '[^a-z0-9 \t\n\r]', ' ', 'g'),
+             '[ \t\n\r]+', ' ', 'g'))) AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Training-corpus text normalization, PORTABLY: ASCII case-fold via
+    translate (no locale/Unicode lowercasing divergence), every
+    non-[a-z0-9 whitespace] codepoint replaced by a space, whitespace
+    runs collapsed, ends trimmed. The output alphabet is pure ASCII, so
+    string equality and length agree across engines even when the input
+    holds astral-plane codepoints (where Spark's length counts UTF-16
+    units but DuckDB counts codepoints — all removed before measuring).
+
+    Scale: map-only Column program (translate + two regexp_replace),
+    pipelined into the scan; no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(F.col("text"), _UPPER, _LOWER),
+                "[^a-z0-9 \t\n\r]",
+                " ",
+            ),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+    )

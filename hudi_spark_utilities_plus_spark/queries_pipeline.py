@@ -1673,3 +1673,263 @@ def retention_cohorts(spark, sf_dir):
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def _events_event_time(schema):
+    """Event-time Column for the events fixture's ``ts``, whichever way it
+    loaded: the parquet column is TIMESTAMP(NANOS), which arrives as a
+    nanos BIGINT when ``spark.sql.legacy.parquet.nanosAsLong`` was set
+    earlier in the session, or as TIMESTAMP_NTZ natively. Both forms are
+    floored to microseconds — matching DuckDB's nanos->micros truncation,
+    so micro-resolution comparisons agree cross-engine."""
+    ts_is_long = dict(zip(schema.names, schema.fields))[
+        "ts"
+    ].dataType.simpleString() in ("bigint", "long")
+    if ts_is_long:
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id,
+           CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT)
+             AS usec_between
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """C-family extension: WATERMARKED STREAM-STREAM INNER JOIN — the
+    click-attribution shape (every click within 1 hour after a view by
+    the same user) joined across two live streams, the one Structured
+    Streaming feature class the registry didn't yet exercise. Both sides
+    are real ``readStream`` file sources over the events fixture; each
+    carries a 2-hour watermark and the join condition bounds click_time
+    to [view_time, view_time + 1h], so Spark derives a state-eviction
+    horizon for BOTH buffers instead of holding either stream forever.
+    Inner-join matches emit exactly once as they are found; the oracle is
+    the equivalent batch self-join, so a dropped buffer row, a premature
+    state eviction, or a double-emit flips the hash.
+
+    Scale: both streams hash-partition on user_id (the equi-key) — state
+    and matching are distributed per key; the time-bound condition keeps
+    per-key buffered state to the 1-2 h horizon, the knob that makes
+    stream-stream joins feasible on unbounded 100 TB streams."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    root = tempfile.mkdtemp(prefix="stream_ssjoin_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    src_dir = os.path.join(root, "src")
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+
+    def side(event_type, id_alias, time_alias, user_alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                _events_event_time(schema).alias(time_alias),
+            )
+            .withWatermark(time_alias, "2 hours")
+        )
+
+    views = side("view", "view_id", "view_time", "user_id")
+    clicks = side("click", "click_id", "click_time", "c_user_id")
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_time") >= F.col("view_time"))
+        & (
+            F.col("click_time")
+            <= F.col("view_time") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("click_time"))
+            - F.unix_micros(F.col("view_time"))
+        ).alias("usec_between"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """C-family extension: STREAM-STATIC ENRICHMENT JOIN — the standard
+    ingest-time dimension lookup (each streaming event joined to the
+    static customer dim on user_id = c_custkey) running inside a real
+    StreamingQuery. The static side is broadcast per micro-batch (no
+    stream-side shuffle, no state store — unlike stream-stream joins a
+    static join is stateless), the enriched rows land in a parquet sink,
+    and the read-back aggregates per market segment; a missed or
+    duplicated enrichment flips the oracle hash.
+
+    Scale: the dim is broadcast once per batch to every executor — the
+    map-side-join pattern that enriches a 100 TB/day stream without
+    shuffling it; a dim too large to broadcast falls back to a keyed
+    shuffle join, which Spark picks automatically without code changes."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    dim = _t(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="stream_static_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    src_dir = os.path.join(root, "src")
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    enriched = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("event_id", "user_id", "value")
+        .join(
+            F.broadcast(dim),
+            F.col("user_id") == F.col("c_custkey"),
+            "inner",
+        )
+        .select("event_id", "c_mktsegment", "value")
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from .queries import dsum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "scd2_build",
+    oracle="""
+    SELECT user_id, event_id, value, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_build(spark, sf_dir):
+    """Lakehouse dimension versioning: build a SLOWLY-CHANGING-DIMENSION
+    TYPE 2 table from a change log — each per-user event becomes a
+    versioned row with a [valid_from, valid_to) validity interval, the
+    newest version open-ended (valid_to NULL, is_current true). This is
+    the merge shape every warehouse dim table needs on top of CDC ingest
+    (the reference's binlog path lands the raw changes; SCD2 is the
+    queryable history). LEAD over (user, time) closes each interval with
+    the next version's start; (ts, event_id) breaks same-timestamp ties
+    deterministically.
+
+    Scale: one keyed window — state is per-user and the shuffle is the
+    same user_id hash partition the CDC apply already needs; no global
+    ordering anywhere."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "outlier_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderkey, c.o_orderpriority, c.cents
+    FROM c JOIN g USING (o_orderpriority)
+    WHERE (n * c.cents - s) * (n * c.cents - s) > 9 * (n * q - s * s)
+    """,
+)
+def outlier_zscore(spark, sf_dir):
+    """EXACT distributed outlier detection — rows more than 3 population
+    standard deviations from their group mean, decided in INTEGER
+    arithmetic so the cut is bit-identical across engines and partition
+    counts: |x-mu| > 3*sigma is algebraically (n*x - s)^2 > 9*(n*q - s^2)
+    with s=SUM(x), q=SUM(x^2) over integer cents, evaluated in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no doubles anywhere after
+    the cents floor, so no borderline row can flip on association order.
+
+    Scale: one partial+final aggregate for the 5-row group-stats table,
+    broadcast back, map-side filter — the scan is the only full pass and
+    the decision is pipelined into it. The 128-bit headroom holds to
+    ~1e6 rows/group x 8-digit cents; beyond that (true 100 TB groups)
+    swap the q/s moments to DOUBLE and accept float tolerance — the
+    two-phase plan is unchanged."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100)).cast("long").alias("cents"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"),
+    )
+    joined = c.join(F.broadcast(g), "o_orderpriority")
+    dev = F.col("n") * dec - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return joined.filter(dev * dev > F.lit(9).cast("decimal(38,0)") * var_n2).select(
+        "o_orderkey", "o_orderpriority", "cents"
+    )

@@ -296,3 +296,69 @@ def test_nullsafe_join_broadcasts_dim(spark, sf_dir):
     plan = audit.executed_plan(df)
     assert audit.has_broadcast_hash_join(df), plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_outlier_zscore_broadcasts_group_stats(spark, sf_dir):
+    """outlier_zscore's group-stats join-back must broadcast the 5-row
+    stats table (map-side filter), never shuffle the fact side twice."""
+    df = QUERIES["outlier_zscore"](spark, sf_dir)
+    assert audit.has_broadcast_hash_join(df), audit.executed_plan(df)
+
+
+def test_tfidf_no_cartesian_beyond_scalar(spark, sf_dir):
+    """tfidf_topterms joins tf to df on the term key; the only
+    product-shaped join allowed is the broadcast of the 1-row n_docs
+    scalar."""
+    plan = audit.executed_plan(QUERIES["tfidf_topterms"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
+    """Spark's runtime bloom-filter join pruning — the engine-native form
+    of the 'bloom prefilter before the shuffle' pattern: with
+    spark.sql.optimizer.runtime.bloomFilter.enabled, a selective filter
+    on the dim side of a shuffle join injects might_contain(bloom_agg)
+    into the fact side's scan stage, so most fact rows drop BEFORE the
+    exchange. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling the matching slice; this test pins
+    that the conf wiring actually produces the injected filter."""
+    import pyspark.sql.functions as SF
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        SF.col("id").alias("k"), (SF.col("id") % 97).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 50_000).select(
+        SF.col("id").alias("k"), (SF.col("id") % 13).alias("grp")
+    ).write.parquet(dim_p)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # production default is 10GB — the fact fixture here is KBs, so
+        # drop the application-side gate to let the rule fire in-test
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # force the shuffle-join path so the runtime filter is worthwhile
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(SF.col("grp") == 3)
+        joined = fact.join(dim, "k").groupBy("v").count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan.lower(), plan
+        # and the result is still exact
+        assert joined.agg(SF.sum("count")).collect()[0][0] == 50_000 // 13 + (
+            1 if (50_000 % 13) > 3 else 0
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
