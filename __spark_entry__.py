@@ -79,6 +79,8 @@ _CHECK_ORDER = [
     "outlier_zscore",
     "tfidf_topterms",
     "text_normalize",
+    "stream_stream_left_join",
+    "dedup_embedding_semantic",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -103,9 +105,9 @@ _CHECK_ORDER = [
     "profile_orders",
     "retention_cohorts",
     "sessionize_events",
+    # ---- window edge: position 50 ----
     "set_union_all",
     "split_train_val",
-    # ---- window edge: position 50 ----
     # r4 residue -> r8 rotation head
     "tpch_q11_shape",
     "tpch_q13_shape",

@@ -62,6 +62,10 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "hudi_time_travel",
+    "stream_stream_join",
+    "scd2_build",
+    "outlier_zscore",
+    "tfidf_topterms",
 ]
 
 

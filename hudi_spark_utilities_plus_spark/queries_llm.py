@@ -794,3 +794,59 @@ def text_normalize(spark, sf_dir):
         norm.alias("norm_text"),
         F.length(norm).alias("n_norm_chars"),
     )
+
+
+@query(
+    "dedup_embedding_semantic",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT a.vec_id AS x, b.vec_id AS y
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_cos('a.embedding', 'b.embedding')} >= 0.45
+    ), ud AS (
+      SELECT x, y FROM e UNION SELECT y, x FROM e
+    ), reach(x, y) AS (
+      SELECT x, y FROM ud
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN ud u ON r.y = u.x
+    ), root AS (
+      SELECT x AS node, LEAST(x, MIN(y)) AS canon FROM reach GROUP BY x
+    ), canon AS (
+      SELECT v.vec_id, COALESCE(root.canon, v.vec_id) AS canonical_id
+      FROM embeddings v LEFT JOIN root ON v.vec_id = root.node
+    )
+    SELECT canonical_id AS rep_id, COUNT(*) AS cluster_size
+    FROM canon GROUP BY canonical_id
+    """,
+)
+def dedup_embedding_semantic(spark, sf_dir):
+    """SEMANTIC (embedding-cosine) corpus dedup end to end — the full
+    keep-one-representative pipeline on top of the near-dup pair
+    relation: exact cosine->=0.45 pairs (ball-cover metric join, 100%
+    recall), connected components via hash-min label propagation, one
+    surviving representative per cluster (min vec_id) with its member
+    count. This is the training-data dedup step that actually SHRINKS
+    the corpus, where `embedding_similar_pairs` only lists the edges
+    and `dedup_components` labels documents by n-gram overlap. The
+    oracle closes the identical edge set with a recursive CTE, so a
+    missed pair, a broken component merge, or a wrong representative
+    all flip the hash.
+
+    Scale: pairs come from the bucketed equi-join (no all-pairs stage);
+    label propagation is iterative hash-partitioned self-joins over the
+    EDGE set (near-dup pairs, << corpus); the final keep is one keyed
+    aggregate."""
+    from .operators.graph import canonical_assignment
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = S.similar_pairs(e, threshold=0.45)
+    canon = canonical_assignment(
+        e.select("vec_id"),
+        pairs.select("id_a", "id_b"),
+        "vec_id",
+        src="id_a",
+        dst="id_b",
+    )
+    return canon.groupBy(
+        F.col("canonical_id").alias("rep_id")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))

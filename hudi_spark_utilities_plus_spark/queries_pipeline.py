@@ -1747,6 +1747,14 @@ def stream_stream_join(spark, sf_dir):
 
     views = side("view", "view_id", "view_time", "user_id")
     clicks = side("click", "click_id", "click_time", "c_user_id")
+    # State-partition sizing: a streaming join pins its state-store
+    # partition count to spark.sql.shuffle.partitions at FIRST run (it's
+    # baked into the checkpoint). Each partition pays fixed WAL-commit +
+    # snapshot cost per micro-batch, so the count is sized to stream
+    # volume: 8 covers this fixture; a 100 TB/day stream raises it (the
+    # same knob, opposite direction) BEFORE first start.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     joined = views.join(
         clicks,
         (F.col("user_id") == F.col("c_user_id"))
@@ -1765,15 +1773,18 @@ def stream_stream_join(spark, sf_dir):
             - F.unix_micros(F.col("view_time"))
         ).alias("usec_between"),
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out)
 
 
@@ -1933,3 +1944,144 @@ def outlier_zscore(spark, sf_dir):
     return joined.filter(dev * dev > F.lit(9).cast("decimal(38,0)") * var_n2).select(
         "o_orderkey", "o_orderpriority", "cents"
     )
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id,
+           CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT)
+             AS usec_between
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark, sf_dir):
+    """C-family extension: WATERMARKED STREAM-STREAM LEFT OUTER JOIN —
+    attribution with explicit non-conversion rows: every view emits,
+    matched views as they pair with clicks, UNMATCHED views only when
+    the watermark proves no in-horizon click can still arrive (outer
+    results require state-expiry certainty, the semantics inner joins
+    don't need). To make the expiry observable under availableNow, a
+    sentinel file (one far-future view + click on out-of-band negative
+    user ids) lands in the LAST micro-batch: it pushes both watermarks
+    past every real view's horizon, and the engine's no-data micro-batch
+    then flushes all surviving NULL-padded rows to the sink. The
+    sentinels themselves never emit — the view sentinel's own horizon
+    stays beyond the final watermark, and unmatched right-side rows
+    don't emit from a left join.
+
+    Scale: identical state layout to the inner form (user_id-keyed
+    buffers, horizon-bounded); the only addition is the expiry pass,
+    which is how production left-outer attribution decides
+    'no conversion' without a batch backfill."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    batch = spark.read.schema(schema).parquet(src)
+    ts_is_long = dict(zip(schema.names, schema.fields))[
+        "ts"
+    ].dataType.simpleString() in ("bigint", "long")
+    # sentinel event time: far past every real view's +1h horizon
+    if ts_is_long:
+        far = F.lit(10 * 365 * 24 * 3600 * 10**9).cast("long")
+    else:
+        far = F.expr("INTERVAL 3650 DAYS")
+    sent = (
+        batch.groupBy()
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(-1).cast("long").alias("event_id"),
+                        (F.col("mx") + far).alias("ts"),
+                        F.lit(-1).cast("long").alias("user_id"),
+                        F.lit("view").alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                        F.lit(None).cast("string").alias("props"),
+                    ),
+                    F.struct(
+                        F.lit(-2).cast("long").alias("event_id"),
+                        (F.col("mx") + far).alias("ts"),
+                        F.lit(-2).cast("long").alias("user_id"),
+                        F.lit("click").alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                        F.lit(None).cast("string").alias("props"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .select([f.name for f in schema.fields])
+    )
+    root = tempfile.mkdtemp(prefix="stream_ssloj_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    src_dir = os.path.join(root, "src")
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "a_events.parquet"))
+    sent_tmp = os.path.join(root, "sent")
+    sent.coalesce(1).write.parquet(sent_tmp)
+    part = [p for p in os.listdir(sent_tmp) if p.endswith(".parquet")][0]
+    # written after the symlink -> later mtime -> last micro-batch
+    shutil.copyfile(
+        os.path.join(sent_tmp, part), os.path.join(src_dir, "z_sentinel.parquet")
+    )
+
+    def side(event_type, id_alias, time_alias, user_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                _events_event_time(schema).alias(time_alias),
+            )
+            .withWatermark(time_alias, "2 hours")
+        )
+
+    views = side("view", "view_id", "view_time", "user_id")
+    clicks = side("click", "click_id", "click_time", "c_user_id")
+    # state-partition sizing: see stream_stream_join
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_time") >= F.col("view_time"))
+        & (
+            F.col("click_time")
+            <= F.col("view_time") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("click_time"))
+            - F.unix_micros(F.col("view_time"))
+        ).alias("usec_between"),
+    )
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)

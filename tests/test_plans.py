@@ -362,3 +362,58 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_skewed_partition(spark, tmp_path):
+    """AQE skew-join handling — the runtime answer to hot keys: with one
+    join key holding ~90% of the fact rows, adaptive execution must
+    detect the oversized shuffle partition and split it (plan shows
+    'skew=true'), instead of leaving one straggler task to process the
+    hot key alone. At 100 TB a single hot key otherwise turns a 1000-
+    executor join into a 1-task tail; salting (join_salted) is the
+    static fix, this pins the engine-native dynamic one."""
+    import pyspark.sql.functions as SF
+
+    fact_p = str(tmp_path / "skfact")
+    dim_p = str(tmp_path / "skdim")
+    # 90% of 300k rows land on key 0; the rest spread over 10k keys
+    spark.range(0, 300_000).select(
+        SF.when(SF.col("id") % 10 < 9, 0)
+        .otherwise(SF.col("id") % 10_000)
+        .alias("k"),
+        SF.col("id").alias("v"),
+    ).write.parquet(fact_p)
+    spark.range(0, 10_000).select(
+        SF.col("id").alias("k"), (SF.col("id") % 7).alias("grp")
+    ).write.parquet(dim_p)
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # shrink the skew thresholds to fixture scale (prod defaults are
+        # 256MB/5x — the RATIO logic under test is identical)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # force a sort-merge shuffle join (skew split targets SMJ/SHJ)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p)
+        joined = fact.join(dim, "k")
+        # materialize THIS df's own QueryExecution (count() would build a
+        # different one and leave this plan isFinalPlan=false)
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
