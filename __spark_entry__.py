@@ -81,6 +81,8 @@ _CHECK_ORDER = [
     "text_normalize",
     "stream_stream_left_join",
     "dedup_embedding_semantic",
+    "hudi_restore_read",
+    "hudi_schema_evolution",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -103,9 +105,9 @@ _CHECK_ORDER = [
     "ngram_bigrams",
     "pii_scrub",
     "profile_orders",
+    # ---- window edge: position 50 ----
     "retention_cohorts",
     "sessionize_events",
-    # ---- window edge: position 50 ----
     "set_union_all",
     "split_train_val",
     # r4 residue -> r8 rotation head

@@ -422,6 +422,59 @@ class HudiTable:
         # base == snapshot again: re-sync so the snapshot name returns
         self._maybe_sync_catalog(spark)
 
+    def savepoint(self, spark: SparkSession) -> int:
+        """Record the current commit position (Hudi savepoint): returns
+        the seq to hand back to restore(). Metadata-only — nothing is
+        copied; the delta log IS the history, so a savepoint is just a
+        fence the caller keeps."""
+        return self.latest_commit_seq(spark)
+
+    def restore(self, spark: SparkSession, to_seq: int) -> None:
+        """Hudi restore-to-savepoint: physically DISCARD every delta
+        commit with seq > ``to_seq`` — unlike time travel (a read-side
+        view), restore rolls the table itself back; subsequent reads see
+        the savepoint state and new commits continue the timeline from
+        there. Commits folded by a compaction can't be unwound (the base
+        rewrite destroyed per-commit history) — same horizon rule as
+        time travel, and asking for it raises.
+
+        Cost: one seq-pruned log rewrite — O(surviving log), base files
+        untouched."""
+        if not self.is_mor:
+            raise ValueError(
+                "restore requires a MERGE_ON_READ table (COPY_ON_WRITE "
+                "rewrites keep no commit history to roll back)"
+            )
+        if to_seq < self._seq_base() - 1:
+            raise ValueError(
+                f"restore target {to_seq} predates the last compaction "
+                f"(history before seq {self._seq_base()} was folded into "
+                "the base files)"
+            )
+        if not self._has_log(spark):
+            return  # already at or before the savepoint
+        import shutil
+
+        log_local = f"{self._local_fs_path().rstrip('/')}__hudi_log"
+        kept = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self._log_path)
+            .filter(F.col("__hudi_seq") <= to_seq)
+        )
+        if kept.limit(1).count() == 0:
+            shutil.rmtree(log_local)
+            self._maybe_sync_catalog(spark)
+            return
+        # materialize the surviving log BEFORE dropping the source dir
+        tmp = log_local + ".restore_tmp"
+        w = kept.write.mode("overwrite")
+        if self.partition_field and self.partition_field in kept.columns:
+            w = w.partitionBy(self.partition_field)
+        w.parquet(tmp)
+        shutil.rmtree(log_local)
+        os.rename(tmp, log_local)
+        self._maybe_sync_catalog(spark)
+
     def cluster(
         self,
         spark: SparkSession,

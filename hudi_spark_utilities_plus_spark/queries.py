@@ -1515,6 +1515,121 @@ def stream_tumbling(spark, sf_dir):
     )
 
 
+@query(
+    "hudi_restore_read",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice * 2 AS p,
+             o_orderdate + INTERVAL 1 DAY AS d
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), s1 AS (
+      SELECT o.o_orderkey,
+             COALESCE(a.p, o.o_totalprice) AS o_totalprice,
+             COALESCE(a.d, o.o_orderdate) AS o_orderdate
+      FROM orders o LEFT JOIN a USING (o_orderkey)
+    ), b AS (
+      SELECT o_orderkey, o_totalprice + 5 AS p,
+             o_orderdate + INTERVAL 2 DAY AS d
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT s1.o_orderkey,
+           COALESCE(b.p, s1.o_totalprice) AS o_totalprice,
+           COALESCE(b.d, s1.o_orderdate) AS o_orderdate
+    FROM s1 LEFT JOIN b USING (o_orderkey)
+    """,
+)
+def hudi_restore_read(spark, sf_dir):
+    """§1.2 savepoint + restore (Hudi ``savepoint create`` /
+    ``restore``), driver-provable end to end: bulk_insert -> upsert A
+    (keys %10, price x2, precombine +1 day) -> SAVEPOINT -> a junk
+    delete of every %3 key -> RESTORE to the savepoint (the delete
+    commit is physically discarded, not just hidden) -> upsert B
+    (keys %7, price +5 off the ORIGINAL rows, precombine +2 days) ->
+    snapshot read. The oracle is base+A with B merged on top: every %3
+    key must still be present (restore really unwound the delete) and
+    the post-restore commit must land on the restored timeline (B beats
+    A on %70 keys via the later precombine). Restore cost is one
+    seq-pruned log rewrite; base files untouched."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="restore_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(o)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")),
+        spark,
+    )
+    sp = t.savepoint(spark)
+    t.delete(o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey"), spark)
+    t.restore(spark, sp)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")),
+        spark,
+    )
+    return t.read(spark)
+
+
+@query(
+    "hudi_schema_evolution",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice * 2 AS p,
+             o_orderdate + INTERVAL 1 DAY AS d, 'upd' AS note
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.p, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.d, o.o_orderdate) AS o_orderdate,
+           u.note AS o_note
+    FROM orders o LEFT JOIN u USING (o_orderkey)
+    """,
+)
+def hudi_schema_evolution(spark, sf_dir):
+    """§1.2 schema evolution on upsert (Hudi's
+    ``hoodie.datasource.write.reconcile.schema`` add-column path): the
+    incoming batch carries a NEW column ``o_note`` absent from the
+    table; after the upsert the table schema is the union — updated
+    rows carry the value, untouched rows read NULL (never a schema
+    clash, never a dropped column). The COW merge unions by name with
+    allowMissingColumns and the rewrite persists the widened schema;
+    the MOR log path gets the same via mergeSchema (pinned in
+    tests/test_units.py)."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="evo_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+    )
+    t.bulk_insert(o)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("o_note", F.lit("upd")),
+        spark,
+    )
+    return t.read(spark)
+
+
 # Import-time registration of the LLM-pipeline queries (dedup, similarity,
 # text analysis, multimodal) — see queries_llm.py.
 from . import queries_llm  # noqa: E402,F401  (registry side effects)

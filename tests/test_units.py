@@ -1506,3 +1506,88 @@ def test_hudi_bundle_passthrough_roundtrips_keyed_upsert(tmp_path):
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
     )
     assert "BUNDLE_ROUNDTRIP_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_mor_schema_evolution_via_log(spark, tmp_path):
+    """MOR add-column evolution: an upsert batch carrying a NEW column
+    lands in the delta log; the merge-on-read union widens the schema —
+    updated rows carry the value, base rows read NULL."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "evo"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "id int, ts int, v string")
+    )
+    t.upsert(
+        spark.createDataFrame([(2, 2, "b2", "note2")], "id int, ts int, v string, extra string"),
+        spark,
+    )
+    got = {r["id"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", "note2")}
+
+
+def test_restore_refusals_and_noop(spark, tmp_path):
+    """restore(): COW refuses (no history), a target folded by
+    compaction refuses with the horizon message, and restoring a table
+    already at the savepoint is a no-op."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    cow = HudiTable(path=str(tmp_path / "cow"), record_key="id", precombine="ts")
+    cow.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string"))
+    with _pytest.raises(ValueError, match="MERGE_ON_READ"):
+        cow.restore(spark, 0)
+
+    mor = HudiTable(
+        path=str(tmp_path / "mor"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    mor.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    sp = mor.savepoint(spark)  # -1: nothing in the log yet
+    mor.restore(spark, sp)  # no log -> no-op
+    assert [r["v"] for r in mor.read(spark).collect()] == ["a"]
+    mor.upsert(
+        spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"), spark
+    )
+    mor.compact(spark)
+    with _pytest.raises(ValueError, match="compaction"):
+        mor.restore(spark, sp)  # history folded into the base
+
+
+def test_restore_discards_then_continues_timeline(spark, tmp_path):
+    """restore() physically drops younger commits: a post-restore
+    incremental cursor taken at the savepoint sees ONLY the post-restore
+    commit, and the discarded commit's effect is gone from snapshots."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "rt"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "id int, ts int, v string"
+        )
+    )
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"), spark)
+    sp = t.savepoint(spark)
+    t.delete(spark.createDataFrame([(2,)], "id int"), spark)  # to be unwound
+    t.upsert(spark.createDataFrame([(3, 2, "JUNK")], "id int, ts int, v string"), spark)
+    t.restore(spark, sp)
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}  # delete + junk both unwound
+    t.upsert(spark.createDataFrame([(3, 3, "c3")], "id int, ts int, v string"), spark)
+    inc = {r["id"]: r["v"] for r in t.read_incremental(spark, since_seq=sp).collect()}
+    assert inc == {3: "c3"}  # only the post-restore commit past the cursor
