@@ -43,11 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose implementation round 6 touched (multimodal PIL guard, stream
 # progress accounting, jdbc Derby drop, xlsx writer, jaccard broadcast
 # gate); (d) the new r7 ids (streaming Python Data Source registered as
-# ``mysql-binlog``, LSH similar-pairs, watermark dedup, stream-stream /
-# stream-static joins, SCD2 build, exact z-score outliers, integer
-# tf-idf, portable text normalization); (e) the oldest r4 ids, filling
-# the window.  The 17 r4 ids past the window edge lead the r8 rotation
-# and are re-proven this round by the full-registry /verify
+# ``mysql-binlog``, LSH similar-pairs, watermark dedup, stream-stream
+# inner/left-outer + stream-static joins, SCD2 build, exact z-score
+# outliers, integer tf-idf, portable text normalization, semantic
+# corpus dedup, savepoint/restore, schema evolution, orc/json scans,
+# bucketed interval join, winsorization); (e) the oldest r4 ids,
+# filling the window.  The r4 ids past the window edge lead the r8
+# rotation and are re-proven this round by the full-registry /verify
 # exact-compare meanwhile.
 _CHECK_ORDER = [
     # (a) re-landed red row — portability-proofed oracle contract
@@ -83,6 +85,10 @@ _CHECK_ORDER = [
     "dedup_embedding_semantic",
     "hudi_restore_read",
     "hudi_schema_evolution",
+    "orc_scan",
+    "json_scan",
+    "join_interval_bucketed",
+    "winsorize_cap",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -101,11 +107,11 @@ _CHECK_ORDER = [
     "embedding_quantize",
     "funnel_conversion",
     "hudi_mor_ro_read",
+    # ---- window edge: position 50 ----
     "hudi_time_travel",
     "ngram_bigrams",
     "pii_scrub",
     "profile_orders",
-    # ---- window edge: position 50 ----
     "retention_cohorts",
     "sessionize_events",
     "set_union_all",

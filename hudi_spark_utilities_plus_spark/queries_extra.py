@@ -930,3 +930,210 @@ def es_scan(spark, sf_dir):
         },
     )
     return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "orc_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def orc_scan(spark, sf_dir):
+    """Source-router coverage: ORC round trip through
+    sources.registry.read_source("orc", ...) — Spark-native columnar
+    format with the same predicate-pushdown/column-pruning machinery as
+    parquet; proves the router's file-reader path for the third
+    columnar format (csv/parquet ids already exist)."""
+    import os
+    import tempfile
+
+    from .sources.registry import read_source
+
+    n = _t(spark, sf_dir, "nation")["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_scan_"), "nation_orc")
+    n.write.orc(out)
+    return read_source(spark, "orc", {"path": out})
+
+
+@query(
+    "json_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def json_scan(spark, sf_dir):
+    """Source-router coverage: JSON-lines round trip through
+    sources.registry.read_source("json", ...) with an EXPLICIT schema
+    (the production form — schema inference is a full extra pass at
+    100 TB, so the reader takes the declared one)."""
+    import os
+    import tempfile
+
+    from .sources.registry import read_source
+
+    n = _t(spark, sf_dir, "nation")["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="json_scan_"), "nation_json")
+    n.write.json(out)
+    return read_source(
+        spark,
+        "json",
+        {
+            "path": out,
+            "schema": "n_nationkey INT, n_name STRING, n_regionkey INT",
+        },
+    )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH t0 AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0 FROM events
+    ), w AS (
+      SELECT n_nationkey AS window_id,
+             d0 + n_nationkey * INTERVAL 2 DAY AS w_start,
+             d0 + n_nationkey * INTERVAL 2 DAY + INTERVAL 3 DAY AS w_end
+      FROM nation CROSS JOIN t0
+    )
+    SELECT window_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY window_id
+    """,
+)
+def join_interval_bucketed(spark, sf_dir):
+    """TRUE interval join with NO shared equi-key — points (events)
+    against overlapping time windows — made scale-safe by the time-grid
+    trick: each window explodes into the day buckets it covers (bounded
+    fan-out = window length / grid step), each point maps to its one day
+    bucket, and the join becomes a plain hash equi-join on the bucket
+    with an exact containment filter behind it. Without this a
+    no-equi-key interval join plans as a nested-loop product — the
+    100 TB killer; with it the fact side shuffles once on the bucket.
+    A point meets each window in at most one bucket, so no dedup stage
+    is needed. Windows derive from the nation table (25 overlapping
+    3-day windows stepped 2 days from the corpus start).
+
+    Oracle: the brute-force containment join, exactly aggregated."""
+    t = _t(spark, sf_dir, "events", "nation")
+    e, n = t["events"], t["nation"]
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    w = (
+        n.crossJoin(F.broadcast(d0))
+        .select(
+            F.col("n_nationkey").alias("window_id"),
+            (
+                F.col("d0")
+                + F.col("n_nationkey") * F.expr("INTERVAL 2 DAY")
+            ).alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAY"))
+    )
+    w_days = w.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("w_start")),
+                F.date_trunc("day", F.col("w_end")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("bucket"),
+    )
+    pts = e.select(
+        "value", F.col("ts"), F.date_trunc("day", F.col("ts")).alias("bucket")
+    )
+    from .queries import dsum
+
+    return (
+        pts.join(F.broadcast(w_days), "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "winsorize_cap",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT o_orderpriority, cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ), cuts AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN cents END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN cents END) AS hi
+      FROM r GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority, cuts.lo, cuts.hi,
+           SUM(CASE WHEN c.cents < cuts.lo THEN 1 ELSE 0 END) AS n_below,
+           SUM(CASE WHEN c.cents > cuts.hi THEN 1 ELSE 0 END) AS n_above,
+           SUM(LEAST(GREATEST(c.cents, cuts.lo), cuts.hi))
+             AS winsorized_cents
+    FROM c JOIN cuts USING (o_orderpriority)
+    GROUP BY c.o_orderpriority, cuts.lo, cuts.hi
+    """,
+)
+def winsorize_cap(spark, sf_dir):
+    """Winsorization — the data-cleaning step that CLAMPS outliers to
+    per-group [p05, p95] instead of dropping them — with the percentile
+    cut defined DISCRETELY (the ceil(p*n)-th smallest value) in integer
+    cents, so the clamp boundary is a value that exists in the data and
+    every count/sum is bit-identical cross-engine (interpolated
+    quantiles differ in last-bit association between engines; discrete
+    ranks cannot).
+
+    Scale: one keyed window pass ranks within each group (the same
+    shuffle a grouped agg needs), the 5-row cuts table broadcasts back,
+    and the clamp+aggregate pipelines into the scan. At extreme
+    per-group cardinalities swap the exact rank for approx_percentile —
+    the plan shape is unchanged."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100)).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("cents")
+    wn = Window.partitionBy("o_orderpriority")
+    r = c.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    cuts = r.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.05) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    j = c.join(F.broadcast(cuts), "o_orderpriority")
+    return j.groupBy("o_orderpriority", "lo", "hi").agg(
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_below"
+        ),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_above"
+        ),
+        F.sum(
+            F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+        ).alias("winsorized_cents"),
+    )

@@ -119,7 +119,15 @@ def _file_reader(fmt: str):
     def read(spark: SparkSession, options: dict[str, str]) -> DataFrame:
         opts = dict(options)
         path = opts.pop("path")
-        return spark.read.format(fmt).options(**opts).load(path)
+        # 'schema' is a DDL string, not a reader option: route it through
+        # .schema() so the declared schema actually applies (schema-less
+        # semi-structured reads would otherwise silently fall back to an
+        # inference pass — a full extra scan at 100 TB)
+        ddl = opts.pop("schema", None)
+        reader = spark.read.format(fmt).options(**opts)
+        if ddl:
+            reader = reader.schema(ddl)
+        return reader.load(path)
 
     return read
 

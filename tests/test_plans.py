@@ -417,3 +417,13 @@ def test_aqe_skew_join_splits_skewed_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    """join_interval_bucketed: a no-equi-key interval join must plan as
+    a hash equi-join on the time-grid bucket — never the nested-loop
+    product a naive range-only condition produces."""
+    plan = audit.executed_plan(QUERIES["join_interval_bucketed"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop allowed is the 1-row d0 scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
