@@ -89,6 +89,10 @@ _CHECK_ORDER = [
     "json_scan",
     "join_interval_bucketed",
     "winsorize_cap",
+    "agg_bitmap_distinct",
+    "downsample_ohlc",
+    "hudi_partitioned_upsert",
+    "graph_triangle_count",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -103,11 +107,11 @@ _CHECK_ORDER = [
     "date_spine_fill",
     "dedup_components",
     "dedup_exact",
+    # ---- window edge: position 50 ----
     "dedup_simhash",
     "embedding_quantize",
     "funnel_conversion",
     "hudi_mor_ro_read",
-    # ---- window edge: position 50 ----
     "hudi_time_travel",
     "ngram_bigrams",
     "pii_scrub",

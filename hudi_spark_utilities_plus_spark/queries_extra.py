@@ -1137,3 +1137,208 @@ def winsorize_cap(spark, sf_dir):
             F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
         ).alias("winsorized_cents"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_distinct_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation — the scalable
+    alternative to COUNT(DISTINCT) for dense integer keys: each key maps
+    to (bucket, bit position), per-(group, bucket) bitmaps OR-merge
+    associatively in the partial-aggregate phase (a 4 KB page per 32768
+    keys instead of a shuffle row per distinct value), and the final
+    count sums bitmap_count per group. Unlike approx_count_distinct this
+    is exact, and unlike expand-based COUNT(DISTINCT) the shuffle volume
+    is bounded by key range, not row count. The oracle is plain
+    COUNT(DISTINCT) — any bit lost in the merge flips it."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_custs"))
+    )
+
+
+@query(
+    "downsample_ohlc",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY hr ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY hr
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM h
+    )
+    SELECT hr,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM r GROUP BY hr
+    """,
+)
+def downsample_ohlc(spark, sf_dir):
+    """Time-series downsampling to OHLC bars — the hypertable-rollup /
+    continuous-aggregate shape: raw ticks collapse to per-hour
+    open/high/low/close + count, with open/close defined DETERMINISTICALLY
+    as the first/last tick by (ts, event_id) so same-timestamp ticks
+    can't flip the bar between engines or partition layouts. Values
+    pass through untouched (no float arithmetic), so the contract is
+    repr-exact.
+
+    Scale: one keyed window pass (hour-partitioned rank — same shuffle
+    the bar aggregate needs anyway) feeding a partial+final hash
+    aggregate; at production tick volumes swap the rank for max_by/
+    min_by over the (ts, event_id) struct to fuse into a single agg —
+    the shuffle shape is identical."""
+    e = _t(spark, sf_dir, "events")["events"]
+    h = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("hr").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("hr").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = h.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("hr").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@query(
+    "hudi_partitioned_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             strftime(o_orderdate, '%Y-%m') AS dt
+      FROM orders
+    ), u AS (
+      SELECT o_orderkey, o_totalprice * 2 AS p,
+             o_orderdate + INTERVAL 1 DAY AS d
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT b.o_orderkey,
+           COALESCE(u.p, b.o_totalprice) AS o_totalprice,
+           COALESCE(u.d, b.o_orderdate) AS o_orderdate,
+           b.dt
+    FROM base b LEFT JOIN u USING (o_orderkey)
+    """,
+)
+def hudi_partitioned_upsert(spark, sf_dir):
+    """§1.2 PARTITIONED upsert end to end against real storage: orders
+    partitioned by ingest month (``dt``, derived once at ingest — a
+    stable partition label, deliberately NOT re-derived from the updated
+    o_orderdate, the Hudi partition-path contract that keeps a record
+    in its original partition without a global index), bulk_insert, then
+    an upsert of every %10 key. The COW merge rewrites ONLY the
+    partitions the incoming batch touches (dynamic partition overwrite —
+    rewrite cost tracks touched partitions, not the table; the scoped
+    read is pinned in test_plans partition-pruning); the read-back
+    returns the partition column alongside the data, so a row landed in
+    the wrong partition flips the oracle."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = (
+        _t(spark, sf_dir, "orders")["orders"]
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("dt", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="part_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        partition_field="dt",
+    )
+    t.bulk_insert(o)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ),
+        spark,
+    )
+    return t.read(spark).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "dt"
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+                  THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+                  ELSE list_distinct([
+                    array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                    FOR i IN range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)
+                  ])
+             END AS sh
+      FROM documents
+    ), e AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+            FROM e ab JOIN e bc ON ab.y = bc.x
+                      JOIN e ac ON ac.x = ab.x AND ac.y = bc.y) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Graph analytics over the near-dup relation: TRIANGLE COUNT on the
+    exact Jaccard>=0.8 edge set (duplicate clusters appear as cliques;
+    the triangle count is their density signature — a cluster of k
+    near-identical docs contributes C(k,3)). The distributed shape is
+    the canonical vertex-ordered edge-edge join: every edge stored
+    (lo, hi), wedges built by joining on the shared middle vertex, each
+    wedge closed by an equi-join back to the edge set — three keyed hash
+    joins, no nested loop, triangle counted exactly once. The oracle
+    recomputes the identical edge set brute-force and closes it in SQL.
+
+    Scale: wedge count is sum-of-degrees-squared — the vertex-ordering
+    trick (only lo->hi edges) bounds it; all joins are equi-keyed."""
+    from .operators import dedup as D
+    from .operators.dedup import scatter
+
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    e = (
+        D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+        .select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    )
+    ab = e.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    bc = e.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    wedges = ab.join(bc, "b")
+    ac = e.select(F.col("x").alias("a"), F.col("y").alias("c"), F.lit(1).alias("closed"))
+    tri = wedges.join(ac, ["a", "c"])
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)
