@@ -93,6 +93,7 @@ _CHECK_ORDER = [
     "downsample_ohlc",
     "hudi_partitioned_upsert",
     "graph_triangle_count",
+    "hudi_cdc_read",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -106,8 +107,8 @@ _CHECK_ORDER = [
     "corpus_filter_funnel",
     "date_spine_fill",
     "dedup_components",
-    "dedup_exact",
     # ---- window edge: position 50 ----
+    "dedup_exact",
     "dedup_simhash",
     "embedding_quantize",
     "funnel_conversion",

@@ -1342,3 +1342,70 @@ def graph_triangle_count(spark, sf_dir):
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
+
+
+@query(
+    "hudi_cdc_read",
+    oracle="""
+    SELECT o_orderkey AS rec_key, 'd' AS op,
+           o_totalprice AS before_price,
+           CAST(NULL AS DOUBLE) AS after_price
+    FROM orders WHERE o_orderkey % 20 = 0
+    UNION ALL
+    SELECT o_orderkey, 'u', o_totalprice, o_totalprice * 2
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+    UNION ALL
+    SELECT o_orderkey + 1000000, 'i', CAST(NULL AS DOUBLE), o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def hudi_cdc_read(spark, sf_dir):
+    """§1.2 Hudi CDC incremental query
+    (``hoodie.datasource.query.incremental.format=cdc``) end to end: the
+    change FEED between a cursor and head — op + full before/after
+    images — where plain incremental pull only returns current rows and
+    silently loses deletions. Write sequence after the cursor: update
+    every %10 key (price x2), DELETE every %20 key (the delete beats the
+    %20∩%10 updates — later commit), insert brand-new keys (+1e6, every
+    %100). The feed must emit 'u' rows with both images, 'd' rows with
+    only the before image (including keys updated then deleted inside
+    the window — before = the CURSOR state, not the intermediate), 'i'
+    rows with only the after image, and nothing for untouched keys."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="cdcq_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(o)
+    cursor = t.savepoint(spark)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ),
+        spark,
+    )
+    t.delete(o.filter(F.col("o_orderkey") % 20 == 0).select("o_orderkey"), spark)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderdate",
+        ),
+        spark,
+    )
+    return t.read_cdc(spark, since_seq=cursor).select(
+        F.col("o_orderkey").alias("rec_key"),
+        "op",
+        F.col("before_o_totalprice").alias("before_price"),
+        F.col("after_o_totalprice").alias("after_price"),
+    )

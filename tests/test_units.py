@@ -1591,3 +1591,35 @@ def test_restore_discards_then_continues_timeline(spark, tmp_path):
     t.upsert(spark.createDataFrame([(3, 3, "c3")], "id int, ts int, v string"), spark)
     inc = {r["id"]: r["v"] for r in t.read_incremental(spark, since_seq=sp).collect()}
     assert inc == {3: "c3"}  # only the post-restore commit past the cursor
+
+
+def test_read_cdc_net_effect_classification(spark, tmp_path):
+    """read_cdc: op classification + net-effect window semantics —
+    unchanged keys excluded, delete+reinsert with identical payload
+    collapses to nothing, with changed payload to 'u'."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "cdc"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "keep"), (2, 1, "upd"), (3, 1, "del"),
+             (4, 1, "rt"), (5, 1, "cycle")],
+            "id int, ts int, v string",
+        )
+    )
+    cur = t.savepoint(spark)
+    t.upsert(spark.createDataFrame([(2, 2, "UPD2")], "id int, ts int, v string"), spark)
+    t.delete(spark.createDataFrame([(3,), (4,), (5,)], "id int"), spark)
+    # 4 reinserts identically (round trip), 5 reinserts changed
+    t.upsert(
+        spark.createDataFrame([(4, 1, "rt"), (5, 2, "CY2")], "id int, ts int, v string"),
+        spark,
+    )
+    t.upsert(spark.createDataFrame([(6, 1, "new")], "id int, ts int, v string"), spark)
+    feed = {r["id"]: r["op"] for r in t.read_cdc(spark, since_seq=cur).collect()}
+    assert feed == {2: "u", 3: "d", 5: "u", 6: "i"}, feed
