@@ -94,6 +94,8 @@ _CHECK_ORDER = [
     "hudi_partitioned_upsert",
     "graph_triangle_count",
     "hudi_cdc_read",
+    "xml_scan",
+    "variant_json_query",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -105,9 +107,9 @@ _CHECK_ORDER = [
     "chunk_documents",
     "contamination_check",
     "corpus_filter_funnel",
+    # ---- window edge: position 50 ----
     "date_spine_fill",
     "dedup_components",
-    # ---- window edge: position 50 ----
     "dedup_exact",
     "dedup_simhash",
     "embedding_quantize",

@@ -1409,3 +1409,69 @@ def hudi_cdc_read(spark, sf_dir):
         F.col("before_o_totalprice").alias("before_price"),
         F.col("after_o_totalprice").alias("after_price"),
     )
+
+
+@query(
+    "xml_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def xml_scan(spark, sf_dir):
+    """Source-router coverage: XML round trip through
+    sources.registry.read_source("xml", ...) — Spark 4's built-in XML
+    data source (rowTag-delimited records), read back with a DECLARED
+    schema so no inference pass is needed. Completes the router's file-
+    format family (csv/json/parquet/orc/excel/xml)."""
+    import os
+    import tempfile
+
+    from .sources.registry import read_source
+
+    n = _t(spark, sf_dir, "nation")["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="xml_scan_"), "nation_xml")
+    n.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(out)
+    return read_source(
+        spark,
+        "xml",
+        {
+            "path": out,
+            "rowTag": "nation",
+            "schema": "n_nationkey INT, n_name STRING, n_regionkey INT",
+        },
+    )
+
+
+@query(
+    "variant_json_query",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+           COUNT(DISTINCT CAST(props ->> '$.k' AS BIGINT)) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_query(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured handling: the JSON props column
+    parsed ONCE into the binary variant encoding (parse_json), fields
+    then extracted with typed variant_get paths — the engine-native
+    answer to schemaless columns that, at 100 TB, beats per-expression
+    get_json_object re-parsing (each string re-tokenizes the JSON; the
+    variant parse is paid once and every extraction is a binary-offset
+    lookup). Aggregated per event_type so the oracle checks the typed
+    extraction end to end."""
+    e = _t(spark, sf_dir, "events")["events"]
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )

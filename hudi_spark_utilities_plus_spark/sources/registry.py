@@ -144,6 +144,7 @@ SOURCES: dict[str, Callable[[SparkSession, dict[str, str]], DataFrame]] = {
     "json": _file_reader("json"),
     "parquet": _file_reader("parquet"),
     "orc": _file_reader("orc"),
+    "xml": _file_reader("xml"),
     "jdbc": read_jdbc,
     "mongo": read_mongo,
     "es": read_es,
