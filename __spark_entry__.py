@@ -96,6 +96,8 @@ _CHECK_ORDER = [
     "hudi_cdc_read",
     "xml_scan",
     "variant_json_query",
+    "hudi_insert_overwrite",
+    "stream_complete_agg",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
@@ -105,9 +107,9 @@ _CHECK_ORDER = [
     "ann_topk_ivf",
     "ann_topk_lsh",
     "chunk_documents",
+    # ---- window edge: position 50 ----
     "contamination_check",
     "corpus_filter_funnel",
-    # ---- window edge: position 50 ----
     "date_spine_fill",
     "dedup_components",
     "dedup_exact",

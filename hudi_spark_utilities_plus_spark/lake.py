@@ -826,6 +826,21 @@ class HudiTable:
                 "without it."
             ) from e
 
+    def insert_overwrite(self, df: DataFrame, spark: SparkSession | None = None) -> None:
+        """Hudi's ``insert_overwrite`` operation: REPLACE the partitions
+        the batch touches with the batch's rows (after the standard
+        precombine dedup) — no merge with existing rows, unlike upsert.
+        Partitions the batch doesn't touch are never opened. On an
+        unpartitioned table this overwrites the whole table (Hudi's
+        ``insert_overwrite_table``)."""
+        spark = spark or df.sparkSession
+        result = merge_latest_wins(df, self.record_key, self.precombine)
+        if self.partition_field and self.exists(spark):
+            self._rewrite_partitions(result, spark)
+        else:
+            self._atomic_rewrite(result, spark)
+        self._maybe_sync_catalog(spark)
+
     def write(self, df: DataFrame, operation: str = "upsert") -> None:
         """Dispatch on ``hoodie.datasource.write.operation``."""
         op = operation.lower()
@@ -835,6 +850,8 @@ class HudiTable:
             self.bulk_insert(df)
         elif op == "delete":
             self.delete(df)
+        elif op in ("insert_overwrite", "insert_overwrite_table"):
+            self.insert_overwrite(df)
         else:
             raise ValueError(f"unsupported write operation: {operation}")
 

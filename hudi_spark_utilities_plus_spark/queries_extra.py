@@ -1475,3 +1475,54 @@ def variant_json_query(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+@query(
+    "hudi_insert_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             strftime(o_orderdate, '%Y-%m') AS dt
+      FROM orders
+    ), target AS (SELECT MIN(dt) AS tdt FROM base)
+    SELECT b.o_orderkey, b.o_totalprice, b.o_orderdate, b.dt
+    FROM base b, target t WHERE b.dt <> t.tdt
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice * 3, b.o_orderdate, b.dt
+    FROM base b, target t WHERE b.dt = t.tdt AND b.o_orderkey % 2 = 0
+    """,
+)
+def hudi_insert_overwrite(spark, sf_dir):
+    """§1.2 ``insert_overwrite`` operation end to end: REPLACE one
+    partition's contents with the incoming batch — the earliest month's
+    partition is overwritten by a half-sized replacement batch (every
+    even key, price x3), so the read-back must show that partition
+    holding ONLY the replacement rows (odd keys gone — an upsert would
+    have kept them, which is exactly the semantic difference under
+    test) while every other partition is byte-identical and never
+    opened during the write."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = (
+        _t(spark, sf_dir, "orders")["orders"]
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("dt", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    t = HudiTable(
+        path=tempfile.mkdtemp(prefix="iow_q_") + "/t",
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        partition_field="dt",
+    )
+    t.bulk_insert(o)
+    tdt = o.agg(F.min("dt")).collect()[0][0]  # partition label: metadata
+    repl = (
+        o.filter((F.col("dt") == tdt) & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+    )
+    t.write(repl, operation="insert_overwrite")
+    return t.read(spark).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "dt"
+    )

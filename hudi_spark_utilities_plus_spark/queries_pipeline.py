@@ -2085,3 +2085,62 @@ def stream_stream_left_join(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_complete_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_complete_agg(spark, sf_dir):
+    """C2-family completion: COMPLETE output mode — the third streaming
+    output mode (append and update are exercised elsewhere): a running
+    grouped aggregate whose FULL result is re-emitted every trigger into
+    a memory sink. The source is split across micro-batches
+    (maxFilesPerTrigger=1 over two half-files), so the final table is
+    only correct if the aggregation state carried across batches and the
+    last emission replaced, not appended to, the earlier partials.
+
+    Scale: complete mode re-emits the whole result per trigger — viable
+    exactly when the aggregate output is small (keyed rollups,
+    dashboards); the state itself is the same hash-partitioned agg state
+    update mode uses."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    batch = spark.read.schema(schema).parquet(src)
+    root = tempfile.mkdtemp(prefix="stream_complete_")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    os.mkdir(src_dir)
+    # two half-files -> the aggregate must merge state across batches
+    batch.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(src_dir, "a")
+    )
+    batch.filter(F.col("event_id") % 2 == 1).write.parquet(
+        os.path.join(src_dir, "b")
+    )
+    from .queries import dsum
+
+    name = "complete_agg_" + os.path.basename(root)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
