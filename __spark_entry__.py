@@ -98,16 +98,20 @@ _CHECK_ORDER = [
     "variant_json_query",
     "hudi_insert_overwrite",
     "stream_complete_agg",
+    "collation_group",
+    "sql_pipe_syntax",
+    "sql_parameterized",
+    "log_parse_extract",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
     "agg_having",
     "agg_minmax",
+    # ---- window edge: position 50 ----
     "agg_stats_moments",
     "ann_topk_ivf",
     "ann_topk_lsh",
     "chunk_documents",
-    # ---- window edge: position 50 ----
     "contamination_check",
     "corpus_filter_funnel",
     "date_spine_fill",

@@ -1526,3 +1526,150 @@ def hudi_insert_overwrite(spark, sf_dir):
     return t.read(spark).select(
         "o_orderkey", "o_totalprice", "o_orderdate", "dt"
     )
+
+
+@query(
+    "collation_group",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN c_custkey % 2 = 1 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    SELECT MIN(seg) AS seg_label, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM m GROUP BY lower(seg)
+    """,
+)
+def collation_group(spark, sf_dir):
+    """Spark 4 COLLATIONS: grouping under the UTF8_LCASE collation —
+    the engine-native way to make comparisons/grouping case-insensitive
+    WITHOUT rewriting every expression through lower() (collation
+    applies to joins, ORDER BY, and DISTINCT the same way; for plain
+    ASCII case folds the two are equivalent, which is what makes the
+    lower()-based oracle exact). The fixture mixes case per row (odd
+    keys lowercased), the group key is collated, and the emitted label
+    is MIN over the raw strings so the output is deterministic even
+    though the collated group's representative isn't."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    m = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 1, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return (
+        m.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("segc"))
+        .agg(
+            F.min("seg").alias("seg_label"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .drop("segc")
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL PIPE syntax (`|>`): the same logical plan as the
+    equivalent SELECT, declared as a linear pipeline — proof the SQL
+    front end's newest surface routes through the identical Catalyst
+    path (filter pushdown, partial aggregation) as the classic form the
+    oracle uses."""
+    t = _t(spark, sf_dir, "lineitem")
+    t["lineitem"].createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+           GROUP BY l_returnflag
+        """
+    ).select("l_returnflag", "n", "total_qty")
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (named parameter markers, `spark.sql(query,
+    args=...)`): values bind as true literals in the analyzed plan — no
+    string interpolation, no injection surface, and Catalyst constant-
+    folds them like any literal (the binding is visible to filter
+    pushdown, unlike a late-bound UDF argument)."""
+    t = _t(spark, sf_dir, "orders")
+    t["orders"].createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM param_orders
+        WHERE o_totalprice > :minp
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": 200000},
+    )
+
+
+@query(
+    "log_parse_extract",
+    oracle="""
+    SELECT o_orderkey AS rec_key,
+           strftime(o_orderdate, '%Y-%m-%d') AS dt,
+           o_orderpriority AS pri,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    """,
+)
+def log_parse_extract(spark, sf_dir):
+    """Log-line ETL round trip, the classic ingest shape: rows are
+    FORMATTED into a delimited log line (format_string), then parsed
+    back out with regexp_extract (anchored groups) and str_to_map (the
+    k=v attribute tail) — the oracle is the original fields, so any
+    formatting/parsing asymmetry (greedy match, wrong group, delimiter
+    in data) flips the hash. Floats never enter the text: the price
+    travels as integer cents, sidestepping printf rounding divergence
+    between engines.
+
+    Scale: map-only Column program — format, extract, and map lookup
+    all pipeline into the scan; no UDF, no shuffle."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    line = F.format_string(
+        "%d [%s] attrs pri=%s;cents=%d",
+        F.col("o_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long"),
+    )
+    logs = o.select(line.alias("line"))
+    attrs = F.expr(
+        r"str_to_map(regexp_extract(line, 'attrs (.*)$', 1), ';', '=')"
+    )
+    return logs.select(
+        F.regexp_extract("line", r"^(\d+) ", 1).cast("long").alias("rec_key"),
+        F.regexp_extract("line", r"\[([0-9-]+)\]", 1).alias("dt"),
+        attrs.getItem("pri").alias("pri"),
+        attrs.getItem("cents").cast("long").alias("cents"),
+    )
