@@ -159,7 +159,21 @@ class EsStandInSource(_StandInSource):
 
 
 def register_standin_sources(spark) -> None:
-    """Idempotently register the stand-ins on the session."""
+    """Idempotently register the stand-ins on the session.
+
+    The classes are pickled BY VALUE (not by module reference): the
+    data-source instance is cloudpickled to a fresh Python worker
+    process, which inherits the driver's cwd but NOT its sys.path
+    mutations — so a by-reference pickle only imports when the driver
+    happens to run from the repo root. By-value serialization makes the
+    format names resolve from any working directory (exactly how a real
+    connector ships its classes in a jar rather than assuming the
+    cluster has them on PYTHONPATH)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(MongoStandInSource)
     spark.dataSource.register(EsStandInSource)
     spark.dataSource.register(BinlogStandInSource)
