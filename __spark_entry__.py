@@ -102,12 +102,13 @@ _CHECK_ORDER = [
     "sql_pipe_syntax",
     "sql_parameterized",
     "log_parse_extract",
+    "html_boilerplate_strip",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
     "agg_having",
-    "agg_minmax",
     # ---- window edge: position 50 ----
+    "agg_minmax",
     "agg_stats_moments",
     "ann_topk_ivf",
     "ann_topk_lsh",

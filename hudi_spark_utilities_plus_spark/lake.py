@@ -72,6 +72,12 @@ HIVE_SYNC_DATABASE = "hoodie.datasource.hive_sync.database"
 HIVE_SYNC_TABLE = "hoodie.datasource.hive_sync.table"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer committed between
+    this batch's read and its write (see HudiTable.upsert
+    expected_seq)."""
+
+
 def merge_latest_wins(
     df: DataFrame,
     record_key: str | list[str],
@@ -715,7 +721,12 @@ class HudiTable:
         ]
         return reduce(lambda a, p: a.bitwiseOR(p), planes)
 
-    def upsert(self, df: DataFrame, spark: SparkSession | None = None) -> None:
+    def upsert(
+        self,
+        df: DataFrame,
+        spark: SparkSession | None = None,
+        expected_seq: int | None = None,
+    ) -> None:
         """Upsert: merge incoming with existing, latest-wins on
         (record_key, precombine); incoming beats existing on ties, which
         makes re-running the same batch idempotent.
@@ -725,8 +736,25 @@ class HudiTable:
         touches** (dynamic partition overwrite) — the rewrite cost is
         proportional to the touched partitions, not the table.
         MERGE_ON_READ appends the batch to the delta log (O(batch)
-        write) and defers the merge to read()/compact()."""
+        write) and defers the merge to read()/compact().
+
+        ``expected_seq`` is OPTIMISTIC CONCURRENCY CONTROL (Hudi's
+        ``hoodie.write.concurrency.mode=optimistic_concurrency_control``
+        conflict check, compare-and-commit form): pass the
+        ``latest_commit_seq`` observed when the batch was computed, and
+        the write refuses with ``ConcurrentWriteError`` if another
+        writer committed in between — instead of silently merging over a
+        state the batch never saw. Retry = recompute against the new
+        head and resubmit."""
         spark = spark or df.sparkSession
+        if expected_seq is not None:
+            head = self.latest_commit_seq(spark)
+            if head != expected_seq:
+                raise ConcurrentWriteError(
+                    f"concurrent commit detected: expected head seq "
+                    f"{expected_seq} but found {head} — recompute the "
+                    "batch against the current state and retry"
+                )
         if self.is_mor and self.exists(spark):
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)

@@ -850,3 +850,73 @@ def dedup_embedding_semantic(spark, sf_dir):
     return canon.groupBy(
         F.col("canonical_id").alias("rep_id")
     ).agg(F.count(F.lit(1)).alias("cluster_size"))
+
+
+@query(
+    "html_boilerplate_strip",
+    oracle=r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><body><nav>menu</nav><p id="d' || doc_id || '">'
+               || text ||
+             '</p><script>track();</script><footer>(c) site</footer></body></html>'
+               AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+                   '<(nav|footer)>.*?</(nav|footer)>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '[ \t\n\r]+', ' ', 'g')) AS clean
+      FROM wrapped
+    )
+    SELECT doc_id, clean, length(clean) AS n_chars FROM stripped
+    """,
+)
+def html_boilerplate_strip(spark, sf_dir):
+    """Web-corpus cleaning: BOILERPLATE REMOVAL from HTML — the step
+    between a CommonCrawl-style fetch and every text-quality operator
+    here. Each document is wrapped in a deterministic page skeleton
+    (nav/script/footer boilerplate around the payload), then cleaned by
+    the strip pipeline: script and nav/footer blocks dropped whole
+    (non-greedy spans), remaining tags replaced by spaces, whitespace
+    collapsed. The oracle runs the IDENTICAL pipeline in DuckDB, so the
+    check pins cross-engine regex semantics (non-greedy `.*?`, char
+    classes, global replace) on real corpus text — any
+    Java-regex-vs-RE2 divergence on these patterns flips the hash.
+
+    Scale: map-only Column program, pipelined into the scan; no UDF —
+    at 100 TB this runs at scan speed where a BeautifulSoup-style UDF
+    would bottleneck on Python."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    html = F.concat(
+        F.lit('<html><body><nav>menu</nav><p id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit(
+            "</p><script>track();</script><footer>(c) site</footer>"
+            "</body></html>"
+        ),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(html, "<script>.*?</script>", " "),
+                    "<(nav|footer)>.*?</(nav|footer)>",
+                    " ",
+                ),
+                "<[^>]*>",
+                " ",
+            ),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", clean.alias("clean"), F.length(clean).alias("n_chars")
+    )

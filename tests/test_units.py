@@ -1623,3 +1623,35 @@ def test_read_cdc_net_effect_classification(spark, tmp_path):
     t.upsert(spark.createDataFrame([(6, 1, "new")], "id int, ts int, v string"), spark)
     feed = {r["id"]: r["op"] for r in t.read_cdc(spark, since_seq=cur).collect()}
     assert feed == {2: "u", 3: "d", 5: "u", 6: "i"}, feed
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """upsert(expected_seq=...): compare-and-commit — a write computed
+    against a stale head refuses with ConcurrentWriteError; the correct
+    head commits; retry against the new head succeeds."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import (
+        ConcurrentWriteError,
+        HudiTable,
+    )
+
+    t = HudiTable(
+        path=str(tmp_path / "occ"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string"))
+    seen = t.latest_commit_seq(spark)
+    # writer A commits first
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"),
+             spark, expected_seq=seen)
+    # writer B computed against the stale head -> must refuse
+    with _pytest.raises(ConcurrentWriteError, match="concurrent commit"):
+        t.upsert(spark.createDataFrame([(1, 2, "b2")], "id int, ts int, v string"),
+                 spark, expected_seq=seen)
+    # retry after recomputing against the new head
+    t.upsert(spark.createDataFrame([(1, 3, "b3")], "id int, ts int, v string"),
+             spark, expected_seq=t.latest_commit_seq(spark))
+    assert [r["v"] for r in t.read(spark).collect()] == ["b3"]
