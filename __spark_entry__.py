@@ -103,11 +103,12 @@ _CHECK_ORDER = [
     "sql_parameterized",
     "log_parse_extract",
     "html_boilerplate_strip",
+    "mm_audio_energy",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",
-    "agg_having",
     # ---- window edge: position 50 ----
+    "agg_having",
     "agg_minmax",
     "agg_stats_moments",
     "ann_topk_ivf",

@@ -280,3 +280,62 @@ def sample_frames(
     return df_with_payload.mapInPandas(
         gen, schema="doc_id BIGINT, frame_no INT, frame BINARY"
     )
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id BIGINT, window_idx BIGINT, n_samples BIGINT, energy BIGINT"
+)
+
+
+def audio_window_energy(
+    df_with_payload: DataFrame, window: int = 64
+) -> DataFrame:
+    """Audio-pipeline windowed feature extraction: the payload decodes to
+    a sample stream and each fixed-size window emits one energy row
+    (sum of squared samples) — the exact shape a real PCM loudness /
+    VAD / silence-trim stage takes, including the one-to-many explode
+    (each payload row becomes n_windows feature rows on the Python side
+    of mapInPandas).
+
+    Codec stand-in: samples are the payload's UTF-32 code units
+    (vectorized ``np.frombuffer`` — no per-sample Python loop), exactly
+    reproducible cross-engine; a real deployment swaps the decode line
+    for ``soundfile``/ffmpeg PCM and keeps every other line. Energy is
+    summed in int64 (code points ≤ 0x10FFFF, 64/window → far inside
+    exact-float and int64 range), so the contract is repr-exact.
+
+    Scale: Arrow-batched, embarrassingly parallel per payload; output
+    partitioning inherits the input's — no shuffle."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, energy = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8", errors="strict")
+                cp = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4"
+                ).astype("int64")
+                n = len(cp)
+                if n == 0:
+                    continue
+                w = np.arange(n) // window
+                nw = int(w[-1]) + 1
+                e = np.bincount(w, weights=cp * cp, minlength=nw)
+                c = np.bincount(w, minlength=nw)
+                ids.extend([doc_id] * nw)
+                widx.extend(range(nw))
+                ns.extend(int(x) for x in c)
+                energy.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        gen, AUDIO_ENERGY_SCHEMA
+    )

@@ -920,3 +920,29 @@ def html_boilerplate_strip(spark, sf_dir):
     return d.select(
         "doc_id", clean.alias("clean"), F.length(clean).alias("n_chars")
     )
+
+
+@query(
+    "mm_audio_energy",
+    oracle=r"""
+    WITH cps AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ''),
+                                   c -> ascii(c)::BIGINT)) AS cp,
+             unnest(range(len(string_split(text, '')))) AS pos
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, pos // 64 AS window_idx,
+           COUNT(*) AS n_samples, SUM(cp * cp) AS energy
+    FROM cps GROUP BY doc_id, pos // 64
+    """,
+)
+def mm_audio_energy(spark, sf_dir):
+    """Multimodal (audio-shape): per-window energy over the payload's
+    sample stream — the PCM loudness/VAD stage with its one-to-many
+    explode, Arrow-batched (operators/multimodal.audio_window_energy).
+    The stand-in decode reads UTF-32 code units as samples so the
+    DuckDB oracle can recompute windows exactly via codepoint lists;
+    int64 energy keeps the contract repr-exact."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return M.audio_window_energy(M.attach_payload(d))

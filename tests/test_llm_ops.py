@@ -771,3 +771,52 @@ def test_similar_pairs_clustered_does_not_engage_fallback(spark, clustered_emb):
         clustered_emb, threshold=0.8, n_clusters=8, candidates_only=True
     )
     assert "Generate" not in audit.executed_plan(cand)
+
+
+def test_winsorize_small_group_edges(spark):
+    """winsorize_cap cut definition on tiny groups: ceil(0.05*n) is 1
+    for n<=20 (lo = group min) and ceil(0.95*n)=n for n<=... — verify
+    the discrete-rank contract on a 3-row group: lo = min, hi = the
+    ceil(0.95*3)=3rd value = max, so nothing clamps."""
+    from hudi_spark_utilities_plus_spark.queries import QUERIES
+    import tempfile, os
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="winsor_edge_")
+    rows = [(1, 100.0, "A"), (2, 200.0, "A"), (3, 300.0, "A")]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).withColumn("o_custkey", F.lit(1)).withColumn(
+        "o_orderstatus", F.lit("O")
+    ).withColumn("o_orderdate", F.lit("2024-01-01").cast("timestamp"))
+    df.write.parquet(os.path.join(root, "orders.parquet"))
+    out = {r["o_orderpriority"]: r for r in QUERIES["winsorize_cap"](spark, root).collect()}
+    a = out["A"]
+    assert a["lo"] == 10000 and a["hi"] == 30000  # cents: min / max
+    assert a["n_below"] == 0 and a["n_above"] == 0
+    assert a["winsorized_cents"] == 60000
+
+
+def test_interval_join_boundary_inclusion(spark):
+    """join_interval_bucketed containment is [start, end): a point
+    exactly at w_start joins, a point exactly at w_end does not."""
+    from hudi_spark_utilities_plus_spark.queries import QUERIES
+    import tempfile, os
+    import pyspark.sql.functions as F
+    import datetime
+
+    root = tempfile.mkdtemp(prefix="ivl_edge_")
+    d0 = datetime.datetime(2024, 1, 1)
+    events = [
+        (1, d0, 0, "view", 1.0, None),                                  # == w0 start -> in w0
+        (2, d0 + datetime.timedelta(days=3), 0, "view", 2.0, None),     # == w0 end -> NOT in w0; in w1 [d2,d5)
+    ]
+    spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(os.path.join(root, "events.parquet"))
+    spark.createDataFrame(
+        [(0, "W0", 0), (1, "W1", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(os.path.join(root, "nation.parquet"))
+    got = {r["window_id"]: r["n_events"] for r in QUERIES["join_interval_bucketed"](spark, root).collect()}
+    # window 0 = [d0, d0+3d): only event 1. window 1 = [d0+2d, d0+5d): only event 2.
+    assert got == {0: 1, 1: 1}, got
