@@ -104,10 +104,11 @@ _CHECK_ORDER = [
     "log_parse_extract",
     "html_boilerplate_strip",
     "mm_audio_energy",
+    "dedup_containment",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
-    "agg_conditional_family",
     # ---- window edge: position 50 ----
+    "agg_conditional_family",
     "agg_having",
     "agg_minmax",
     "agg_stats_moments",

@@ -568,3 +568,76 @@ def benchmark_overlap(
             F.col("doc").alias(id_col), "n_overlap", "overlap_frac"
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    *,
+    t_num: int = 9,
+    t_den: int = 10,
+    size_ratio: int = 2,
+) -> DataFrame:
+    """All pairs (a < b) with CONTAINMENT |sh_a ∩ sh_b| ≥ (t_num/t_den)
+    · min(|sh_a|, |sh_b|), restricted to comparable sizes
+    (max ≤ size_ratio · min) — the asymmetric dedup relation Jaccard
+    misses: a boilerplate-padded copy of a smaller doc has low Jaccard
+    (∩/∪ shrinks with the padding) but containment ≈ 1. The size window
+    is part of the contract: it bounds the prefix-filter length so
+    candidate generation stays lossless AND index-bounded (an unbounded
+    containment join would have to post every shingle of arbitrarily
+    large docs).
+
+    Prefix filter: with overlap ≥ t·n_min and n ≤ r·n_min for both
+    docs, each doc's needed overlap is ≥ (t/r)·n_self, so indexing its
+    first ⌊n·(1 − t/r)⌋ + 1 sorted shingle hashes is lossless (same
+    argument as PPJoin's Jaccard prefix, with t/r as the effective
+    threshold). The decision is integer-exact:
+    inter·t_den ≥ t_num·n_min — no float boundary.
+
+    Scale: same shape as ngram_jaccard_pairs — 8-byte hashed postings,
+    prefix join + verify join, both shuffle-bounded, no O(n²)."""
+    s = _shingled(df, text_col, id_col, n).withColumn(
+        "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
+    )
+    s = s.persist()
+    s.count()
+    eff = 1.0 - (t_num / (t_den * size_ratio))
+    prefix_len = F.floor(F.size("shh") * F.lit(eff)).cast("int") + 1
+    posts = s.select(
+        "doc", "n_sh", F.explode(F.slice("shh", 1, prefix_len)).alias("shingle")
+    )
+    cand = (
+        posts.alias("x")
+        .join(posts.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .filter(
+            (F.col("x.n_sh") <= F.lit(size_ratio) * F.col("y.n_sh"))
+            & (F.col("y.n_sh") <= F.lit(size_ratio) * F.col("x.n_sh"))
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sets = s.select("doc", "shh", "n_sh")
+    a = sets.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shh").alias("shh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shh").alias("shh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("shh_a", "shh_b"))
+    n_min = F.least("n_a", "n_b")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("n_min", n_min)
+        .filter(F.col("inter") * t_den >= F.lit(t_num) * F.col("n_min"))
+        .select("doc_a", "doc_b", "inter", "n_min")
+    )

@@ -946,3 +946,30 @@ def mm_audio_energy(spark, sf_dir):
     int64 energy keeps the contract repr-exact."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return M.audio_window_energy(M.attach_payload(d))
+
+
+@query(
+    "dedup_containment",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           LEAST(len(a.sh), len(b.sh)) AS n_min
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE GREATEST(len(a.sh), len(b.sh))
+            <= 2 * LEAST(len(a.sh), len(b.sh))
+      AND len(list_intersect(a.sh, b.sh)) * 10
+            >= 9 * LEAST(len(a.sh), len(b.sh))
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """CONTAINMENT near-dedup — the asymmetric relation Jaccard misses:
+    a boilerplate-padded copy of a smaller doc scores low Jaccard (the
+    union grows with padding) but containment |∩|/min ≈ 1. Exact
+    inverted-index pairs at containment ≥ 9/10 within a 2x size window
+    (the window is part of the contract — it bounds the prefix filter;
+    operators/dedup.containment_pairs). The decision is integer-exact
+    (inter·10 ≥ 9·n_min), the oracle brute-forces the identical
+    relation."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return D.containment_pairs(d, "text", "doc_id", n=3)

@@ -820,3 +820,25 @@ def test_interval_join_boundary_inclusion(spark):
     got = {r["window_id"]: r["n_events"] for r in QUERIES["join_interval_bucketed"](spark, root).collect()}
     # window 0 = [d0, d0+3d): only event 1. window 1 = [d0+2d, d0+5d): only event 2.
     assert got == {0: 1, 1: 1}, got
+
+
+def test_containment_catches_padded_copy_jaccard_misses(spark):
+    """The asymmetric case that motivates containment dedup: doc B =
+    doc A + ~60% boilerplate padding. Jaccard(A,B) ≈ 0.6 < 0.8 (the
+    jaccard op must NOT pair them) while containment = |∩|/|A| ≈ 1
+    (the containment op MUST)."""
+    from hudi_spark_utilities_plus_spark.operators import dedup as D
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    padded = base + " " + " ".join(f"pad{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, base), (2, padded), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"]) for r in
+            D.containment_pairs(df, "text", "doc_id", n=3).collect()}
+    assert (1, 2) in cont, cont
+    jac = {(r["doc_a"], r["doc_b"]) for r in
+           D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8)
+           .select("doc_a", "doc_b").collect()}
+    assert (1, 2) not in jac, jac
