@@ -105,9 +105,11 @@ _CHECK_ORDER = [
     "html_boilerplate_strip",
     "mm_audio_energy",
     "dedup_containment",
+    "url_canonicalize",
+    # ---- window edge: position 50 ----
+    "agg_hll_partitioned_union",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
-    # ---- window edge: position 50 ----
     "agg_conditional_family",
     "agg_having",
     "agg_minmax",

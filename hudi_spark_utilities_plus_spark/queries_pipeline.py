@@ -2144,3 +2144,105 @@ def stream_complete_agg(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "url_canonicalize",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://CDN-' || source || '.Example.COM:443/a/b/'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '/?utm_source=x&id=' || CAST(doc_id % 13 AS VARCHAR)
+               || '&utm_campaign=y#frag' AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   '&?utm_[a-z]+=[^&#]*', '', 'g'),
+                 ':443/', '/'),
+               '/\\?&?', '?') AS cu
+      FROM urls
+    )
+    SELECT regexp_replace(cu, '\\?$', '') AS canonical_url,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM canon GROUP BY 1
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """Web-corpus URL CANONICALIZATION + dedup-by-URL: lowercase the
+    scheme/host (and here the whole URL — the path set is constructed
+    case-insensitive), strip the fragment, drop utm_* tracking params,
+    remove the default :443 port, collapse the emptied query — then
+    group by canonical form. Distinct raw URLs that differ only in
+    case/port/tracking/fragment collapse to one canonical key (the
+    fixture builds 91 such collision classes from 500 docs). Both
+    engines run the identical regex pipeline, so the check pins the
+    cross-engine regex semantics the real crawler dedup would rely on.
+
+    Scale: map-only canonicalization pipelined into the scan; the
+    group-by shuffles canonical keys once with map-side partial agg."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    url = F.concat(
+        F.lit("HTTPS://CDN-"),
+        F.col("source"),
+        F.lit(".Example.COM:443/a/b/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/?utm_source=x&id="),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    cu = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                "&?utm_[a-z]+=[^&#]*",
+                "",
+            ),
+            ":443/",
+            "/",
+        ),
+        "/\\?&?",
+        "?",
+    )
+    return (
+        d.select(F.regexp_replace(cu, "\\?$", "").alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "agg_hll_partitioned_union",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_distinct, TRUE AS sketch_ok
+    FROM orders
+    """,
+)
+def agg_hll_partitioned_union(spark, sf_dir):
+    """MERGEABLE-SKETCH distinct counting — the 100 TB pattern behind
+    every federated dashboard: each group/partition builds an HLL
+    sketch (datasketches hll_sketch_agg), the per-group sketches MERGE
+    associatively (hll_union_agg) into a global estimate — no re-scan,
+    no re-shuffle of raw values, and the same sketches could be stored
+    per-day and unioned per-quarter for free. The flag-form oracle pins
+    the estimate within HLL's error envelope (lgK=14 → ~1.6% rel. std
+    error; 5% gate) of the exact count computed in the same query."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk")
+    )
+    est = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * F.lit(0.05)
+        ).alias("sketch_ok"),
+    )
