@@ -2246,3 +2246,133 @@ def agg_hll_partitioned_union(spark, sf_dir):
             <= F.col("exact_distinct") * F.lit(0.05)
         ).alias("sketch_ok"),
     )
+
+
+# NOT a registry id: transformWithStateInPandas's worker protocol needs
+# google.protobuf, which this container lacks — the driver gate would
+# always fail. tests/test_streaming.py runs the full oracle-parity
+# check for this op whenever protobuf IS importable (skip-if-absent,
+# same pattern as the Hudi-bundle passthrough test), so a real
+# deployment gets the coverage.
+TRANSFORM_WITH_STATE_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY user_id
+    """
+
+
+def stream_transform_with_state(spark, sf_dir):
+    """Spark 4's NEW arbitrary-stateful-processing API
+    (``transformWithStateInPandas`` — the successor to
+    applyInPandasWithState, with typed state handles and timer
+    support): a StatefulProcessor keeps per-user running totals in a
+    ValueState across micro-batches (the source is split in two files,
+    maxFilesPerTrigger=1, so the second batch MUST read back the
+    first's state), emitting the running row per update. The final
+    answer per user is the update with the highest event count
+    (monotone — so the reduction is deterministic), which must equal
+    the batch aggregate exactly; money travels as integer cents.
+
+    Scale: state is keyed and RocksDB-backed (the provider this API
+    requires) — per-key lookups, incremental checkpointing; the same
+    processor gains TTL/timers without replumbing."""
+    import os
+    import tempfile
+
+    import pandas as pd_  # noqa: N813
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    src = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    batch = spark.read.schema(schema).parquet(src)
+    root = tempfile.mkdtemp(prefix="stream_tws_")
+    src_dir, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+    os.mkdir(src_dir)
+    batch.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(src_dir, "a")
+    )
+    batch.filter(F.col("event_id") % 2 == 1).write.parquet(
+        os.path.join(src_dir, "b")
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                tuple(self._tot.get()) if self._tot.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._tot.update((n, cents))
+            yield pd_.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = {
+        "spark.sql.streaming.stateStore.providerClass": spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "tws_" + os.path.basename(root)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+            .select(
+                "user_id",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType=(
+                    "user_id BIGINT, n_events BIGINT, total_cents BIGINT"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    updates = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )

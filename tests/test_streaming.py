@@ -421,3 +421,33 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert got == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (typed state handles, RocksDB
+    provider): per-user running totals across micro-batches must equal
+    the batch aggregate exactly. The worker protocol needs
+    google.protobuf, absent in this container — skip here, full parity
+    wherever protobuf is installed (same skip-if-absent pattern as the
+    Hudi bundle passthrough)."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf not installed — transformWithState "
+                     "worker protocol unavailable in this container")
+    from hudi_spark_utilities_plus_spark.queries_pipeline import (
+        TRANSFORM_WITH_STATE_ORACLE,
+        stream_transform_with_state,
+    )
+
+    from .oracle_utils import compare, duckdb_conn
+
+    df = stream_transform_with_state(spark, sf_dir)
+    con = duckdb_conn(sf_dir)
+    try:
+        ok, msg = compare(df, con, TRANSFORM_WITH_STATE_ORACLE)
+        assert ok, msg
+    finally:
+        con.close()
