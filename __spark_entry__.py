@@ -108,6 +108,7 @@ _CHECK_ORDER = [
     "url_canonicalize",
     # ---- window edge: position 50 ----
     "agg_hll_partitioned_union",
+    "hudi_manifest_commit",
     # (e) oldest r4 ids (31 of 42)
     "agg_collect_csv",
     "agg_conditional_family",

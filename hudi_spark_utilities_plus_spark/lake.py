@@ -152,6 +152,11 @@ class HudiTable:
         return f"{self.path.rstrip('/')}__hudi_log"
 
     def exists(self, spark: SparkSession) -> bool:
+        if self._is_manifest:
+            try:
+                return bool(self._manifest_versions())
+            except NotImplementedError:
+                return False
         try:
             # local paths: a cheap fs check, and no JVM stack-trace noise
             # from probing a table that simply isn't there yet
@@ -221,7 +226,11 @@ class HudiTable:
                     f"(history before seq {self._seq_base()} was folded "
                     "into the base files)"
                 )
-        base = spark.read.parquet(self.path)
+        base = (
+            self._manifest_read(spark)
+            if self._is_manifest
+            else spark.read.parquet(self.path)
+        )
         if mode == "read_optimized" or not (
             self.is_mor and self._has_log(spark)
         ):
@@ -317,6 +326,9 @@ class HudiTable:
         if self.is_mor and self.exists(spark) and self._has_log(spark):
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)
+        elif self._is_manifest:
+            files = self._manifest_write_batch(df)
+            self._publish_manifest(self._manifest_files() + files)
         else:
             self._writer(df, "append").parquet(self.path)
         self._maybe_sync_catalog(spark)
@@ -902,6 +914,104 @@ class HudiTable:
             "table format on shared storage"
         )
 
+    # -- manifest commit protocol (object-store-safe) -------------------
+    @property
+    def _is_manifest(self) -> bool:
+        """``hoodie.commit.mode=manifest``: commits publish an atomic
+        MANIFEST naming the table's live data files instead of renaming
+        directories. Readers load exactly the files the newest complete
+        manifest lists; data files are immutable once written and stale
+        ones are simply unlisted. This is the Iceberg/Delta-style commit
+        that survives object stores, where directory rename is neither
+        atomic nor cheap — and it gives COW tables version history for
+        free (``read_manifest_version``). Directory-rename mode stays
+        the default for plain local tables."""
+        return (
+            str(self.options.get("hoodie.commit.mode", "")).lower()
+            == "manifest"
+        )
+
+    @property
+    def _manifest_dir(self) -> str:
+        # underscore prefix: Spark's file index treats it as hidden, so
+        # accidental directory-level scans of self.path never see it
+        return os.path.join(self._local_fs_path(), "_manifests")
+
+    def _manifest_versions(self) -> list[int]:
+        d = self._manifest_dir
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            m = re.fullmatch(r"manifest-(\d{12})\.json", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _manifest_files(self, version: int | None = None) -> list[str]:
+        import json
+
+        versions = self._manifest_versions()
+        if not versions:
+            return []
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(
+                f"manifest version {v} does not exist (have {versions})"
+            )
+        with open(
+            os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
+        ) as fh:
+            return json.load(fh)["files"]
+
+    def _publish_manifest(self, files: list[str]) -> int:
+        """Atomically publish the next manifest version. The data files
+        are fully written BEFORE this point, so a crash anywhere earlier
+        leaves the previous manifest authoritative and the half-written
+        commit invisible (debris, reclaimed by listing unreferenced
+        files). The tmp-write + rename models an object store's atomic
+        single-object PUT."""
+        import json
+
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        v = (self._manifest_versions() or [-1])[-1] + 1
+        target = os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "files": sorted(files)}, fh)
+        os.replace(tmp, target)
+        return v
+
+    def _manifest_write_batch(self, df: DataFrame) -> list[str]:
+        """Write a commit's data files under an immutable unique dir and
+        return their paths (never reuses or overwrites a prior commit's
+        files)."""
+        commit_dir = os.path.join(
+            self._local_fs_path(), "data", f"commit-{uuid.uuid4().hex[:12]}"
+        )
+        df.write.parquet(commit_dir)
+        return [
+            os.path.join(commit_dir, f)
+            for f in os.listdir(commit_dir)
+            if f.endswith(".parquet")
+        ]
+
+    def _manifest_read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        files = self._manifest_files(version)
+        if not files:
+            raise FileNotFoundError(f"no manifest for table {self.path}")
+        return spark.read.parquet(*files)
+
+    def read_manifest_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """COW time travel under the manifest protocol: the table exactly
+        as manifest ``version`` published it (old manifests stay until a
+        cleaner trims them)."""
+        if not self._is_manifest:
+            raise ValueError("read_manifest_version requires manifest commit mode")
+        return self._manifest_read(spark, version)
+
     def _atomic_rewrite(self, df: DataFrame, spark: SparkSession) -> None:
         """Full rewrite via staging + backup rename (unpartitioned
         tables; partitioned tables use _rewrite_partitions).
@@ -914,6 +1024,12 @@ class HudiTable:
         deleted before its replacement is fully written). Local-fs only
         (see _local_fs_path).
         """
+        if self._is_manifest:
+            # manifest protocol: write immutable files, publish the list —
+            # no directory rename anywhere (object-store-safe)
+            files = self._manifest_write_batch(df)
+            self._publish_manifest(files)
+            return
         local = self._local_fs_path()
         suffix = uuid.uuid4().hex[:8]
         staging = f"{local.rstrip('/')}__staging_{suffix}"
@@ -938,6 +1054,12 @@ class HudiTable:
         partitions' files are never opened or rewritten. A crash before
         the final write leaves the live table in its pre-merge state
         (re-running the batch is idempotent by the upsert contract)."""
+        if self._is_manifest:
+            raise NotImplementedError(
+                "manifest commit mode is implemented for unpartitioned "
+                "tables; partitioned manifests need per-partition file "
+                "tracking (the Iceberg manifest-list layer) — out of scope"
+            )
         local = self._local_fs_path()
         staging = f"{local.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(self.partition_field).parquet(staging)

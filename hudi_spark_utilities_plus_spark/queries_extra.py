@@ -1673,3 +1673,59 @@ def log_parse_extract(spark, sf_dir):
         attrs.getItem("pri").alias("pri"),
         attrs.getItem("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "hudi_manifest_commit",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice * 2 AS p,
+             o_orderdate + INTERVAL 1 DAY AS d
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.p, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.d, o.o_orderdate) AS o_orderdate
+    FROM orders o LEFT JOIN u USING (o_orderkey)
+    """,
+)
+def hudi_manifest_commit(spark, sf_dir):
+    """§1.2 OBJECT-STORE-SAFE commit protocol end to end
+    (``hoodie.commit.mode=manifest`` — the Iceberg/Delta-style answer to
+    'directory rename is not atomic on S3/GCS'): every commit writes
+    immutable data files then atomically publishes a MANIFEST naming the
+    live set; readers load exactly the listed files. After bulk_insert +
+    upsert, a CRASHED WRITER is simulated by planting orphan data files
+    with junk rows and no manifest — the read must return the merged
+    state with the debris invisible (the previous manifest stays
+    authoritative), which is precisely the guarantee rename-based
+    commits cannot give on an object store."""
+    import os
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="manif_q_") + "/t"
+    t = HudiTable(
+        path=path,
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    t.bulk_insert(o)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ),
+        spark,
+    )
+    # crashed writer: data files on disk, manifest never published
+    o.limit(7).withColumn("o_totalprice", F.lit(-1.0)).write.parquet(
+        os.path.join(path, "data", "commit-crashed")
+    )
+    return t.read(spark)

@@ -1655,3 +1655,83 @@ def test_optimistic_concurrency_conflict(spark, tmp_path):
     t.upsert(spark.createDataFrame([(1, 3, "b3")], "id int, ts int, v string"),
              spark, expected_seq=t.latest_commit_seq(spark))
     assert [r["v"] for r in t.read(spark).collect()] == ["b3"]
+
+
+def _manifest_table(tmp_path, name="m"):
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    return HudiTable(
+        path=str(tmp_path / name),
+        record_key="id",
+        precombine="ts",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+
+
+def test_manifest_commit_roundtrip_equals_rename_mode(spark, tmp_path):
+    """Manifest-protocol COW table: bulk_insert → upsert → delete must
+    produce exactly the state the directory-rename mode produces."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    rows = [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]
+    up = [(2, 2, "b2"), (4, 1, "d")]
+    m = _manifest_table(tmp_path)
+    r = HudiTable(path=str(tmp_path / "r"), record_key="id", precombine="ts")
+    for t in (m, r):
+        t.bulk_insert(spark.createDataFrame(rows, "id int, ts int, v string"))
+        t.upsert(spark.createDataFrame(up, "id int, ts int, v string"), spark)
+        t.delete(spark.createDataFrame([(3,)], "id int"), spark)
+    got = sorted((x["id"], x["ts"], x["v"]) for x in m.read(spark).collect())
+    want = sorted((x["id"], x["ts"], x["v"]) for x in r.read(spark).collect())
+    assert got == want == [(1, 1, "a"), (2, 2, "b2"), (4, 1, "d")]
+
+
+def test_manifest_crash_debris_is_invisible(spark, tmp_path):
+    """The commit is the manifest publish: data files written WITHOUT a
+    manifest (a crashed writer) must not appear in reads — the previous
+    manifest stays authoritative."""
+    import os
+
+    m = _manifest_table(tmp_path)
+    m.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string"))
+    # simulate a crashed commit: files land under data/, no manifest
+    debris_dir = os.path.join(str(tmp_path / "m"), "data", "commit-crashed")
+    spark.createDataFrame([(99, 9, "JUNK")], "id int, ts int, v string").write.parquet(
+        debris_dir
+    )
+    assert [r["v"] for r in m.read(spark).collect()] == ["a"]
+
+
+def test_manifest_version_time_travel(spark, tmp_path):
+    """Each publish is a retained version: read_manifest_version(v)
+    returns the table exactly as version v published it."""
+    m = _manifest_table(tmp_path)
+    m.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string"))
+    m.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"), spark)
+    assert [r["v"] for r in m.read_manifest_version(spark, 0).collect()] == ["a"]
+    assert [r["v"] for r in m.read_manifest_version(spark, 1).collect()] == ["a2"]
+    assert [r["v"] for r in m.read(spark).collect()] == ["a2"]
+
+
+def test_manifest_partitioned_refuses(spark, tmp_path):
+    """Partitioned manifest tables are explicitly out of scope — the
+    write must refuse, not silently fall back to directory renames."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "pm"),
+        record_key="id",
+        precombine="ts",
+        partition_field="dt",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a", "d1")], "id int, ts int, v string, dt string")
+    )
+    with _pytest.raises(NotImplementedError, match="manifest"):
+        t.upsert(
+            spark.createDataFrame([(1, 2, "a2", "d1")], "id int, ts int, v string, dt string"),
+            spark,
+        )
