@@ -47,10 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # inner/left-outer + stream-static joins, SCD2 build, exact z-score
 # outliers, integer tf-idf, portable text normalization, semantic
 # corpus dedup, savepoint/restore, schema evolution, orc/json scans,
-# bucketed interval join, winsorization); (e) the oldest r4 ids,
-# filling the window.  The r4 ids past the window edge lead the r8
-# rotation and are re-proven this round by the full-registry /verify
-# exact-compare meanwhile.
+# bucketed interval join, winsorization, and more — see SURVEY.md's
+# Round-7 table); (e) any remaining slots.  The 36 new r7 ids fill the
+# window after the r3 cohort and the r6-touched r5 ids, so the ENTIRE
+# r4 cohort now sits past the edge: those ids lead the r8 rotation
+# (oldest green row first: the r4 cohort, then the r5 ids the window
+# dropped) and are re-proven THIS round by the full-registry local
+# exact-compare sweeps (sf0.01 and sf0.001, foreign-cwd session —
+# NONE failed; recorded in SURVEY.md).
 _CHECK_ORDER = [
     # (a) re-landed red row — portability-proofed oracle contract
     "quality_model_score",
