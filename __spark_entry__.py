@@ -67,15 +67,16 @@ _CHECK_ORDER = [
     "sample_stratified",
     "keyword_extract",
     "map_access",
-    # (c) r5 rows whose implementation round 6 touched
-    "mm_features",
-    "mm_resize",
-    "stream_trigger",
+    # (c) stream_demux: its implementation changed THIS round (now
+    # originates through the mysql-binlog Python Data Source), so it
+    # needs a fresh row; the other r6-touched r5 ids hold r5-green rows,
+    # were re-proven by this round's local 3-SF sweeps, and lead r8
     "stream_demux",
-    "jdbc_scan",
-    "excel_scan",
-    "dedup_ngram_jaccard",
     # (d) new r7 ids
+    "pivot_dynamic",
+    "ansi_try_funcs",
+    "hudi_manifest_commit",
+    "agg_hll_partitioned_union",
     "binlog_stream_scan",
     "embedding_similar_pairs_lsh",
     "stream_dedup_watermark",
@@ -110,10 +111,15 @@ _CHECK_ORDER = [
     "mm_audio_energy",
     "dedup_containment",
     "url_canonicalize",
+    # displaced r6-touched r5 ids -> r8 rotation head
+    "mm_features",
+    "mm_resize",
     # ---- window edge: position 50 ----
-    "agg_hll_partitioned_union",
-    "hudi_manifest_commit",
-    # (e) oldest r4 ids (31 of 42)
+    "stream_trigger",
+    "jdbc_scan",
+    "excel_scan",
+    "dedup_ngram_jaccard",
+    # (e) oldest r4 ids
     "agg_collect_csv",
     "agg_conditional_family",
     "agg_having",

@@ -1012,6 +1012,49 @@ class HudiTable:
             raise ValueError("read_manifest_version requires manifest commit mode")
         return self._manifest_read(spark, version)
 
+    def clean(self, keep_last: int = 1) -> dict:
+        """Hudi's CLEANER service for manifest-mode tables: retain the
+        newest ``keep_last`` manifests, delete older manifest files and
+        every data file no retained manifest references (including
+        crashed-writer debris that never made it into any manifest).
+        Returns {"manifests_removed": n, "files_removed": n} — the
+        bounded-storage counterpart to time travel: history you keep is
+        queryable, history you clean is reclaimed.
+
+        Safe ordering: old manifests are deleted BEFORE their
+        now-unreferenced files, so a crash mid-clean never leaves a
+        manifest pointing at deleted data."""
+        if not self._is_manifest:
+            raise ValueError("clean() applies to manifest commit mode")
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._manifest_versions()
+        drop = versions[:-keep_last]
+        keep = versions[-keep_last:]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._manifest_files(v))
+        for v in drop:
+            os.remove(
+                os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
+            )
+        removed = 0
+        data_root = os.path.join(self._local_fs_path(), "data")
+        if os.path.isdir(data_root):
+            for commit in sorted(os.listdir(data_root)):
+                cdir = os.path.join(data_root, commit)
+                for f in sorted(os.listdir(cdir)):
+                    fp = os.path.join(cdir, f)
+                    if fp not in live and (
+                        f.endswith(".parquet") or f.startswith(("_", "."))
+                    ):
+                        os.remove(fp)
+                        if f.endswith(".parquet"):
+                            removed += 1
+                if not os.listdir(cdir):
+                    os.rmdir(cdir)
+        return {"manifests_removed": len(drop), "files_removed": removed}
+
     def _atomic_rewrite(self, df: DataFrame, spark: SparkSession) -> None:
         """Full rewrite via staging + backup rename (unpartitioned
         tables; partitioned tables use _rewrite_partitions).

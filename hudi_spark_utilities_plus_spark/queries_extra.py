@@ -1729,3 +1729,77 @@ def hudi_manifest_commit(spark, sf_dir):
         os.path.join(path, "data", "commit-crashed")
     )
     return t.read(spark)
+
+
+@query(
+    "pivot_dynamic",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS "view"
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_dynamic(spark, sf_dir):
+    """Dynamic pivot — no values list supplied: Spark runs the two-pass
+    plan (distinct-values collect, bounded by
+    spark.sql.pivotMaxValues=10000, then the pivot aggregate) and
+    derives the output columns from the DATA. The oracle enumerates the
+    five event types explicitly, so a missed or phantom pivot column is
+    a schema mismatch, not just a value diff. pivot_status covers the
+    static-values form; this pins the discovery pass.
+
+    Scale: the distinct pass is a metadata-sized collect (pivot column
+    cardinality, not rows); the aggregate is one keyed shuffle with
+    map-side partials per (group, pivot-value)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type")
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "ansi_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                ELSE o_orderkey // (o_orderkey % 100) END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+             AS safe_cast,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderkey + 1 END AS safe_add
+    FROM orders
+    """,
+)
+def ansi_try_funcs(spark, sf_dir):
+    """ANSI-mode-safe ETL math (Spark 4 runs ANSI ON, where bad casts /
+    division by zero / overflow THROW and kill the job): the try_*
+    family returns NULL instead — try_divide on a denominator that hits
+    zero every 100th key, try_cast on a string column that is garbage
+    every 3rd key, try_add behind a planted null. At 100 TB one dirty
+    row must never abort a 6-hour job; try_* is the row-level quarantine
+    that keeps ANSI's strictness everywhere else."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.floor(
+            F.try_divide(F.col("o_orderkey"), F.col("o_orderkey") % 100)
+        ).cast("long").alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 3 == 0, "not-a-number").otherwise(
+                F.col("o_orderkey").cast("string")
+            ),
+            F.lit("999999999999"),
+        ).cast("bigint").alias("safe_cast"),
+        F.try_add(
+            F.col("o_orderkey"),
+            F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(1),
+        ).alias("safe_add"),
+    )

@@ -1735,3 +1735,26 @@ def test_manifest_partitioned_refuses(spark, tmp_path):
             spark.createDataFrame([(1, 2, "a2", "d1")], "id int, ts int, v string, dt string"),
             spark,
         )
+
+
+def test_manifest_clean_reclaims_unreferenced_files(spark, tmp_path):
+    """clean(keep_last=1): older manifests and every file they alone
+    referenced (plus crashed-writer debris) are reclaimed; the retained
+    manifest still reads exactly; cleaned versions refuse."""
+    import os
+
+    import pytest as _pytest
+
+    m = _manifest_table(tmp_path, "mc")
+    m.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string"))
+    m.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"), spark)
+    # crashed-writer debris: parquet files never referenced by a manifest
+    spark.createDataFrame([(9, 9, "JUNK")], "id int, ts int, v string").write.parquet(
+        os.path.join(str(tmp_path / "mc"), "data", "commit-crashed")
+    )
+    stats = m.clean(keep_last=1)
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] >= 2  # v0's file(s) + debris
+    assert [r["v"] for r in m.read(spark).collect()] == ["a2"]
+    with _pytest.raises(ValueError, match="does not exist"):
+        m.read_manifest_version(spark, 0).collect()
