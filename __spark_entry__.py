@@ -75,6 +75,8 @@ _CHECK_ORDER = [
     # (d) new r7 ids
     "pivot_dynamic",
     "ansi_try_funcs",
+    "win_forward_fill",
+    "subquery_not_in_nulls",
     "hudi_manifest_commit",
     "agg_hll_partitioned_union",
     "binlog_stream_scan",
@@ -112,9 +114,9 @@ _CHECK_ORDER = [
     "dedup_containment",
     "url_canonicalize",
     # displaced r6-touched r5 ids -> r8 rotation head
+    # ---- window edge: position 50 ----
     "mm_features",
     "mm_resize",
-    # ---- window edge: position 50 ----
     "stream_trigger",
     "jdbc_scan",
     "excel_scan",

@@ -1803,3 +1803,94 @@ def ansi_try_funcs(spark, sf_dir):
             F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(1),
         ).alias("safe_add"),
     )
+
+
+@query(
+    "win_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def win_forward_fill(spark, sf_dir):
+    """FORWARD FILL (gap fill) — the time-series imputation pattern:
+    every event carries the most recent purchase value its user has
+    produced so far, via LAST_VALUE ... IGNORE NULLS over a running
+    frame (rows before the user's first purchase stay NULL). This is
+    how sparse sensor/price ticks become dense series without a
+    self-join; IGNORE NULLS is the analytic-function feature the
+    registry didn't yet pin.
+
+    Scale: one keyed window — same user_id shuffle as any per-user
+    analytic; the frame is running, so state per row is O(1)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "subquery_not_in_nulls",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_acctbal > 9000)) AS not_in_clean,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_acctbal > 9000
+                               UNION ALL SELECT NULL))
+        AS not_in_with_null,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey
+                           AND c.c_acctbal > 9000)) AS not_exists
+    """,
+)
+def subquery_not_in_nulls(spark, sf_dir):
+    """The NOT IN + NULL trap, pinned as a semantic contract: NOT IN
+    against a set containing a NULL matches NOTHING (three-valued
+    logic — x <> NULL is unknown), while NOT EXISTS keeps its rows.
+    Engines (and hand-rolled anti-join rewrites) get this wrong
+    constantly; the id proves this engine implements ANSI semantics for
+    both forms — the clean NOT IN equals NOT EXISTS, a structurally NULL-polluted
+    NOT IN collapses to zero.
+
+    Scale: the planner rewrites NOT IN with nullable keys to a
+    null-aware anti join (one extra null check per probe), NOT EXISTS
+    to a plain left-anti — both single keyed shuffles."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    t["orders"].createOrReplaceTempView("nin_orders")
+    t["customer"].createOrReplaceTempView("nin_customer")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM nin_orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM nin_customer
+                                   WHERE c_acctbal > 9000)) AS not_in_clean,
+          (SELECT COUNT(*) FROM nin_orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM nin_customer
+                                   WHERE c_acctbal > 9000
+                                   UNION ALL SELECT NULL))
+            AS not_in_with_null,
+          (SELECT COUNT(*) FROM nin_orders o
+           WHERE NOT EXISTS (SELECT 1 FROM nin_customer c
+                             WHERE c.c_custkey = o.o_custkey
+                               AND c.c_acctbal > 9000)) AS not_exists
+        """
+    )
