@@ -66,6 +66,11 @@ HEADLINE = [
     "scd2_build",
     "outlier_zscore",
     "tfidf_topterms",
+    # round-7 second batch: the Arrow python-boundary path (audio
+    # windowed energy over mapInPandas) and the containment variant of
+    # the prefix-filtered near-dup join
+    "mm_audio_energy",
+    "dedup_containment",
 ]
 
 
