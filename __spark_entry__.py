@@ -77,6 +77,7 @@ _CHECK_ORDER = [
     "ansi_try_funcs",
     "win_forward_fill",
     "subquery_not_in_nulls",
+    "dedup_editdistance",
     "hudi_manifest_commit",
     "agg_hll_partitioned_union",
     "binlog_stream_scan",
@@ -112,9 +113,9 @@ _CHECK_ORDER = [
     "html_boilerplate_strip",
     "mm_audio_energy",
     "dedup_containment",
+    # ---- window edge: position 50 ----
     "url_canonicalize",
     # displaced r6-touched r5 ids -> r8 rotation head
-    # ---- window edge: position 50 ----
     "mm_features",
     "mm_resize",
     "stream_trigger",

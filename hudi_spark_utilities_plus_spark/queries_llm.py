@@ -973,3 +973,53 @@ def dedup_containment(spark, sf_dir):
     relation."""
     d = _t(spark, sf_dir, "documents")["documents"]
     return D.containment_pairs(d, "text", "doc_id", n=3)
+
+
+@query(
+    "dedup_editdistance",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 40) AS title FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.title, b.title) AS dist
+    FROM t a JOIN t b
+      ON substr(a.title, 1, 8) = substr(b.title, 1, 8)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 5
+    """,
+)
+def dedup_editdistance(spark, sf_dir):
+    """EDIT-DISTANCE near-dedup — the technique family for short fields
+    (titles, names, addresses) where token shingles are too coarse:
+    pairs whose 40-char prefixes are within Levenshtein distance 5,
+    blocked on the first-8-char key. The blocking key is PART OF THE
+    CONTRACT (like the containment size window): it turns the quadratic
+    all-pairs comparison into a hash equi-join whose candidate count
+    tracks block sizes, at the documented cost of missing pairs that
+    edit inside the first 8 characters — production stacks run 2-3
+    complementary blockings (prefix, suffix, sorted-token) the same way.
+    Verification is exact levenshtein on both engines; distance emitted
+    so the oracle checks the metric, not just the pairing.
+
+    Scale: one equi-join on the block key + per-candidate O(40²) DP —
+    no cartesian anywhere; skewed blocks split by AQE."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    t = d.select("doc_id", F.substring("text", 1, 40).alias("title"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        F.substring("title", 1, 8).alias("blk"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        F.substring("title", 1, 8).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("title_a", "title_b"))
+        .filter(F.col("dist") <= 5)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -842,3 +842,30 @@ def test_containment_catches_padded_copy_jaccard_misses(spark):
            D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8)
            .select("doc_a", "doc_b").collect()}
     assert (1, 2) not in jac, jac
+
+
+def test_editdistance_blocking_contract(spark):
+    """dedup_editdistance's blocking contract: a 2-char edit past the
+    block prefix is caught with its exact distance; an edit INSIDE the
+    first 8 chars is the documented blocking miss; distance > 5 is
+    rejected."""
+    from hudi_spark_utilities_plus_spark.operators.dedup import scatter  # noqa: F401
+    from hudi_spark_utilities_plus_spark.queries import QUERIES
+    import os, tempfile
+
+    base = "the quick brown fox jumps over the lazy"  # 39 chars
+    rows = [
+        (1, base),
+        (2, base[:20] + "XY" + base[22:]),      # 2-edit past the block
+        (3, "ZZZ" + base[3:]),                  # edit inside the block -> miss
+        (4, "completely different title text here!!"),
+    ]
+    root = tempfile.mkdtemp(prefix="edt_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["dist"]
+           for r in QUERIES["dedup_editdistance"](spark, root).collect()}
+    assert got.get((1, 2)) == 2, got
+    assert (1, 3) not in got and (2, 3) not in got
+    assert all(k != (1, 4) for k in got)
