@@ -73,11 +73,12 @@ _CHECK_ORDER = [
     # were re-proven by this round's local 3-SF sweeps, and lead r8
     "stream_demux",
     # (d) new r7 ids
-    "pivot_dynamic",
     "ansi_try_funcs",
     "win_forward_fill",
     "subquery_not_in_nulls",
     "dedup_editdistance",
+    "mixture_interleave",
+    "join_asof_nearest",
     "hudi_manifest_commit",
     "agg_hll_partitioned_union",
     "binlog_stream_scan",
@@ -93,8 +94,6 @@ _CHECK_ORDER = [
     "dedup_embedding_semantic",
     "hudi_restore_read",
     "hudi_schema_evolution",
-    "orc_scan",
-    "json_scan",
     "join_interval_bucketed",
     "winsorize_cap",
     "agg_bitmap_distinct",
@@ -108,13 +107,20 @@ _CHECK_ORDER = [
     "stream_complete_agg",
     "collation_group",
     "sql_pipe_syntax",
-    "sql_parameterized",
     "log_parse_extract",
     "html_boilerplate_strip",
     "mm_audio_energy",
     "dedup_containment",
-    # ---- window edge: position 50 ----
     "url_canonicalize",
+    # r7 ids deferred to r8 (least-novel four: the router's csv path is
+    # r5-green so orc/json add format variants; pivot_status covers the
+    # pivot aggregate; parameterized binding is exercised implicitly) —
+    # all four are repr-exact in this round's local sweeps
+    "orc_scan",
+    # ---- window edge: position 50 ----
+    "json_scan",
+    "sql_parameterized",
+    "pivot_dynamic",
     # displaced r6-touched r5 ids -> r8 rotation head
     "mm_features",
     "mm_resize",

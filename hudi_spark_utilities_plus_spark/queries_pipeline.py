@@ -2376,3 +2376,139 @@ def stream_transform_with_state(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+@query(
+    "mixture_interleave",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3) + 1
+               AS weight,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_source
+      FROM documents
+    ), sched AS (
+      SELECT doc_id, source, weight,
+             (rank_in_source * 1000000) // weight AS schedule_key
+      FROM w
+    )
+    SELECT doc_id, source, schedule_key,
+           ROW_NUMBER() OVER (ORDER BY schedule_key, source, doc_id)
+             AS global_pos
+    FROM sched
+    """,
+)
+def mixture_interleave(spark, sf_dir):
+    """Training-data MIXTURE SCHEDULING: interleave documents from many
+    sources at per-source sampling weights — the step that turns "wiki
+    3x, web 1x" into one deterministic global training order. Each
+    source's k-th document is scheduled at virtual time k/weight
+    (integer-scaled, so the schedule is bit-exact), and the global
+    order is the merge of those virtual timelines with (source, doc)
+    tie-breaks — heavier sources appear proportionally more often per
+    unit of schedule. Replay-stable: same corpus, same weights → the
+    byte-identical order every epoch.
+
+    Scale: per-source rank is a keyed window (source-hash shuffle); the
+    global position runs through the repo's TWO-PHASE global row-number
+    (range-partitioned local ranks + a metadata-sized offset broadcast,
+    operators/global_windows.global_row_number) — no Exchange
+    SinglePartition anywhere, same as every other global ordering in
+    the package."""
+    from .operators.global_windows import global_row_number
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = d.select(
+        "doc_id",
+        "source",
+        (
+            F.regexp_extract("source", "[0-9]+", 0).cast("long") % 3 + 1
+        ).alias("weight"),
+    ).withColumn(
+        "rank_in_source",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")
+        ),
+    )
+    sched = w.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr("(rank_in_source * 1000000) div weight").alias("schedule_key"),
+    )
+    out, _ = global_row_number(
+        sched,
+        [F.col("schedule_key"), F.col("source"), F.col("doc_id")],
+        out_col="global_pos",
+    )
+    return out.select("doc_id", "source", "schedule_key", "global_pos")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), cand AS (
+      SELECT p.purchase_id, v.view_id,
+             ABS(date_diff('microsecond', v.v_ts, p.p_ts)) AS usec_gap,
+             CAST(date_diff('microsecond', v.v_ts, p.p_ts) AS BIGINT)
+               AS signed_gap
+      FROM p JOIN v USING (user_id)
+      WHERE ABS(date_diff('microsecond', v.v_ts, p.p_ts))
+              <= 3600000000::BIGINT
+    )
+    SELECT purchase_id, view_id, usec_gap FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY purchase_id
+        ORDER BY usec_gap, signed_gap DESC, view_id) AS rn
+      FROM cand) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-neighbor as-of join — the merge DuckDB's ASOF can't
+    express (it is backward-only): each purchase pairs with its single
+    CLOSEST view by absolute time distance within a 1-hour tolerance,
+    looking BOTH directions. Ties (one view before, one after, equal
+    gap) resolve to the earlier view (signed_gap DESC: the positive
+    purchase-after-view gap wins), then by view id — fully
+    deterministic, so the oracle brute-forces the same relation with a
+    window instead of ASOF syntax.
+
+    Scale: user-keyed equi-join bounded by the tolerance predicate +
+    per-purchase argmin window — the same one-shuffle family as
+    join_asof; no sort-merge interleave is required for nearest
+    semantics."""
+    e = _t(spark, sf_dir, "events")["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_uid"),
+        F.col("ts").alias("v_ts"),
+    )
+    signed = F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("v_ts").cast("timestamp")
+    )
+    cand = (
+        p.join(v, F.col("p_uid") == F.col("v_uid"))
+        .withColumn("signed_gap", signed)
+        .withColumn("usec_gap", F.abs(F.col("signed_gap")))
+        .filter(F.col("usec_gap") <= F.lit(3600000000))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("usec_gap").asc(), F.col("signed_gap").desc(), F.col("view_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "view_id", "usec_gap")
+    )

@@ -467,3 +467,11 @@ def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     )
     assert audit.has_broadcast_hash_join(enr), audit.executed_plan(enr)
     assert df.count() > 0
+
+
+def test_mixture_interleave_avoids_single_partition(spark, sf_dir):
+    """mixture_interleave's global position must use the two-phase
+    global row-number — no Exchange SinglePartition (the repo-wide
+    global-ordering standard)."""
+    plan = audit.executed_plan(QUERIES["mixture_interleave"](spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
