@@ -48,13 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # outliers, integer tf-idf, portable text normalization, semantic
 # corpus dedup, savepoint/restore, schema evolution, orc/json scans,
 # bucketed interval join, winsorization, and more — see SURVEY.md's
-# Round-7 table); (e) any remaining slots.  The 36 new r7 ids fill the
-# window after the r3 cohort and the r6-touched r5 ids, so the ENTIRE
-# r4 cohort now sits past the edge: those ids lead the r8 rotation
-# (oldest green row first: the r4 cohort, then the r5 ids the window
-# dropped) and are re-proven THIS round by the full-registry local
-# exact-compare sweeps (sf0.01 and sf0.001, foreign-cwd session —
-# NONE failed; recorded in SURVEY.md).
+# Round-7 table); (e) any remaining slots.  Round 7 added 43 ids; the
+# 40 structurally novel ones plus orc_scan fill the window after the
+# r3 cohort and the rewired stream_demux, so the ENTIRE r4 cohort
+# (plus json_scan / sql_parameterized / pivot_dynamic and four
+# r6-touched r5 ids) sits past the edge: those lead the r8 rotation
+# (oldest-green-first) and are re-proven THIS round by the local
+# exact-compare sweeps (full registry at sf0.01 + sf0.001 and the
+# final window sequentially, all from a foreign cwd — NONE failed;
+# recorded in SURVEY.md).
 _CHECK_ORDER = [
     # (a) re-landed red row — portability-proofed oracle contract
     "quality_model_score",
