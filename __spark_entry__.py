@@ -36,101 +36,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order.  Round-7 rotation (VERDICT r6 item 2 pins this exact
-# order): (a) the re-landed ``quality_model_score`` (r6's one red row —
-# re-landed with an integer-only, ascii()-free, lambda-free oracle
-# contract); (b) the 8 ids whose last green row is r3; (c) the r5 ids
-# whose implementation round 6 touched (multimodal PIL guard, stream
-# progress accounting, jdbc Derby drop, xlsx writer, jaccard broadcast
-# gate); (d) the new r7 ids (streaming Python Data Source registered as
-# ``mysql-binlog``, LSH similar-pairs, watermark dedup, stream-stream
-# inner/left-outer + stream-static joins, SCD2 build, exact z-score
-# outliers, integer tf-idf, portable text normalization, semantic
-# corpus dedup, savepoint/restore, schema evolution, orc/json scans,
-# bucketed interval join, winsorization, and more — see SURVEY.md's
-# Round-7 table); (e) any remaining slots.  Round 7 added 43 ids; the
-# 40 structurally novel ones plus orc_scan fill the window after the
-# r3 cohort and the rewired stream_demux, so the ENTIRE r4 cohort
-# (plus json_scan / sql_parameterized / pivot_dynamic and four
-# r6-touched r5 ids) sits past the edge: those lead the r8 rotation
-# (oldest-green-first) and are re-proven THIS round by the local
-# exact-compare sweeps (full registry at sf0.01 + sf0.001 and the
-# final window sequentially, all from a foreign cwd — NONE failed;
-# recorded in SURVEY.md).
+# in dict order.  Round-8 rotation (VERDICT r7 "Next" item 4 pins this
+# exact order): (a) the 3 ids that have never received a driver row
+# (json_scan / sql_parameterized / pivot_dynamic — landed after the r7
+# window filled); (b) the 3 r7 red rows, re-landed this round by casting
+# the only HUGEINT-typed oracle columns in the registry to BIGINT (the
+# Spark plans are untouched — judge driver-sim showed the values were
+# already exact; the registry-wide no-HUGEINT lint in
+# tests/test_oracle_types.py now makes the class unrepeatable); (c) the
+# six displaced r5-row ids round 6 touched; (d) the oldest r4 cohort —
+# 38 of its 42 remaining ids fit, ordered operators-first; the 4 spilled
+# ids (tpch_q19/q20/q21/q22 shapes — pure delegated SQL, two of them
+# exercised every round by bench's headline suite) head the r9 rotation.
+# Registry growth is frozen this round (0 new ids; VERDICT item 5) so
+# after r8 only those 4 r4-row ids remain and the ledger converges.
 _CHECK_ORDER = [
-    # (a) re-landed red row — portability-proofed oracle contract
-    "quality_model_score",
-    # (b) last green row is r3
-    "agg_percentile_sketch",
-    "subquery_scalar",
-    "win_first_last",
-    "order_nulls",
-    "stream_sliding",
-    "sample_stratified",
-    "keyword_extract",
-    "map_access",
-    # (c) stream_demux: its implementation changed THIS round (now
-    # originates through the mysql-binlog Python Data Source), so it
-    # needs a fresh row; the other r6-touched r5 ids hold r5-green rows,
-    # were re-proven by this round's local 3-SF sweeps, and lead r8
-    "stream_demux",
-    # (d) new r7 ids
-    "ansi_try_funcs",
-    "win_forward_fill",
-    "subquery_not_in_nulls",
-    "dedup_editdistance",
-    "mixture_interleave",
-    "join_asof_nearest",
-    "hudi_manifest_commit",
-    "agg_hll_partitioned_union",
-    "binlog_stream_scan",
-    "embedding_similar_pairs_lsh",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "stream_static_join",
-    "scd2_build",
-    "outlier_zscore",
-    "tfidf_topterms",
-    "text_normalize",
-    "stream_stream_left_join",
-    "dedup_embedding_semantic",
-    "hudi_restore_read",
-    "hudi_schema_evolution",
-    "join_interval_bucketed",
-    "winsorize_cap",
-    "agg_bitmap_distinct",
-    "downsample_ohlc",
-    "hudi_partitioned_upsert",
-    "graph_triangle_count",
-    "hudi_cdc_read",
-    "xml_scan",
-    "variant_json_query",
-    "hudi_insert_overwrite",
-    "stream_complete_agg",
-    "collation_group",
-    "sql_pipe_syntax",
-    "log_parse_extract",
-    "html_boilerplate_strip",
-    "mm_audio_energy",
-    "dedup_containment",
-    "url_canonicalize",
-    # r7 ids deferred to r8 (least-novel four: the router's csv path is
-    # r5-green so orc/json add format variants; pivot_status covers the
-    # pivot aggregate; parameterized binding is exercised implicitly) —
-    # all four are repr-exact in this round's local sweeps
-    "orc_scan",
-    # ---- window edge: position 50 ----
+    # (a) never driver-checked
     "json_scan",
     "sql_parameterized",
     "pivot_dynamic",
-    # displaced r6-touched r5 ids -> r8 rotation head
+    # (b) r7 red rows, oracle HUGEINT cast fixed (queries_extra.py:1082,
+    # queries_extra.py:1452, queries_llm.py:936)
+    "winsorize_cap",
+    "variant_json_query",
+    "mm_audio_energy",
+    # (c) displaced r5/r4-row ids whose implementation r6 touched
     "mm_features",
     "mm_resize",
     "stream_trigger",
     "jdbc_scan",
     "excel_scan",
     "dedup_ngram_jaccard",
-    # (e) oldest r4 ids
+    # (d) oldest r4 cohort — operators first, tpch shapes last
     "agg_collect_csv",
     "agg_conditional_family",
     "agg_having",
@@ -156,24 +93,26 @@ _CHECK_ORDER = [
     "sessionize_events",
     "set_union_all",
     "split_train_val",
-    # r4 residue -> r8 rotation head
-    "tpch_q11_shape",
-    "tpch_q13_shape",
-    "tpch_q14_shape",
-    "tpch_q15_shape",
-    "tpch_q16_shape",
-    "tpch_q17_shape",
-    "tpch_q19_shape",
-    "tpch_q20_shape",
-    "tpch_q21_shape",
-    "tpch_q22_shape",
+    "win_cume_dist",
     "tpch_q2_shape",
     "tpch_q4_shape",
     "tpch_q6_shape",
     "tpch_q7_shape",
     "tpch_q8_shape",
     "tpch_q9_shape",
-    "win_cume_dist",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    # ---- window edge: position 50 ----
+    # r4 residue -> r9 rotation head (bench's headline suite still runs
+    # q19/q22 every round)
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
     # anything not listed appends in registration order (see _ordered)
 ]
 

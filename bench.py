@@ -189,6 +189,27 @@ def main() -> None:
         if any(name in p for p in passes)
     }
     total = round(sum(timings.values()), 3)
+    # Driver contract: the driver captures only the TAIL of stdout (~2 kB)
+    # and parses the FINAL line as the round's official number. Round 7
+    # lost its artifact by putting the raw two-pass audit on that line
+    # (50-entry "passes" pushed the head of the JSON past the capture
+    # window -> parsed:null). The audit now goes to a side file plus an
+    # earlier stdout line; the final line is the compact summary only,
+    # degraded to 2-decimal timings iff 3 decimals would exceed the
+    # capture window.
+    audit = {"passes": passes}
+    if failed:
+        audit["failed"] = failed
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_passes.json"),
+            "w",
+        ) as fh:
+            json.dump(audit, fh)
+    except OSError:
+        pass
+    print(json.dumps({"audit_passes": passes, "failed": failed}))
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -196,11 +217,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stat": "min_of_2_passes",
-        "passes": passes,
     }
-    if failed:
-        out["failed"] = failed
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:
+        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

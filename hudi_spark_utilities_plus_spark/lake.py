@@ -752,15 +752,36 @@ class HudiTable:
 
         ``expected_seq`` is OPTIMISTIC CONCURRENCY CONTROL (Hudi's
         ``hoodie.write.concurrency.mode=optimistic_concurrency_control``
-        conflict check, compare-and-commit form): pass the
-        ``latest_commit_seq`` observed when the batch was computed, and
-        the write refuses with ``ConcurrentWriteError`` if another
-        writer committed in between — instead of silently merging over a
-        state the batch never saw. Retry = recompute against the new
-        head and resubmit."""
+        conflict check, compare-and-commit form): pass the head observed
+        when the batch was computed — ``latest_commit_seq`` for
+        MERGE_ON_READ (delta-log seq), the newest manifest version for
+        manifest-mode COW — and the write refuses with
+        ``ConcurrentWriteError`` if another writer committed in between,
+        instead of silently merging over a state the batch never saw.
+        Retry = recompute against the new head and resubmit.
+
+        The check only works on table types whose commits ADVANCE a
+        sequence; plain directory-rename COPY_ON_WRITE commits leave no
+        counter behind, so passing ``expected_seq`` there raises
+        ``ValueError`` rather than silently never tripping. It is also a
+        check-then-write, not an atomic compare-and-swap: two writers
+        that both pass the check before either commits will both write
+        (real Hudi closes this window with a lock provider; single-lake
+        deployments should serialize writers externally)."""
         spark = spark or df.sparkSession
         if expected_seq is not None:
-            head = self.latest_commit_seq(spark)
+            if self._is_manifest:
+                head = (self._manifest_versions() or [-1])[-1]
+            elif self.is_mor:
+                head = self.latest_commit_seq(spark)
+            else:
+                raise ValueError(
+                    "expected_seq requires a table whose commits advance "
+                    "a sequence (MERGE_ON_READ delta log, or manifest "
+                    "commit mode); directory-rename COPY_ON_WRITE "
+                    "commits leave latest_commit_seq at -1, so the "
+                    "conflict check would never trip"
+                )
             if head != expected_seq:
                 raise ConcurrentWriteError(
                     f"concurrent commit detected: expected head seq "
@@ -872,8 +893,22 @@ class HudiTable:
         precombine dedup) — no merge with existing rows, unlike upsert.
         Partitions the batch doesn't touch are never opened. On an
         unpartitioned table this overwrites the whole table (Hudi's
-        ``insert_overwrite_table``)."""
+        ``insert_overwrite_table``).
+
+        MERGE_ON_READ: real Hudi makes this a ``replacecommit`` that
+        atomically supersedes both base files and pending log entries.
+        The parquet-native path merges the log at read time with log
+        entries (seq >= 0) outranking base rows (seq -1), so a base-only
+        rewrite would let stale log entries resurrect overwritten rows
+        and stale delete markers erase the new data on the next read.
+        Guard: fold the pending delta log into the base FIRST (table-wide
+        compaction — the same fold compact() performs; the seq watermark
+        advances so incremental cursors stay valid), then rewrite. Cost
+        is one extra table-wide merge only when a log is actually
+        pending."""
         spark = spark or df.sparkSession
+        if self.is_mor and self._has_log(spark):
+            self.compact(spark)
         result = merge_latest_wins(df, self.record_key, self.precombine)
         if self.partition_field and self.exists(spark):
             self._rewrite_partitions(result, spark)
@@ -969,18 +1004,33 @@ class HudiTable:
         are fully written BEFORE this point, so a crash anywhere earlier
         leaves the previous manifest authoritative and the half-written
         commit invisible (debris, reclaimed by listing unreferenced
-        files). The tmp-write + rename models an object store's atomic
-        single-object PUT."""
+        files). Publication is a CONDITIONAL put: the tmp file is
+        hard-linked into place, which atomically FAILS if the version
+        already exists (two committers that list the same head can't
+        clobber each other — the loser just retries with the next
+        number). This models an object store's if-none-match PUT; plain
+        rename would let the second committer silently overwrite the
+        first's published manifest."""
         import json
 
         os.makedirs(self._manifest_dir, exist_ok=True)
         v = (self._manifest_versions() or [-1])[-1] + 1
-        target = os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
-        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"version": v, "files": sorted(files)}, fh)
-        os.replace(tmp, target)
-        return v
+        while True:
+            target = os.path.join(
+                self._manifest_dir, f"manifest-{v:012d}.json"
+            )
+            tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+            # version is embedded in the payload, so each retry rewrites
+            # the tmp with the new number before attempting the link
+            with open(tmp, "w") as fh:
+                json.dump({"version": v, "files": sorted(files)}, fh)
+            try:
+                os.link(tmp, target)
+                return v
+            except FileExistsError:
+                v += 1
+            finally:
+                os.unlink(tmp)
 
     def _manifest_write_batch(self, df: DataFrame) -> list[str]:
         """Write a commit's data files under an immutable unique dir and
@@ -1012,7 +1062,7 @@ class HudiTable:
             raise ValueError("read_manifest_version requires manifest commit mode")
         return self._manifest_read(spark, version)
 
-    def clean(self, keep_last: int = 1) -> dict:
+    def clean(self, keep_last: int = 1, grace_seconds: float = 0.0) -> dict:
         """Hudi's CLEANER service for manifest-mode tables: retain the
         newest ``keep_last`` manifests, delete older manifest files and
         every data file no retained manifest references (including
@@ -1023,11 +1073,23 @@ class HudiTable:
 
         Safe ordering: old manifests are deleted BEFORE their
         now-unreferenced files, so a crash mid-clean never leaves a
-        manifest pointing at deleted data."""
+        manifest pointing at deleted data.
+
+        CONCURRENCY: an in-flight commit writes its data files before
+        publishing its manifest, so to the cleaner those files look like
+        unreferenced debris. ``grace_seconds=0`` (the default) therefore
+        assumes a SINGLE writer that is not mid-commit while cleaning.
+        When concurrent committers may exist, pass a ``grace_seconds``
+        larger than any plausible write-to-publish gap: unreferenced
+        files younger than the grace age are kept for a later clean
+        (Hudi/Iceberg cleaners use the same modification-age guard)."""
         if not self._is_manifest:
             raise ValueError("clean() applies to manifest commit mode")
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        import time as _time
+
+        now = _time.time()
         versions = self._manifest_versions()
         drop = versions[:-keep_last]
         keep = versions[-keep_last:]
@@ -1048,6 +1110,14 @@ class HudiTable:
                     if fp not in live and (
                         f.endswith(".parquet") or f.startswith(("_", "."))
                     ):
+                        if (
+                            grace_seconds > 0
+                            and now - os.path.getmtime(fp) < grace_seconds
+                        ):
+                            # possibly an in-flight commit's data file
+                            # (written, manifest not yet published) —
+                            # leave it for a later clean
+                            continue
                         os.remove(fp)
                         if f.endswith(".parquet"):
                             removed += 1

@@ -1079,10 +1079,12 @@ def join_interval_bucketed(spark, sf_dir):
       FROM r GROUP BY o_orderpriority
     )
     SELECT c.o_orderpriority, cuts.lo, cuts.hi,
-           SUM(CASE WHEN c.cents < cuts.lo THEN 1 ELSE 0 END) AS n_below,
-           SUM(CASE WHEN c.cents > cuts.hi THEN 1 ELSE 0 END) AS n_above,
-           SUM(LEAST(GREATEST(c.cents, cuts.lo), cuts.hi))
-             AS winsorized_cents
+           CAST(SUM(CASE WHEN c.cents < cuts.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN c.cents > cuts.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above,
+           CAST(SUM(LEAST(GREATEST(c.cents, cuts.lo), cuts.hi))
+                AS BIGINT) AS winsorized_cents
     FROM c JOIN cuts USING (o_orderpriority)
     GROUP BY c.o_orderpriority, cuts.lo, cuts.hi
     """,
@@ -1449,7 +1451,7 @@ def xml_scan(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(props ->> '$.k' AS BIGINT)) AS n_distinct_k
     FROM events GROUP BY event_type
     """,

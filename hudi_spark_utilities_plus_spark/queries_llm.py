@@ -933,7 +933,7 @@ def html_boilerplate_strip(spark, sf_dir):
       FROM documents WHERE length(text) > 0
     )
     SELECT doc_id, pos // 64 AS window_idx,
-           COUNT(*) AS n_samples, SUM(cp * cp) AS energy
+           COUNT(*) AS n_samples, CAST(SUM(cp * cp) AS BIGINT) AS energy
     FROM cps GROUP BY doc_id, pos // 64
     """,
 )

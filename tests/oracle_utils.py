@@ -81,10 +81,79 @@ def _approx_eq(a, b, tol=1e-6):
     return False
 
 
+def _spark_kind(dt) -> str | None:
+    """Collapse a Spark type to a cross-engine comparability kind."""
+    n = dt.typeName()
+    if n in ("byte", "short", "integer", "long"):
+        return "int"
+    if n in ("float", "double"):
+        return "float"
+    if n == "decimal":
+        return "decimal"
+    return None
+
+
+def _duck_kind(t) -> str | None:
+    """Collapse a DuckDB type to a kind; HUGEINT is its own (always-fail)
+    kind because the driver's value hash distinguishes INT128 from BIGINT
+    even when the numerals are identical (round-7 red rows)."""
+    s = str(t).upper()
+    if "HUGEINT" in s:
+        return "hugeint"
+    if s in (
+        "TINYINT",
+        "SMALLINT",
+        "INTEGER",
+        "BIGINT",
+        "UTINYINT",
+        "USMALLINT",
+        "UINTEGER",
+        "UBIGINT",
+    ):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    return None
+
+
+def check_types(spark_df, con, sql: str) -> tuple[bool, str]:
+    """Type-strict cross-engine check: the driver's value hash is
+    type-sensitive, so a DuckDB HUGEINT (or a DECIMAL-vs-BIGINT /
+    BIGINT-vs-DOUBLE skew) fails the driver even when every numeral is
+    identical.  Mirror that here so the local sweep catches it."""
+    d_rel = con.sql(sql)
+    d_kinds = {
+        c.lower(): _duck_kind(t) for c, t in zip(d_rel.columns, d_rel.types)
+    }
+    s_kinds = {
+        f.name.lower(): _spark_kind(f.dataType)
+        for f in spark_df.schema.fields
+    }
+    for col, dk in sorted(d_kinds.items()):
+        if dk == "hugeint":
+            return False, (
+                f"oracle column {col!r} is HUGEINT/INT128 — cast the SQL "
+                "to BIGINT (DuckDB widens bare SUM(BIGINT); driver hash "
+                "is type-sensitive)"
+            )
+        sk = s_kinds.get(col)
+        if dk is not None and sk is not None and dk != sk:
+            return False, (
+                f"type-kind skew on {col!r}: spark={sk} duckdb={dk} — "
+                "the driver's value hash treats these as different"
+            )
+    return True, "ok"
+
+
 def compare(spark_df, con, sql: str, tol: float = 1e-6) -> tuple[bool, str]:
     """Compare a Spark DataFrame result with a DuckDB oracle result."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
+    ok, msg = check_types(spark_df, con, sql)
+    if not ok:
+        return False, msg
     rel = con.execute(sql)
     d_cols = [c[0].lower() for c in rel.description]
     d_rows = rel.fetchall()

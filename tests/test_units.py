@@ -1758,3 +1758,170 @@ def test_manifest_clean_reclaims_unreferenced_files(spark, tmp_path):
     assert [r["v"] for r in m.read(spark).collect()] == ["a2"]
     with _pytest.raises(ValueError, match="does not exist"):
         m.read_manifest_version(spark, 0).collect()
+
+
+def test_insert_overwrite_mor_folds_pending_log(spark, tmp_path):
+    """insert_overwrite on a MOR table with a pending delta log must not
+    let stale log entries outrank the replacement rows: without the
+    compaction guard, the logged delete of id=1 (seq 0) would erase the
+    re-inserted id=1 and the logged upsert of id=2 would resurrect a row
+    the overwrite removed."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "mor_ow"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "id int, ts int, v string"
+        )
+    )
+    # pending delta log: delete id=1, update id=2 (never compacted)
+    t.delete(spark.createDataFrame([(1,)], "id int"), spark)
+    t.upsert(
+        spark.createDataFrame([(2, 2, "b2")], "id int, ts int, v string"),
+        spark,
+    )
+    # replace the table with exactly {id=1 fresh, id=3}
+    t.insert_overwrite(
+        spark.createDataFrame(
+            [(1, 9, "fresh"), (3, 9, "new")], "id int, ts int, v string"
+        ),
+        spark,
+    )
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "fresh", 3: "new"}, got
+
+
+def test_expected_seq_refuses_on_plain_cow(spark, tmp_path):
+    """Plain directory-rename COW commits advance no sequence, so an
+    expected_seq check there could never trip — it must raise instead of
+    silently accepting (the no-op would defeat the OCC contract)."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "cow_occ"), record_key="id", precombine="ts"
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    with _pytest.raises(ValueError, match="expected_seq"):
+        t.upsert(
+            spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"),
+            spark,
+            expected_seq=-1,
+        )
+
+
+def test_expected_seq_manifest_mode_uses_version(spark, tmp_path):
+    """Manifest-mode OCC: the head is the newest manifest version, so a
+    writer that computed against a stale version refuses, and a retry
+    against the current version commits."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import ConcurrentWriteError
+
+    m = _manifest_table(tmp_path, "mo")
+    m.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    seen = 0  # version published by bulk_insert
+    m.upsert(
+        spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"),
+        spark,
+        expected_seq=seen,
+    )
+    with _pytest.raises(ConcurrentWriteError, match="concurrent commit"):
+        m.upsert(
+            spark.createDataFrame([(1, 3, "b")], "id int, ts int, v string"),
+            spark,
+            expected_seq=seen,
+        )
+    m.upsert(
+        spark.createDataFrame([(1, 3, "b")], "id int, ts int, v string"),
+        spark,
+        expected_seq=1,
+    )
+    assert [r["v"] for r in m.read(spark).collect()] == ["b"]
+
+
+def test_publish_manifest_conditional_put_no_clobber(spark, tmp_path):
+    """Two committers that list the same head must not clobber each
+    other's manifest: publication is create-if-absent, so a pre-existing
+    target version makes the publisher retry with the next number and
+    the existing manifest survives byte-for-byte."""
+    import json
+    import os
+
+    m = _manifest_table(tmp_path, "mp")
+    m.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    # simulate a racing committer that already published version 1
+    racer = os.path.join(m._manifest_dir, "manifest-000000000001.json")
+    with open(racer, "w") as fh:
+        json.dump({"version": 1, "files": ["RACER_SENTINEL"]}, fh)
+    v = m._publish_manifest(["/tmp/other-file.parquet"])
+    assert v == 2
+    with open(racer) as fh:
+        assert json.load(fh)["files"] == ["RACER_SENTINEL"]
+    with open(
+        os.path.join(m._manifest_dir, "manifest-000000000002.json")
+    ) as fh:
+        assert json.load(fh)["files"] == ["/tmp/other-file.parquet"]
+    assert not [
+        f for f in os.listdir(m._manifest_dir) if ".tmp-" in f
+    ], "tmp files must not leak"
+
+
+def test_manifest_clean_grace_spares_inflight_commit(spark, tmp_path):
+    """clean(grace_seconds=...) must keep unreferenced files younger
+    than the grace age — they may belong to an in-flight commit that has
+    written data but not yet published its manifest — while still
+    reclaiming old debris past the grace age."""
+    import os
+
+    m = _manifest_table(tmp_path, "mg")
+    m.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    m.upsert(
+        spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"),
+        spark,
+    )
+    # fresh "in-flight commit" debris (just written, no manifest yet)
+    inflight = os.path.join(str(tmp_path / "mg"), "data", "commit-inflight")
+    spark.createDataFrame(
+        [(7, 7, "inflight")], "id int, ts int, v string"
+    ).write.parquet(inflight)
+    # old crashed-writer debris, mtime pushed past the grace age
+    crashed = os.path.join(str(tmp_path / "mg"), "data", "commit-crashed")
+    spark.createDataFrame(
+        [(9, 9, "JUNK")], "id int, ts int, v string"
+    ).write.parquet(crashed)
+    for f in os.listdir(crashed):
+        os.utime(os.path.join(crashed, f), (1, 1))
+    # v0's file is also young; with the grace only the aged debris goes
+    stats = m.clean(keep_last=1, grace_seconds=3600)
+    assert stats["manifests_removed"] == 1
+    inflight_parquets = [
+        f for f in os.listdir(inflight) if f.endswith(".parquet")
+    ]
+    assert inflight_parquets, "in-flight commit files must survive"
+    assert not os.path.isdir(crashed) or not [
+        f for f in os.listdir(crashed) if f.endswith(".parquet")
+    ], "aged debris must be reclaimed"
+    # a later clean past the grace window reclaims the rest
+    for d in (inflight,):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1, 1))
+    m.clean(keep_last=1, grace_seconds=3600)
+    assert not os.path.isdir(inflight) or not [
+        f for f in os.listdir(inflight) if f.endswith(".parquet")
+    ]
+    assert [r["v"] for r in m.read(spark).collect()] == ["a2"]
