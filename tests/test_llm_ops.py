@@ -869,3 +869,51 @@ def test_editdistance_blocking_contract(spark):
     assert got.get((1, 2)) == 2, got
     assert (1, 3) not in got and (2, 3) not in got
     assert all(k != (1, 4) for k in got)
+
+
+def test_containment_candidate_volume_tracks_true_pairs(spark, sf_dir):
+    """Scale contract of the containment prefix filter: on an amplified
+    corpus (each doc duplicated K times under fresh ids) the candidate
+    count must track the PLANTED true pairs (N·K·(K-1)/2 copy-pairs plus
+    whatever near-dup structure the base corpus already has), not the
+    corpus² cross product — the bound that makes the operator viable at
+    100 TB. K=6 on the 500-doc fixture gives 3,000 docs: corpus² is
+    ~4.5M ordered pairs; the assert holds candidates an order of
+    magnitude under that, at O(true pairs)."""
+    from hudi_spark_utilities_plus_spark.operators import dedup as D
+
+    K = 6
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n_base = base.count()
+    amplified = base.selectExpr(
+        f"explode(sequence(0, {K - 1})) AS copy", "doc_id", "text"
+    ).selectExpr("concat(doc_id, '#', copy) AS doc_id", "text")
+
+    s = D._shingled(amplified, "text", "doc_id", 3).withColumn(
+        "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
+    )
+    n_cand_hash = D._containment_candidates(s, 9, 10, 2).count()
+    n_cand_freq = D._containment_candidates(
+        D._freq_ordered(s), 9, 10, 2
+    ).count()
+    true_pairs = D.containment_pairs(
+        amplified, "text", "doc_id", n=3
+    ).count()
+
+    planted = n_base * K * (K - 1) // 2
+    assert true_pairs >= planted, (true_pairs, planted)
+    corpus_sq = (n_base * K) * (n_base * K - 1) // 2
+    # frequency-ascending prefixes (what containment_pairs uses): the
+    # candidate set is a small multiple of the TRUE pairs — unrelated
+    # docs essentially never collide on a rare prefix shingle
+    assert n_cand_freq <= 4 * true_pairs + 10 * n_base * K, (
+        n_cand_freq,
+        true_pairs,
+    )
+    assert n_cand_freq < corpus_sq / 10, (n_cand_freq, corpus_sq)
+    # and it must actually beat hash-ordered prefixes (the ordering is
+    # the load-bearing optimization, not a no-op)
+    assert n_cand_freq < n_cand_hash / 2, (n_cand_freq, n_cand_hash)
