@@ -273,7 +273,22 @@ def ngram_jaccard_pairs(
     # so the verify join does zero wasted intersections.
     prefix_len = F.floor(F.size("shp") * (1.0 - threshold)).cast("int") + 1
     posts = s.select(
-        "doc", "n_sh", F.explode(F.slice("shp", 1, prefix_len)).alias("shingle")
+        "doc",
+        "n_sh",
+        F.posexplode(F.slice("shp", 1, prefix_len)).alias("pos", "shingle"),
+    )
+    # PPJoin positional filter, lossless: both prefixes follow the same
+    # global token order, so a collision at (0-based) positions px, py
+    # bounds the whole intersection by 1 + min(n_x-px-1, n_y-py-1). A
+    # pair with J ≥ τ has inter ≥ τ·union ≥ τ·max(n_a, n_b), and its
+    # FIRST common token (smallest positions → largest bound) always
+    # passes, so filtering each collision by its own bound never drops a
+    # true pair. The 1e-9 slack absorbs float boundary error in τ·n_max
+    # (e.g. 0.8*45 computing as 36.000000000000004) toward KEEPING the
+    # candidate — never toward a false prune.
+    ubound = F.lit(1) + F.least(
+        F.col("x.n_sh") - F.col("x.pos") - 1,
+        F.col("y.n_sh") - F.col("y.pos") - 1,
     )
     cand = (
         posts.alias("x")
@@ -286,6 +301,10 @@ def ngram_jaccard_pairs(
         .filter(
             (F.col("y.n_sh") >= F.col("x.n_sh") * threshold)
             & (F.col("y.n_sh") * threshold <= F.col("x.n_sh"))
+        )
+        .filter(
+            ubound
+            >= F.greatest("x.n_sh", "y.n_sh") * threshold - F.lit(1e-9)
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
@@ -621,7 +640,18 @@ def _containment_candidates(
     pref = "shp" if "shp" in s.columns else "shh"
     prefix_len = F.floor(F.size(pref) * F.lit(eff)).cast("int") + 1
     posts = s.select(
-        "doc", "n_sh", F.explode(F.slice(pref, 1, prefix_len)).alias("shingle")
+        "doc",
+        "n_sh",
+        F.posexplode(F.slice(pref, 1, prefix_len)).alias("pos", "shingle"),
+    )
+    # Positional filter (integer-exact): a collision at 0-based (px, py)
+    # bounds the intersection by 1 + min(n_x-px-1, n_y-py-1); containment
+    # ≥ t_num/t_den needs inter·t_den ≥ t_num·n_min. The first common
+    # token gives the largest bound, so per-collision filtering is
+    # lossless (same argument as the Jaccard positional filter above).
+    ubound = F.lit(1) + F.least(
+        F.col("x.n_sh") - F.col("x.pos") - 1,
+        F.col("y.n_sh") - F.col("y.pos") - 1,
     )
     return (
         posts.alias("x")
@@ -630,6 +660,10 @@ def _containment_candidates(
         .filter(
             (F.col("x.n_sh") <= F.lit(size_ratio) * F.col("y.n_sh"))
             & (F.col("y.n_sh") <= F.lit(size_ratio) * F.col("x.n_sh"))
+        )
+        .filter(
+            ubound * F.lit(t_den)
+            >= F.lit(t_num) * F.least("x.n_sh", "y.n_sh")
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
