@@ -255,18 +255,21 @@ def ngram_jaccard_pairs(
     Scale: postings are 8-byte hashes; the only wide stages are the
     prefix join and the verify join — both shuffle-bounded, no O(n²).
     """
-    s = _freq_ordered(
-        _shingled(df, text_col, id_col, n).withColumn(
+    base = (
+        _shingled(df, text_col, id_col, n)
+        .withColumn(
             "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
         )
+        .persist()
     )
-    # The prefix join and the verify join each reference this subtree
-    # twice; persist so shingling runs once, not 4x (executor-memory
-    # cache of hashed shingle sets — ~100 bytes/shingle, spills to disk).
+    # The ordering pass, the prefix join, and the verify join each
+    # reference the shingling subtree; persist base first so shingling
+    # runs once, then persist the ordered result the joins share.
     # count() populates the cache eagerly: otherwise the broadcast-build
     # job and the postings job race and each recomputes the subtree.
-    s = s.persist()
+    s = _freq_ordered(base).persist()
     n_docs = s.count()
+    base.unpersist()
     # Prefixes in frequency-ascending order (_freq_ordered): on the
     # 6x-amplified fixture this makes the filter EXACT — 8,508
     # candidates for 8,508 true pairs, vs 38,460 under hash order —
@@ -616,10 +619,17 @@ def _freq_ordered(s: DataFrame) -> DataFrame:
     magnitude the prefix join already shuffles. Hot shingles skew the
     join key; AQE skew-split handles it, and those are exactly the
     shingles the new order keeps OUT of prefixes."""
+    from pyspark.sql import Window
+
+    # One window pass (shuffle on h) attaches each posting's global df,
+    # one groupBy (shuffle on doc) rebuilds the per-doc order — two
+    # posting-volume shuffles total, then a join back on doc. Callers
+    # persist the shingled input first so its subtree computes once.
     posts_all = s.select("doc", F.explode("shh").alias("h"))
-    df_tab = posts_all.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
     ordered = (
-        posts_all.join(df_tab, "h")
+        posts_all.withColumn(
+            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("dfreq", "h"))).alias("_p"))
         .select("doc", F.transform("_p", lambda p: p["h"]).alias("shp"))
@@ -699,13 +709,16 @@ def containment_pairs(
 
     Scale: same shape as ngram_jaccard_pairs — 8-byte hashed postings,
     prefix join + verify join, both shuffle-bounded, no O(n²)."""
-    s = _freq_ordered(
-        _shingled(df, text_col, id_col, n).withColumn(
+    base = (
+        _shingled(df, text_col, id_col, n)
+        .withColumn(
             "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
         )
+        .persist()
     )
-    s = s.persist()
+    s = _freq_ordered(base).persist()
     s.count()
+    base.unpersist()
     cand = _containment_candidates(s, t_num, t_den, size_ratio)
     sets = s.select("doc", "shh", "n_sh")
     a = sets.select(
