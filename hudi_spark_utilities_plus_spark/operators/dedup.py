@@ -619,17 +619,20 @@ def _freq_ordered(s: DataFrame) -> DataFrame:
     magnitude the prefix join already shuffles. Hot shingles skew the
     join key; AQE skew-split handles it, and those are exactly the
     shingles the new order keeps OUT of prefixes."""
-    from pyspark.sql import Window
-
-    # One window pass (shuffle on h) attaches each posting's global df,
-    # one groupBy (shuffle on doc) rebuilds the per-doc order — two
-    # posting-volume shuffles total, then a join back on doc. Callers
-    # persist the shingled input first so its subtree computes once.
+    # The df table is a combiner-safe groupBy on the shingle hash (map-
+    # side partial agg collapses a hot shingle's postings BEFORE the
+    # shuffle), then an equi-join back to the postings — broadcast by
+    # AQE while the distinct-shingle table is small, sort-merge with AQE
+    # skew-split beyond that. A window-over-h variant measured the same
+    # speed at small scale but shuffles RAW postings keyed by h with no
+    # partial agg: one stopword shingle in 10M docs becomes a single
+    # unsplittable task at 100 TB, so the groupBy form is the one that
+    # survives scale. Callers persist the shingled input first so its
+    # subtree computes once.
     posts_all = s.select("doc", F.explode("shh").alias("h"))
+    df_tab = posts_all.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
     ordered = (
-        posts_all.withColumn(
-            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
+        posts_all.join(df_tab, "h")
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("dfreq", "h"))).alias("_p"))
         .select("doc", F.transform("_p", lambda p: p["h"]).alias("shp"))
