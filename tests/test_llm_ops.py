@@ -917,3 +917,93 @@ def test_containment_candidate_volume_tracks_true_pairs(spark, sf_dir):
     # and it must actually beat hash-ordered prefixes (the ordering is
     # the load-bearing optimization, not a no-op)
     assert n_cand_freq < n_cand_hash / 2, (n_cand_freq, n_cand_hash)
+
+
+def _brute_pairs(docs, n, pred):
+    """O(n²) reference: shingle sets in Python, pred(inter, na, nb)."""
+    import itertools
+
+    def sh(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))
+        }
+
+    sets = {d: sh(t) for d, t in docs if len(t.split()) >= n}
+    out = set()
+    for (da, sa), (db, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if pred(len(sa & sb), len(sa), len(sb)):
+            out.add((da, db))
+    return out
+
+
+@pytest.mark.parametrize("shape", ["random", "boilerplate", "chains"])
+def test_prefix_filters_lossless_vs_bruteforce(spark, shape):
+    """Lossless-filter property of the PPJoin upgrades (frequency-
+    ordered prefixes + positional filter): on seeded corpora — uniform
+    random vocab, a HOT-SHINGLE corpus where every doc shares the same
+    boilerplate sentence (the skew case the frequency order exists
+    for), and mutation chains with graded overlap — both prefix-filter
+    dedups must return EXACTLY the brute-force O(n²) pair set. A
+    positional-filter off-by-one or an ordering inconsistency between
+    docs shows up here as a missing pair."""
+    import random
+
+    rng = random.Random(1234 + len(shape))
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    if shape == "random":
+        for i in range(60):
+            docs.append((f"d{i:03d}", " ".join(rng.choices(vocab, k=rng.randint(12, 40)))))
+        # plant exact + padded copies
+        docs.append(("dup_a", docs[0][1]))
+        docs.append(("pad_a", docs[1][1] + " " + " ".join(rng.choices(vocab, k=10))))
+    elif shape == "boilerplate":
+        boiler = "terms of service apply to all content on this site"
+        for i in range(60):
+            body = " ".join(rng.choices(vocab, k=rng.randint(10, 30)))
+            docs.append((f"d{i:03d}", boiler + " " + body))
+        docs.append(("dup_b", docs[5][1]))
+    else:  # chains: successive small mutations
+        base = rng.choices(vocab, k=30)
+        cur = list(base)
+        for i in range(40):
+            if i % 4 == 3:
+                cur = list(cur)
+                cur[rng.randrange(len(cur))] = rng.choice(vocab)
+            docs.append((f"d{i:03d}", " ".join(cur)))
+
+    from hudi_spark_utilities_plus_spark.operators import dedup as D
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    got_j = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in D.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    want_j = _brute_pairs(
+        docs, 3, lambda i, a, b: a and b and i / (a + b - i) >= 0.8
+    )
+    assert got_j == want_j, (
+        f"jaccard {shape}: missing={sorted(want_j - got_j)[:5]} "
+        f"extra={sorted(got_j - want_j)[:5]}"
+    )
+
+    got_c = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in D.containment_pairs(df, "text", "doc_id", n=3).collect()
+    }
+    want_c = _brute_pairs(
+        docs,
+        3,
+        lambda i, a, b: a
+        and b
+        and max(a, b) <= 2 * min(a, b)
+        and i * 10 >= 9 * min(a, b),
+    )
+    assert got_c == want_c, (
+        f"containment {shape}: missing={sorted(want_c - got_c)[:5]} "
+        f"extra={sorted(got_c - want_c)[:5]}"
+    )
