@@ -218,9 +218,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stat": "min_of_2_passes",
     }
+    if failed:
+        # a broken query is EXCLUDED from the total, which would
+        # otherwise read as a speedup — flag it on the official line
+        # (full tracebacks live in the audit line / BENCH_passes.json)
+        out["failed"] = sorted(failed)
     line = json.dumps(out)
+    # degrade stepwise until the official line fits the driver's ~2 kB
+    # tail capture: 3-decimal timings -> 2-decimal -> (last resort) drop
+    # the per-query map entirely but keep the headline value parseable
     if len(line) > 1900:
         out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out)
+    if len(line) > 1900:
+        out["queries"] = {}
+        out["queries_in_side_file"] = len(timings)
         line = json.dumps(out)
     print(line)
 

@@ -770,10 +770,15 @@ class HudiTable:
         deployments should serialize writers externally)."""
         spark = spark or df.sparkSession
         if expected_seq is not None:
-            if self._is_manifest:
-                head = (self._manifest_versions() or [-1])[-1]
-            elif self.is_mor:
+            # is_mor is checked FIRST: on a MOR table (manifest mode or
+            # not) the write path below appends to the delta log, so the
+            # log seq is the counter this commit advances — a
+            # manifest-mode MOR table's manifest version stays frozen
+            # across log-appending upserts and would never trip the check.
+            if self.is_mor:
                 head = self.latest_commit_seq(spark)
+            elif self._is_manifest:
+                head = (self._manifest_versions() or [-1])[-1]
             else:
                 raise ValueError(
                     "expected_seq requires a table whose commits advance "
@@ -1025,10 +1030,29 @@ class HudiTable:
             with open(tmp, "w") as fh:
                 json.dump({"version": v, "files": sorted(files)}, fh)
             try:
-                os.link(tmp, target)
-                return v
-            except FileExistsError:
-                v += 1
+                try:
+                    os.link(tmp, target)
+                    return v
+                except FileExistsError:
+                    v += 1
+                except OSError:
+                    # filesystem without hard links (exFAT/SMB/some FUSE
+                    # mounts): O_EXCL exclusive-create keeps the
+                    # conditional-put (a racing loser still fails and
+                    # retries) at the cost of content atomicity on this
+                    # fallback path only — a reader racing the write may
+                    # glimpse a partial manifest there, which the primary
+                    # link path never exposes
+                    try:
+                        fd = os.open(
+                            target, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                    except FileExistsError:
+                        v += 1
+                    else:
+                        with os.fdopen(fd, "w") as out, open(tmp) as src:
+                            out.write(src.read())
+                        return v
             finally:
                 os.unlink(tmp)
 

@@ -234,6 +234,41 @@ def _verify_jaccard(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def _lossless_prefix_len(size_col, num: int, den: int):
+    """Integer-exact lossless prefix length ``n - ceil(num*n/den) + 1``
+    for an overlap threshold of ``num/den`` (PPJoin's bound: a doc whose
+    every qualifying partner shares >= ceil(num*n/den) shingles with it
+    must post at least this many prefix shingles for the first common
+    one to be indexed).
+
+    The float form ``floor(n*(1 - num/den)) + 1`` is equal in exact
+    arithmetic but NOT in IEEE double: ``1.0 - 0.8`` computes as
+    0.19999999999999996, so at n=10 it yields floor(1.9999...)+1 = 2
+    where losslessness needs 10 - ceil(8) + 1 = 3 — an exact-boundary
+    pair (J = 0.8 with n_sh % 5 == 0) is then silently dropped, and
+    frequency ordering makes the drop deterministic (the too-short
+    prefix fills with the doc's rarest = unshared shingles).
+    ``ceil(a/b) = floor((a+b-1)/b)`` with a = num*n + den - 1 well under
+    2^53 keeps the double division correctly-rounded-exact."""
+    need = F.floor(
+        (F.lit(num) * size_col + F.lit(den - 1)) / F.lit(den)
+    ).cast("int")
+    return (size_col - need + F.lit(1)).cast("int")
+
+
+def _rationalize_threshold(threshold: float) -> tuple[int, int]:
+    """Recover the decimal rational a float threshold denotes (0.8 ->
+    4/5) so filter bounds can be computed in exact integer arithmetic.
+    Verify stages keep comparing in float — the oracle does too, and
+    ``p/q >= lit(t)`` agrees for any pair at exactly the threshold
+    (correctly rounded division of the same real) — only the LOSSLESS
+    candidate filters need the rational form."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -246,7 +281,7 @@ def ngram_jaccard_pairs(
 
     Candidate generation uses **prefix filtering** (PPJoin-style): sort
     each doc's shingle hashes and index only its first
-    ``⌊(1-τ)·|sh|⌋ + 1`` shingles — two docs with Jaccard ≥ τ MUST share
+    ``n - ⌈τ·n⌉ + 1`` shingles — two docs with Jaccard ≥ τ MUST share
     at least one prefix shingle (otherwise their intersection is too
     small), so the candidate set is lossless while the inverted index
     shrinks ~(1-τ)× and hot-shingle fan-out collapses. Candidates are
@@ -260,6 +295,10 @@ def ngram_jaccard_pairs(
         .withColumn(
             "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
         )
+        # the raw shingle strings are only needed to compute shh; drop
+        # them before persist so the cache holds 8-byte hash arrays, not
+        # the ~3x-larger string arrays
+        .drop("sh")
         .persist()
     )
     # The ordering pass, the prefix join, and the verify join each
@@ -270,11 +309,12 @@ def ngram_jaccard_pairs(
     s = _freq_ordered(base).persist()
     n_docs = s.count()
     base.unpersist()
+    t_num, t_den = _rationalize_threshold(threshold)
     # Prefixes in frequency-ascending order (_freq_ordered): on the
     # 6x-amplified fixture this makes the filter EXACT — 8,508
     # candidates for 8,508 true pairs, vs 38,460 under hash order —
     # so the verify join does zero wasted intersections.
-    prefix_len = F.floor(F.size("shp") * (1.0 - threshold)).cast("int") + 1
+    prefix_len = _lossless_prefix_len(F.size("shp"), t_num, t_den)
     posts = s.select(
         "doc",
         "n_sh",
@@ -286,9 +326,8 @@ def ngram_jaccard_pairs(
     # pair with J ≥ τ has inter ≥ τ·union ≥ τ·max(n_a, n_b), and its
     # FIRST common token (smallest positions → largest bound) always
     # passes, so filtering each collision by its own bound never drops a
-    # true pair. The 1e-9 slack absorbs float boundary error in τ·n_max
-    # (e.g. 0.8*45 computing as 36.000000000000004) toward KEEPING the
-    # candidate — never toward a false prune.
+    # true pair. The decision is integer-exact (inter·den ≥ num·n_max)
+    # — no float boundary error in either direction.
     ubound = F.lit(1) + F.least(
         F.col("x.n_sh") - F.col("x.pos") - 1,
         F.col("y.n_sh") - F.col("y.pos") - 1,
@@ -300,14 +339,16 @@ def ngram_jaccard_pairs(
         # PPJoin length filter, lossless: J(a,b) ≥ τ forces
         # τ·n_a ≤ n_b ≤ n_a/τ (the intersection alone is ≥ τ·max(n_a,n_b)),
         # so size-mismatched collisions on hot prefix shingles never reach
-        # the (more expensive) verify join.
+        # the (more expensive) verify join. Integer-exact: the float form
+        # (n_sh * 0.8000000000000000444 > 8) rejected exact-boundary
+        # pairs.
         .filter(
-            (F.col("y.n_sh") >= F.col("x.n_sh") * threshold)
-            & (F.col("y.n_sh") * threshold <= F.col("x.n_sh"))
+            (F.col("y.n_sh") * t_den >= F.col("x.n_sh") * t_num)
+            & (F.col("y.n_sh") * t_num <= F.col("x.n_sh") * t_den)
         )
         .filter(
-            ubound
-            >= F.greatest("x.n_sh", "y.n_sh") * threshold - F.lit(1e-9)
+            ubound * F.lit(t_den)
+            >= F.greatest("x.n_sh", "y.n_sh") * F.lit(t_num)
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
@@ -649,9 +690,16 @@ def _containment_candidates(
     under test is that candidates track TRUE pairs, not corpus².
     Prefixes are taken in frequency-ascending order (``shp``) when the
     caller provides it, else hash order (``shh``)."""
-    eff = 1.0 - (t_num / (t_den * size_ratio))
+    # Effective overlap threshold for doc x is t/r of its own size (its
+    # needed overlap is >= t*n_min >= (t/r)*n_x inside the size window);
+    # the prefix length is computed integer-exactly — the float form
+    # floor(n*(1 - t/(d*r))) + 1 loses 1 whenever the product rounds
+    # down across an integer (e.g. t=9/10, r=2, n=20: 20*0.5499999...
+    # -> floor 10, but losslessness needs 20 - ceil(9) + 1 = 12).
     pref = "shp" if "shp" in s.columns else "shh"
-    prefix_len = F.floor(F.size(pref) * F.lit(eff)).cast("int") + 1
+    prefix_len = _lossless_prefix_len(
+        F.size(pref), t_num, t_den * size_ratio
+    )
     posts = s.select(
         "doc",
         "n_sh",
@@ -705,7 +753,7 @@ def containment_pairs(
 
     Prefix filter: with overlap ≥ t·n_min and n ≤ r·n_min for both
     docs, each doc's needed overlap is ≥ (t/r)·n_self, so indexing its
-    first ⌊n·(1 − t/r)⌋ + 1 sorted shingle hashes is lossless (same
+    first n − ⌈(t/r)·n⌉ + 1 sorted shingle hashes is lossless (same
     argument as PPJoin's Jaccard prefix, with t/r as the effective
     threshold). The decision is integer-exact:
     inter·t_den ≥ t_num·n_min — no float boundary.
@@ -717,6 +765,7 @@ def containment_pairs(
         .withColumn(
             "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
         )
+        .drop("sh")
         .persist()
     )
     s = _freq_ordered(base).persist()

@@ -149,11 +149,14 @@ def check_types(spark_df, con, sql: str) -> tuple[bool, str]:
 
 def compare(spark_df, con, sql: str, tol: float = 1e-6) -> tuple[bool, str]:
     """Compare a Spark DataFrame result with a DuckDB oracle result."""
-    s_cols = [c.lower() for c in spark_df.columns]
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    # type check first: it needs only planner metadata from both engines,
+    # so a HUGEINT/kind-skew failure surfaces in milliseconds instead of
+    # after a full Spark job
     ok, msg = check_types(spark_df, con, sql)
     if not ok:
         return False, msg
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
     d_cols = [c[0].lower() for c in rel.description]
     d_rows = rel.fetchall()

@@ -1007,3 +1007,67 @@ def test_prefix_filters_lossless_vs_bruteforce(spark, shape):
         f"containment {shape}: missing={sorted(want_c - got_c)[:5]} "
         f"extra={sorted(got_c - want_c)[:5]}"
     )
+
+
+def test_lossless_prefix_len_integer_exact(spark):
+    """_lossless_prefix_len must equal n - ceil(num*n/den) + 1 EXACTLY
+    for every size — the float form floor(n*(1-t))+1 loses 1 whenever
+    the product rounds down across an integer (1.0-0.8 is
+    0.19999999999999996, so n=10 gave 2 where losslessness needs 3;
+    containment's 1 - 9/20 loses at n=20). Sweep the thresholds the
+    operators ship plus adversarial rationals over n = 1..400."""
+    cases = [(4, 5), (9, 10), (9, 20), (1, 2), (17, 20), (7, 10), (1, 3)]
+    sizes = list(range(1, 401))
+    df = spark.createDataFrame([(n,) for n in sizes], "n int")
+    for num, den in cases:
+        got = {
+            r["n"]: r["p"]
+            for r in df.select(
+                "n", D._lossless_prefix_len(F.col("n"), num, den).alias("p")
+            ).collect()
+        }
+        for n in sizes:
+            # exact rational ceil, no float: ceil(a/b) = -((-a)//b) —
+            # math.ceil(num*n/den) itself disagrees on this very sweep,
+            # which is the defect class under test
+            want_exact = n - (num * n + den - 1) // den + 1
+            assert got[n] == want_exact, (num, den, n, got[n], want_exact)
+
+
+def test_prefix_filter_exact_boundary_pairs(spark):
+    """Regression for the float prefix-length off-by-one: pairs sitting
+    EXACTLY at the threshold, with sizes that make floor(n*(1-t))+1
+    come up one short, must still be emitted. Jaccard: x has 10
+    shingles, y's 8 are a subset -> J = 8/10 = threshold; the old code
+    indexed only x's 2 rarest (= its 2 unshared) shingles, so the pair
+    never collided. Containment: x has 20 shingles, y has 10, overlap 9
+    -> C = 9/10 = t at the 2x size-window edge; the old prefix (11)
+    covered only x's 11 unshared shingles."""
+    wx = [f"jx{i}" for i in range(12)]
+    docs_j = [
+        ("jbig", " ".join(wx)),  # 10 shingles
+        ("jsub", " ".join(wx[:10])),  # 8 shingles, all shared
+        ("jnoise", " ".join(f"z{i}" for i in range(8))),
+    ]
+    df_j = spark.createDataFrame(docs_j, "doc_id string, text string")
+    got_j = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            df_j, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    assert ("jbig", "jsub") in got_j, got_j
+
+    wy = [f"cy{i}" for i in range(12)]
+    big = wy[:11] + [f"cpad{i}" for i in range(11)]  # 22 words, 20 shingles
+    docs_c = [
+        ("cbig", " ".join(big)),
+        ("csmall", " ".join(wy)),  # 10 shingles, 9 shared with cbig
+        ("cnoise", " ".join(f"q{i}" for i in range(8))),
+    ]
+    df_c = spark.createDataFrame(docs_c, "doc_id string, text string")
+    got_c = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.containment_pairs(df_c, "text", "doc_id", n=3).collect()
+    }
+    assert ("cbig", "csmall") in got_c, got_c

@@ -1925,3 +1925,48 @@ def test_manifest_clean_grace_spares_inflight_commit(spark, tmp_path):
         f for f in os.listdir(inflight) if f.endswith(".parquet")
     ]
     assert [r["v"] for r in m.read(spark).collect()] == ["a2"]
+
+
+def test_occ_manifest_mor_tracks_log_seq(spark, tmp_path):
+    """Regression: on a manifest-mode MERGE_ON_READ table the write path
+    appends to the delta log, so the log seq — NOT the (frozen) manifest
+    version — is the counter expected_seq must compare against. The old
+    branch order checked _is_manifest first, so a stale writer's check
+    compared manifest v0 == manifest v0 and silently passed."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import (
+        ConcurrentWriteError,
+        HudiTable,
+    )
+
+    t = HudiTable(
+        path=str(tmp_path / "mmor"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    seen = t.latest_commit_seq(spark)
+    # writer B commits in between: advances the LOG seq, manifest stays
+    t.upsert(
+        spark.createDataFrame([(1, 2, "b")], "id int, ts int, v string"),
+        spark,
+    )
+    # writer A computed against the stale head -> must refuse
+    with _pytest.raises(ConcurrentWriteError, match="concurrent commit"):
+        t.upsert(
+            spark.createDataFrame([(1, 3, "x")], "id int, ts int, v string"),
+            spark,
+            expected_seq=seen,
+        )
+    # retry against the new head succeeds
+    t.upsert(
+        spark.createDataFrame([(1, 3, "c")], "id int, ts int, v string"),
+        spark,
+        expected_seq=t.latest_commit_seq(spark),
+    )
+    assert [r["v"] for r in t.read(spark).collect()] == ["c"]
