@@ -1750,11 +1750,13 @@ def stream_stream_join(spark, sf_dir):
     # State-partition sizing: a streaming join pins its state-store
     # partition count to spark.sql.shuffle.partitions at FIRST run (it's
     # baked into the checkpoint). Each partition pays fixed WAL-commit +
-    # snapshot cost per micro-batch, so the count is sized to stream
-    # volume: 8 covers this fixture; a 100 TB/day stream raises it (the
-    # same knob, opposite direction) BEFORE first start.
+    # snapshot cost per micro-batch (~0.18 s/partition measured,
+    # BASELINE.md), so pick the SMALLEST count whose per-partition state
+    # fits executor memory: 4 at this fixture's volume (probe:
+    # 4 -> 1.95 s vs 8 -> 2.50 s vs 32 -> 7.80 s); a 100 TB/day stream
+    # raises it proportionally to keyed state volume BEFORE first start.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     joined = views.join(
         clicks,
         (F.col("user_id") == F.col("c_user_id"))
@@ -2053,7 +2055,7 @@ def stream_stream_left_join(spark, sf_dir):
     clicks = side("click", "click_id", "click_time", "c_user_id")
     # state-partition sizing: see stream_stream_join
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     joined = views.join(
         clicks,
         (F.col("user_id") == F.col("c_user_id"))
