@@ -249,9 +249,12 @@ def _lossless_prefix_len(size_col, num: int, den: int):
     frequency ordering makes the drop deterministic (the too-short
     prefix fills with the doc's rarest = unshared shingles).
     ``ceil(a/b) = floor((a+b-1)/b)`` with a = num*n + den - 1 well under
-    2^53 keeps the double division correctly-rounded-exact."""
+    2^53 keeps the double division correctly-rounded-exact. The product
+    is computed in LONG: ``den`` can reach 1e6 (limit_denominator), and
+    an int32 product would overflow at n_sh ≈ a few thousand — ANSI
+    Spark throws, non-ANSI silently corrupts the bound."""
     need = F.floor(
-        (F.lit(num) * size_col + F.lit(den - 1)) / F.lit(den)
+        (size_col.cast("long") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
     ).cast("int")
     return (size_col - need + F.lit(1)).cast("int")
 
@@ -343,12 +346,14 @@ def ngram_jaccard_pairs(
         # (n_sh * 0.8000000000000000444 > 8) rejected exact-boundary
         # pairs.
         .filter(
-            (F.col("y.n_sh") * t_den >= F.col("x.n_sh") * t_num)
-            & (F.col("y.n_sh") * t_num <= F.col("x.n_sh") * t_den)
+            (F.col("y.n_sh").cast("long") * t_den
+             >= F.col("x.n_sh").cast("long") * t_num)
+            & (F.col("y.n_sh").cast("long") * t_num
+               <= F.col("x.n_sh").cast("long") * t_den)
         )
         .filter(
-            ubound * F.lit(t_den)
-            >= F.greatest("x.n_sh", "y.n_sh") * F.lit(t_num)
+            ubound.cast("long") * F.lit(t_den)
+            >= F.greatest("x.n_sh", "y.n_sh").cast("long") * F.lit(t_num)
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
@@ -446,8 +451,16 @@ def minhash_lsh_pairs(
     """
     # Signature computation feeds both sides of the band self-join and
     # the verify join — persist to compute shingles+signatures once.
-    sigs = minhash_signatures(df, text_col, id_col, n).persist()
+    # Only doc/n_sh/shh/sig survive the select: the raw shingle-string
+    # array and the mod-P intermediate would otherwise ~triple the
+    # cached row (same drop-before-persist as ngram_jaccard_pairs).
+    sigs = (
+        minhash_signatures(df, text_col, id_col, n)
+        .select("doc", "n_sh", "shh", "sig")
+        .persist()
+    )
     n_docs = sigs.count()  # eager cache fill — see ngram_jaccard_pairs
+    t_num, t_den = _rationalize_threshold(threshold)
     bands = sigs.select(
         "doc",
         "n_sh",
@@ -473,9 +486,13 @@ def minhash_lsh_pairs(
             & (F.col("x.bkey") == F.col("y.bkey"))
             & (F.col("x.doc") < F.col("y.doc"))
             # lossless length filter (see ngram_jaccard_pairs): band
-            # collisions between size-mismatched docs can't reach τ
-            & (F.col("y.n_sh") >= F.col("x.n_sh") * threshold)
-            & (F.col("y.n_sh") * threshold <= F.col("x.n_sh")),
+            # collisions between size-mismatched docs can't reach τ.
+            # Integer-exact like the other candidate filters — the float
+            # form rejected exact-boundary pairs (n * 0.8000...444 > k)
+            & (F.col("y.n_sh").cast("long") * t_den
+               >= F.col("x.n_sh").cast("long") * t_num)
+            & (F.col("y.n_sh").cast("long") * t_num
+               <= F.col("x.n_sh").cast("long") * t_den),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
@@ -723,8 +740,8 @@ def _containment_candidates(
             & (F.col("y.n_sh") <= F.lit(size_ratio) * F.col("x.n_sh"))
         )
         .filter(
-            ubound * F.lit(t_den)
-            >= F.lit(t_num) * F.least("x.n_sh", "y.n_sh")
+            ubound.cast("long") * F.lit(t_den)
+            >= F.lit(t_num) * F.least("x.n_sh", "y.n_sh").cast("long")
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
@@ -740,6 +757,7 @@ def containment_pairs(
     t_num: int = 9,
     t_den: int = 10,
     size_ratio: int = 2,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with CONTAINMENT |sh_a ∩ sh_b| ≥ (t_num/t_den)
     · min(|sh_a|, |sh_b|), restricted to comparable sizes
@@ -769,10 +787,17 @@ def containment_pairs(
         .persist()
     )
     s = _freq_ordered(base).persist()
-    s.count()
+    n_docs = s.count()
     base.unpersist()
     cand = _containment_candidates(s, t_num, t_den, size_ratio)
+    # Same verify-join strategy gate as _verify_jaccard: candidates can
+    # outnumber docs many-fold, so broadcast the KB-sized shingle sets
+    # while they fit (conf-tunable cap), shuffle on doc id above it.
     sets = s.select("doc", "shh", "n_sh")
+    if broadcast_verify is None:
+        broadcast_verify = n_docs <= verify_broadcast_cap(df.sparkSession)
+    if broadcast_verify:
+        sets = F.broadcast(sets)
     a = sets.select(
         F.col("doc").alias("doc_a"),
         F.col("shh").alias("shh_a"),

@@ -1016,8 +1016,12 @@ def test_lossless_prefix_len_integer_exact(spark):
     0.19999999999999996, so n=10 gave 2 where losslessness needs 3;
     containment's 1 - 9/20 loses at n=20). Sweep the thresholds the
     operators ship plus adversarial rationals over n = 1..400."""
-    cases = [(4, 5), (9, 10), (9, 20), (1, 2), (17, 20), (7, 10), (1, 3)]
-    sizes = list(range(1, 401))
+    # the last case is an overflow probe: den ~1e6 (limit_denominator's
+    # cap) times a 100k-shingle doc overflows int32 — the LONG widening
+    # must keep the bound exact instead of throwing under ANSI
+    cases = [(4, 5), (9, 10), (9, 20), (1, 2), (17, 20), (7, 10), (1, 3),
+             (123457, 999983)]
+    sizes = list(range(1, 401)) + [50_000, 100_000]
     df = spark.createDataFrame([(n,) for n in sizes], "n int")
     for num, den in cases:
         got = {
