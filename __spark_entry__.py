@@ -71,8 +71,19 @@ _CHECK_ORDER = [
     "agg_collect_csv",
     "agg_conditional_family",
     "agg_having",
-    "agg_minmax",
     "agg_stats_moments",
+    # embedding_similar_pairs / ann_topk were code-touched by the r8
+    # similarity hardening (NULL/empty-vector guards, ANSI-safe
+    # try_divide cosine, vectorized cluster-pair loop, query-dim guard)
+    # — touched code re-lands. They displace agg_minmax / ngram_bigrams
+    # (families carry newer greens: agg_having/agg_collect_csv here,
+    # token_counts/text_repetition r6, tfidf_topterms r7); r4 residue
+    # is now 10, exactly at the <=10 done-criterion. The remaining
+    # touched id embedding_similar_pairs_lsh keeps its r7 row (guard-
+    # only diff on its path, value-identical by the fresh-process sim)
+    # and heads the r9 window with dedup_embedding_semantic.
+    "embedding_similar_pairs",
+    "ann_topk",
     "ann_topk_ivf",
     "ann_topk_lsh",
     "chunk_documents",
@@ -86,7 +97,6 @@ _CHECK_ORDER = [
     "funnel_conversion",
     "hudi_mor_ro_read",
     "hudi_time_travel",
-    "ngram_bigrams",
     "pii_scrub",
     "profile_orders",
     "retention_cohorts",
@@ -123,11 +133,13 @@ _CHECK_ORDER = [
     # ---- window edge: position 50 ----
     # r4 residue -> r9 rotation head (bench's headline suite still runs
     # q19/q22 every round). Post-r8 staleness ledger (computed from
-    # CORRECTNESS_r01-r07 + this window): 8 ids on r4 rows (the 6 below
-    # plus set_union_all / win_cume_dist), 43 on r5, 49 on r6 — r9 =
-    # the 8 r4-row ids + 42 of the r5 cohort (one r5 id spills), r10 =
-    # that spilled id + the 49 r6-row ids, exactly 50 each. The ledger
-    # converges: after r10 no row is older than 3 rounds.
+    # CORRECTNESS_r01-r07 + this window): 10 ids on r4 rows (the 6
+    # below plus set_union_all / win_cume_dist / agg_minmax /
+    # ngram_bigrams), 43 on r5, 47 on r6 — r9 = the 10 r4-row ids +
+    # embedding_similar_pairs_lsh + dedup_embedding_semantic (r8-touched,
+    # guard-only) + 38 of the r5 cohort; r10 = the 5 spilled r5 ids +
+    # the 45 remaining r6 ids, exactly 50 each. The ledger converges:
+    # after r10 no row is older than 3 rounds.
     "tpch_q16_shape",
     "tpch_q17_shape",
     "tpch_q19_shape",

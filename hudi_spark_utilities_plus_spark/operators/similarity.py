@@ -63,7 +63,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector has no direction — its cosine is
+    # NULL under BOTH ANSI modes (plain `/` throws DIVIDE_BY_ZERO under
+    # Spark 4's default ANSI, which would crash the whole job on one
+    # degenerate vector instead of dropping the comparison)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -75,13 +79,29 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def infer_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector width from the first row (one-row driver action, metadata-
-    scale). Raises on an empty frame."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
-        raise ValueError(f"cannot infer dim: no rows in column {vec_col!r}")
-    return int(row["d"])
+def _valid_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose vector is NULL or empty — they have no geometry,
+    so no distance/cosine is defined for them. Without this a single
+    NULL embedding reaches the k-means seed collect / radii aggregate as
+    a NULL cluster and crashes the driver (sorted() on None), violating
+    the must-not-crash contract the operators document."""
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+
+
+def _check_query_dim(queries: DataFrame, vec_col: str, dim: int) -> None:
+    """Query-side width guard (same silent-collapse failure _check_dim
+    exists for, on the other input): a mismatched query vector null-pads
+    every zip_with projection, packs all-zero band keys, and returns
+    garbage top-k with no error. Empty query frames pass — the result is
+    simply empty."""
+    row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and int(row["d"]) != dim:
+        raise ValueError(
+            f"query vector width {int(row['d'])} does not match the "
+            f"corpus width {dim} for column {vec_col!r}"
+        )
 
 
 def _check_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
@@ -120,8 +140,13 @@ def cosine_topk_bruteforce(
     work is one dot product (identical float result: sqrt(dot(v,v)) is
     the same value whether computed before or inside the join).
     """
+    corpus_row = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    if corpus_row is not None:
+        _check_query_dim(queries, vec_col, int(corpus_row["d"]))
     docs = (
-        _scatter(embeddings)
+        _scatter(_valid_vecs(embeddings, vec_col))
         .select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("d_vec"),
@@ -129,7 +154,7 @@ def cosine_topk_bruteforce(
         .withColumn("d_norm", l2_norm(F.col("d_vec")))
     )
     qs = (
-        queries.select(
+        _valid_vecs(queries, vec_col).select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
         )
         .withColumn("q_norm", l2_norm(F.col("q_vec")))
@@ -138,7 +163,10 @@ def cosine_topk_bruteforce(
         F.broadcast(qs), F.col("neighbor_id") != F.col("query_id")
     ).withColumn(
         "cos_sim",
-        dot(F.col("q_vec"), F.col("d_vec")) / (F.col("q_norm") * F.col("d_norm")),
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("d_vec")),
+            F.col("q_norm") * F.col("d_norm"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -421,7 +449,7 @@ def similar_pairs(
     spark = embeddings.sparkSession
     d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     side = (
-        _scatter(embeddings)
+        _scatter(_valid_vecs(embeddings, vec_col))
         .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("norm", l2_norm(F.col("v")))
         # zero vectors have no direction: leave them unnormalized; their
@@ -490,13 +518,17 @@ def similar_pairs(
         # conservative: recall stays 100% by construction
         bound = (R[:, None] + R[None, :] + d_max) ** 2 * (1.0 + 1e-12) + 1e-9
         keep = cd2 <= bound
-        for i, c1 in enumerate(live):
-            for j in range(i, len(live)):
-                if keep[i, j]:
-                    c2 = live[j]
-                    pairs.append((c1, c2))
-                    if c1 != c2:
-                        pairs.append((c2, c1))  # both directions: a<b may sit either way
+        # surviving pairs via one vectorized nonzero on the upper
+        # triangle (incl. diagonal) — the Python loop below runs only
+        # over SURVIVORS (output-sized), not the k² grid; a full k² loop
+        # with per-element numpy indexing was the same driver-side scale
+        # ceiling the gram-matrix vectorization above removed
+        iu_k, ju_k = np.nonzero(np.triu(keep))
+        for i, j in zip(iu_k.tolist(), ju_k.tolist()):
+            c1, c2 = live[i], live[j]
+            pairs.append((c1, c2))
+            if c1 != c2:
+                pairs.append((c2, c1))  # both directions: a<b may sit either way
         # pruning-rate probe (metadata-scale): candidate volume the
         # surviving cluster pairs imply, as a fraction of n·(n−1)/2
         Nv = np.asarray([counts[c] for c in live], dtype=np.float64)
@@ -569,7 +601,14 @@ def similar_pairs(
         .join(vb, "id_b")
         .withColumn(
             "cos_sim",
-            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+            # try_divide: NULL (→ dropped by the filter) on zero-norm
+            # vectors under both ANSI modes, as the comment at the nv
+            # normalization promises — plain `/` throws under Spark 4's
+            # default ANSI instead
+            F.try_divide(
+                dot(F.col("v_a"), F.col("v_b")),
+                F.col("n_a") * F.col("n_b"),
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -593,6 +632,11 @@ def quantize_embeddings(
     row. floor (not round) keeps the math engine-agnostic — HALF_UP vs
     banker's rounding never enters. Narrow per-row transform, no
     shuffle."""
+    if levels < 2:
+        raise ValueError(
+            f"levels must be >= 2 (levels-1 is the quantization "
+            f"denominator); got {levels}"
+        )
     v = as_double(F.col(vec_col))
     vmin, vmax = F.array_min(v), F.array_max(v)
     span = vmax - vmin
@@ -707,8 +751,12 @@ def ann_topk_lsh(
     raises (a silent mismatch used to null every projection and collapse
     all buckets into one — all-pairs in disguise)."""
     dim = _check_dim(embeddings, vec_col, dim)
+    # the query side gets the same width guard — a mismatched query
+    # null-pads every projection and packs all-zero band keys (garbage
+    # candidates ranked by NULL cosine, no error)
+    _check_query_dim(queries, vec_col, dim)
     docs = (
-        _scatter(embeddings)
+        _scatter(_valid_vecs(embeddings, vec_col))
         .select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("d_vec"),
@@ -720,19 +768,25 @@ def ann_topk_lsh(
         "neighbor_id", "d_vec", "d_norm", F.posexplode("bk").alias("band", "bkey")
     )
     qs = (
-        queries.select(
+        _valid_vecs(queries, vec_col).select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
         )
         .withColumn("q_norm", l2_norm(F.col("q_vec")))
         .withColumn("bk", _band_keys(F.col("q_vec"), dim, n_bands, band_bits))
     )
-    # enumerate multiprobe keys: the key itself + every single-bit flip
-    # (multiprobe_bits=1); deterministic, query-side only
+    # enumerate multiprobe keys: the key itself + every key within
+    # ``multiprobe_bits`` bit flips (deterministic, query-side only) —
+    # C(band_bits, m) masks per flip count m, e.g. 1+6+15 probes at
+    # band_bits=6, multiprobe_bits=2
+    import itertools
+
     probe_keys = [F.col("bkey0")]
-    if multiprobe_bits >= 1:
-        probe_keys += [
-            F.col("bkey0").bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)
-        ]
+    for m in range(1, min(max(multiprobe_bits, 0), band_bits) + 1):
+        for combo in itertools.combinations(range(band_bits), m):
+            mask = 0
+            for j in combo:
+                mask |= 1 << j
+            probe_keys.append(F.col("bkey0").bitwiseXOR(F.lit(mask)))
     qbands = (
         qs.select(
             "query_id", "q_vec", "q_norm",
@@ -753,7 +807,10 @@ def ann_topk_lsh(
     )
     scored = cand.withColumn(
         "cos_sim",
-        dot(F.col("q_vec"), F.col("d_vec")) / (F.col("q_norm") * F.col("d_norm")),
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("d_vec")),
+            F.col("q_norm") * F.col("d_norm"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -782,15 +839,21 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) index.
 
-    Train: deterministic init (cluster = vec_id % n_clusters) + a few
-    k-means iterations, all as DataFrame aggregations — only the k
-    centroid vectors (metadata) ever reach the driver. Search: each
-    query probes its n_probe nearest clusters; only those clusters'
-    vectors are scored. At corpus scale the cluster column becomes the
-    lake partition key, so probing is partition pruning.
+    Train: deterministic k-means seeded from the k lowest-id data
+    vectors (see _kmeans) + a few Lloyd iterations, all as DataFrame
+    aggregations — only the k centroid vectors (metadata) ever reach
+    the driver. Search: each query probes its n_probe nearest clusters;
+    only those clusters' vectors are scored. At corpus scale the
+    cluster column becomes the lake partition key, so probing is
+    partition pruning.
     """
+    corpus_row = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    if corpus_row is not None:
+        _check_query_dim(queries, vec_col, int(corpus_row["d"]))
     docs = (
-        _scatter(embeddings)
+        _scatter(_valid_vecs(embeddings, vec_col))
         .select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
         )
@@ -802,7 +865,7 @@ def ivf_topk(
 
     assigned, cents = _kmeans(docs, "v", "neighbor_id", n_clusters, kmeans_iters)
 
-    qs = queries.select(
+    qs = _valid_vecs(queries, vec_col).select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     # per-query probe list: n_probe nearest centroids by squared distance
@@ -825,7 +888,10 @@ def ivf_topk(
     )
     scored = cand.withColumn(
         "cos_sim",
-        dot(F.col("q_vec"), F.col("v")) / (F.col("q_norm") * F.col("d_norm")),
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("v")),
+            F.col("q_norm") * F.col("d_norm"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
