@@ -60,9 +60,19 @@ _CHECK_ORDER = [
     "winsorize_cap",
     "variant_json_query",
     "mm_audio_energy",
-    # (c) displaced r5/r4-row ids whose implementation r6 touched
-    "mm_features",
-    "mm_resize",
+    # (c) displaced r5/r4-row ids whose implementation r6 touched.
+    # Amendment: win_ntile / mixture_interleave take the mm_features /
+    # mm_resize slots — the r8 global-window rework changed their PLAN
+    # (the local ordinal now reads off monotonically_increasing_id
+    # after the in-partition sort; the second full hash exchange is
+    # gone), and this-round-touched code outranks 3-rounds-stale
+    # untouched code for a driver row (the verdict's own r6/r7
+    # precedent). mm_features / mm_resize (r5 rows, untouched,
+    # pytest-exercised every round) head the r9 window together with
+    # the value-identical-but-touched win_range_between /
+    # pack_token_budget.
+    "win_ntile",
+    "mixture_interleave",
     "stream_trigger",
     "jdbc_scan",
     "excel_scan",
@@ -135,11 +145,15 @@ _CHECK_ORDER = [
     # q19/q22 every round). Post-r8 staleness ledger (computed from
     # CORRECTNESS_r01-r07 + this window): 10 ids on r4 rows (the 6
     # below plus set_union_all / win_cume_dist / agg_minmax /
-    # ngram_bigrams), 43 on r5, 47 on r6 — r9 = the 10 r4-row ids +
-    # embedding_similar_pairs_lsh + dedup_embedding_semantic (r8-touched,
-    # guard-only) + 38 of the r5 cohort; r10 = the 5 spilled r5 ids +
-    # the 45 remaining r6 ids, exactly 50 each. The ledger converges:
-    # after r10 no row is older than 3 rounds.
+    # ngram_bigrams), 44 on r5 (incl. mm_features / mm_resize /
+    # pack_token_budget), 45 on r6. r9 window = (1) the four r8-touched
+    # ids whose driver rows predate their change — win_range_between,
+    # pack_token_budget (value-identical, parity-verified locally),
+    # embedding_similar_pairs_lsh, dedup_embedding_semantic (guard-only
+    # paths) — then (2) the 10 r4-row ids, then (3) mm_features /
+    # mm_resize and the rest of the r5 cohort oldest-first to fill 50;
+    # r10 = the r5 spill + the r6 cohort. After r10 no row is older
+    # than 3 rounds.
     "tpch_q16_shape",
     "tpch_q17_shape",
     "tpch_q19_shape",

@@ -6,10 +6,11 @@ correct at sf0.01, dead at 100 TB. These operators compute the same
 results as two-phase distributed programs:
 
 - :func:`global_row_number` — range-partition on the order keys, rank
-  locally per partition, then add per-partition cumulative offsets
-  (a ``n_partitions``-row metadata collect, same class as IVF
-  centroids). ntile/percent_rank derive from the global row number plus
-  the (driver-side) total count.
+  locally per partition (NO second exchange: the local ordinal falls
+  out of ``monotonically_increasing_id`` after an in-partition sort),
+  then add per-partition cumulative offsets (a ``n_partitions``-row
+  metadata collect, same class as IVF centroids). ntile/percent_rank
+  derive from the global row number plus the (driver-side) total count.
 - :func:`range_frame_sum` — a value-RANGE-framed running sum expressed
   as a bounded block self-join: bucket rows into blocks the width of
   the frame, emit each row as a contributor to its own and the next
@@ -18,12 +19,21 @@ results as two-phase distributed programs:
 
 Neither produces an ``Exchange SinglePartition`` in the executed plan
 (pinned by tests/test_plans.py).
+
+Internal temp columns are ``__gw_``-prefixed so a caller's own columns
+are never clobbered by the intermediate ``withColumn``/``drop`` steps.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id() = (partition_id << 33) | row_index, so
+# the low 33 bits ARE the 0-based ordinal within the partition — a local
+# row number with no window (and no hash exchange). Valid while every
+# partition holds < 2^33 rows (8.5 B — far above any sane task size).
+_MID_ROW_MASK = (1 << 33) - 1
 
 
 def global_row_number(
@@ -35,10 +45,15 @@ def global_row_number(
     """Globally-ordered row_number without a single-partition window.
 
     Phase 1: ``repartitionByRange`` on the order keys (deterministic
-    sampled boundaries) + per-partition ``row_number`` — each task ranks
-    only its slice. Phase 2: per-partition row counts (``n_partitions``
-    rows — metadata, not data) are collected, turned into cumulative
-    offsets, and broadcast-joined back: global rn = offset + local rn.
+    sampled boundaries) + ``sortWithinPartitions`` — each task sorts
+    only its slice, and the local ordinal is read straight off
+    ``monotonically_increasing_id``'s low bits, so there is NO second
+    exchange (a ``Window.partitionBy(partition-tag)`` would hash-shuffle
+    the full dataset a second time just to re-cluster rows that are
+    already colocated). Phase 2: per-partition row counts
+    (``n_partitions`` rows — metadata, not data) are collected, turned
+    into cumulative offsets, and broadcast-joined back: global rn =
+    offset + local rn.
 
     Order keys must be a total order (unique): rows tying across a
     range boundary would otherwise get arbitrary relative ranks.
@@ -48,15 +63,27 @@ def global_row_number(
     """
     sess = df.sparkSession
     n_partitions = n_partitions or sess.sparkContext.defaultParallelism
-    tagged = df.repartitionByRange(n_partitions, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    local = (
+        df.repartitionByRange(n_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__gw_pid", F.spark_partition_id())
+        .withColumn(
+            "__gw_lrn",
+            (
+                F.monotonically_increasing_id().bitwiseAND(
+                    F.lit(_MID_ROW_MASK)
+                )
+                + 1
+            ).cast("long"),
+        )
+        .persist()
     )
-    w = Window.partitionBy("_pid").orderBy(*order_by)
-    local = tagged.withColumn("_lrn", F.row_number().over(w)).persist()
-    local.count()  # eager cache: the counts job below must not recompute
+    # the counts collect below is the FIRST action over the persisted
+    # frame, so it both computes the offsets and fills the cache in one
+    # job — an extra eager count() here would be a whole redundant pass
     counts = sorted(
-        (r["_pid"], r["n"])
-        for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        (r["__gw_pid"], r["n"])
+        for r in local.groupBy("__gw_pid").agg(F.count("*").alias("n")).collect()
     )
     offsets, acc = {}, 0
     for pid, n in counts:
@@ -64,13 +91,14 @@ def global_row_number(
         acc += n
     off_df = F.broadcast(
         sess.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+            [(pid, off) for pid, off in offsets.items()],
+            "__gw_pid INT, __gw_off LONG",
         )
     )
     out = (
-        local.join(off_df, "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_pid", "_lrn", "_off")
+        local.join(off_df, "__gw_pid")
+        .withColumn(out_col, (F.col("__gw_off") + F.col("__gw_lrn")).cast("long"))
+        .drop("__gw_pid", "__gw_lrn", "__gw_off")
     )
     return out, acc
 
@@ -112,24 +140,34 @@ def global_running_sum(
     place of COUNT: range-partition on the order keys, local running sum
     per partition, then add per-partition total offsets (an
     ``n_partitions``-row metadata collect, broadcast back). Order keys
-    must be a total order (unique) for a deterministic result."""
+    must be a total order (unique) for a deterministic result.
+
+    The local cumulative sum needs a ``Window.partitionBy`` on the
+    partition tag, which Catalyst satisfies with a second hash exchange
+    (it cannot see that rows are already colocated by partition id; a
+    bare ordinal can be read off ``monotonically_increasing_id`` but a
+    running SUM cannot). The alternative — an Arrow-batched
+    ``mapInPandas`` cumsum — would avoid that exchange but round-trips
+    the full dataset through Python serialization, which costs as much
+    as the shuffle it saves and breaks whole-stage codegen; the JVM
+    shuffle is the deliberate choice."""
     sess = df.sparkSession
     n_partitions = n_partitions or sess.sparkContext.defaultParallelism
     tagged = (
         df.repartitionByRange(n_partitions, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_v", val)
+        .withColumn("__gw_pid", F.spark_partition_id())
+        .withColumn("__gw_v", val)
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("__gw_pid")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = tagged.withColumn("_lcum", F.sum("_v").over(w)).persist()
-    local.count()  # eager cache: the totals job below must not recompute
+    local = tagged.withColumn("__gw_lcum", F.sum("__gw_v").over(w)).persist()
+    # the totals collect is the first action and fills the cache itself
     totals = sorted(
-        (r["_pid"], r["t"])
-        for r in local.groupBy("_pid").agg(F.sum("_v").alias("t")).collect()
+        (r["__gw_pid"], r["t"])
+        for r in local.groupBy("__gw_pid").agg(F.sum("__gw_v").alias("t")).collect()
     )
     # offsets inherit the sum's arithmetic from the VALUE column's type:
     # integral columns stay exact longs (token counts — the original
@@ -140,7 +178,7 @@ def global_running_sum(
 
     from pyspark.sql.types import DecimalType
 
-    vt = tagged.schema["_v"].dataType
+    vt = tagged.schema["__gw_v"].dataType
     integral = vt.simpleString() in ("tinyint", "smallint", "int", "bigint")
     decimal = isinstance(vt, DecimalType)
     offsets, acc = {}, Decimal(0) if decimal else 0
@@ -153,18 +191,18 @@ def global_running_sum(
     off_df = F.broadcast(
         sess.createDataFrame(
             [(pid, off) for pid, off in offsets.items()],
-            f"_pid INT, _off {off_type}",
+            f"__gw_pid INT, __gw_off {off_type}",
         )
     )
-    out = (F.col("_off") + F.col("_lcum"))
+    out = (F.col("__gw_off") + F.col("__gw_lcum"))
     if integral:
         out = out.cast("long")
     elif decimal:
         out = out.cast(f"decimal(38,{vt.scale})")
     return (
-        local.join(off_df, "_pid")
+        local.join(off_df, "__gw_pid")
         .withColumn(out_col, out)
-        .drop("_pid", "_v", "_lcum", "_off")
+        .drop("__gw_pid", "__gw_v", "__gw_lcum", "__gw_off")
     )
 
 
@@ -185,26 +223,49 @@ def range_frame_sum(
     emitted as a contributor to its own and the following block and the
     frame sum is an equi-join on block + a range filter + a groupBy —
     per-row work bounded by 2 blocks' density, all shuffles hash-keyed.
+
+    NULL keys form their own peer group, as in the native RANGE window
+    (their frame is exactly the NULL peers), handled as a separate
+    keyed aggregate unioned in — the block join's NULL arithmetic would
+    otherwise silently drop those rows.
     """
+    if preceding <= 0:
+        raise ValueError(
+            f"preceding must be > 0 (it is the block width); got {preceding}"
+        )
     k = F.col(key_col)
-    contrib = df.select(
-        k.alias("_ck"), val.alias("_cv"), F.floor(k / preceding).alias("_blk")
+    nn = df.filter(k.isNotNull())
+    contrib = nn.select(
+        k.alias("__gw_ck"),
+        val.alias("__gw_cv"),
+        F.floor(k / preceding).alias("__gw_blk"),
     )
     contrib = contrib.select(
-        "_ck", "_cv", F.explode(F.array(F.col("_blk"), F.col("_blk") + 1)).alias("_blk")
+        "__gw_ck",
+        "__gw_cv",
+        F.explode(
+            F.array(F.col("__gw_blk"), F.col("__gw_blk") + 1)
+        ).alias("__gw_blk"),
     )
     # keys_unique skips the distinct (a full extra exchange + dedup agg)
     # when the caller guarantees one row per key — e.g. a primary key
-    rows = df.select(k.alias(key_col))
+    rows = nn.select(k.alias(key_col))
     if not keys_unique:
         rows = rows.distinct()
-    rows = rows.withColumn("_blk", F.floor(F.col(key_col) / preceding))
-    return (
-        rows.join(contrib, "_blk")
+    rows = rows.withColumn("__gw_blk", F.floor(F.col(key_col) / preceding))
+    result = (
+        rows.join(contrib, "__gw_blk")
         .filter(
-            (F.col("_ck") >= F.col(key_col) - preceding)
-            & (F.col("_ck") <= F.col(key_col))
+            (F.col("__gw_ck") >= F.col(key_col) - preceding)
+            & (F.col("__gw_ck") <= F.col(key_col))
         )
         .groupBy(key_col)
-        .agg(F.sum("_cv").alias(out_col))
+        .agg(F.sum("__gw_cv").alias(out_col))
     )
+    # NULL peer group: one row, sum over the NULL-key rows only
+    null_rows = (
+        df.filter(k.isNull())
+        .groupBy(k.alias(key_col))
+        .agg(F.sum(val).alias(out_col))
+    )
+    return result.unionByName(null_rows)

@@ -29,12 +29,20 @@ def pack_assignments(
     budget: int,
 ) -> DataFrame:
     """(all df columns, ``pack_id``) — the pack containing the document's
-    first token under contiguous packing in ``id_col`` order."""
-    cum = global_running_sum(
-        df, [F.col(id_col)], F.col(tokens_col).cast("long"), out_col="_cum"
-    )
+    first token under contiguous packing in ``id_col`` order.
+
+    NULL token counts ride as 0 (the doc occupies no budget, lands in
+    the current pack) — without the coalesce the subtraction below goes
+    NULL and the doc falls into a silent NULL pack. The subtraction
+    reuses the SAME cast expression the running sum accumulates, so a
+    fractional tokens column cannot skew pack_id off by one (long cum
+    minus raw double used to shift every assignment)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0 tokens; got {budget}")
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    cum = global_running_sum(df, [F.col(id_col)], tok, out_col="_cum")
     return cum.withColumn(
-        "pack_id", F.floor((F.col("_cum") - F.col(tokens_col)) / budget)
+        "pack_id", F.floor((F.col("_cum") - tok) / budget)
     ).drop("_cum")
 
 
@@ -78,13 +86,20 @@ def chunk_documents(
     straight into the tokenizer/writer stage, and the output inherits
     the scan's partitioning. Row width grows by the overlap factor
     (size/stride), which is the expected amplification of the layout.
-    """
-    from pyspark.sql import functions as F
 
+    Documents with no tokens (NULL / empty / whitespace-only text)
+    yield ZERO chunks: real web corpora contain them, and the
+    split-of-empty-string artifact ([''] — one phantom token) would
+    otherwise emit a 1-token empty chunk per empty doc, silently
+    inflating downstream token budgets.
+    """
     from .text import ws_tokens
 
     if size <= 0 or stride <= 0 or stride > size:
         raise ValueError("need 0 < stride <= size")
+    df = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
     toks = ws_tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_chunks = (

@@ -1319,6 +1319,7 @@ def contamination_check(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
     ),
     c AS (
       SELECT doc_id, toks,

@@ -1147,3 +1147,72 @@ def test_ann_lsh_multiprobe_enumerates_requested_bits(spark):
         counts.append(res.count())
     # more probes can only add candidates -> result size monotone
     assert counts[0] <= counts[1] <= counts[2], counts
+
+
+def test_packing_degenerate_inputs(spark):
+    """Packing/chunking guards from the round-8 review: fractional and
+    NULL token columns must not skew pack_id (the long-cast running sum
+    minus the RAW double used to shift every assignment to -1);
+    budget<=0 and preceding<=0 raise; empty/NULL documents yield ZERO
+    chunks (not a phantom 1-token empty chunk); range_frame_sum keeps
+    NULL-key rows as their own peer group like the native RANGE
+    window."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.operators import packing as P
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        range_frame_sum,
+    )
+
+    # fractional tokens: both docs fit pack 0 (budget huge)
+    frac = spark.createDataFrame(
+        [(1, 0.5), (2, 0.5), (3, None)], "doc_id int, tok double"
+    )
+    got = {r["doc_id"]: r["pack_id"] for r in P.pack_assignments(
+        frac, "doc_id", "tok", budget=1000).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}, got
+
+    with _pytest.raises(ValueError, match="budget"):
+        P.pack_assignments(frac, "doc_id", "tok", budget=0)
+
+    # empty / whitespace / NULL docs yield no chunks
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "   "), (4, None)],
+        "doc_id int, text string",
+    )
+    chunks = P.chunk_documents(docs, "text", "doc_id", size=3, stride=2)
+    rows = chunks.collect()
+    assert {r["doc_id"] for r in rows} == {1}, rows
+    assert all(r["chunk_tokens"] >= 1 and r["chunk_text"] for r in rows)
+
+    # range_frame_sum: NULL keys form their own peer group
+    kv = spark.createDataFrame(
+        [(None, 5), (None, 7), (10, 1), (12, 2)], "k int, v int"
+    )
+    out = {r["k"]: r["frame_sum"] for r in range_frame_sum(
+        kv, "k", F.col("v"), preceding=5).collect()}
+    assert out == {None: 12, 10: 1, 12: 3}, out
+    with _pytest.raises(ValueError, match="preceding"):
+        range_frame_sum(kv, "k", F.col("v"), preceding=0)
+
+
+def test_global_row_number_no_second_exchange(spark):
+    """The local ordinal comes off monotonically_increasing_id after the
+    in-partition sort — a Window.partitionBy(partition-tag) would plan a
+    SECOND full hash exchange on data the range shuffle already
+    colocated. Pin: no hashpartitioning exchange in the executed plan,
+    and the result matches a ground-truth global sort."""
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        global_row_number,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") * 37 % 4999).alias("k")
+    )
+    out, n = global_row_number(df, [F.col("k"), F.col("id")])
+    assert n == 5000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan[:2000]
+    got = [r["id"] for r in out.orderBy("rn").collect()]
+    want = [r["id"] for r in df.orderBy("k", "id").collect()]
+    assert got == want
