@@ -67,10 +67,11 @@ _CHECK_ORDER = [
     # after the in-partition sort; the second full hash exchange is
     # gone), and this-round-touched code outranks 3-rounds-stale
     # untouched code for a driver row (the verdict's own r6/r7
-    # precedent). mm_features / mm_resize (r5 rows, untouched,
-    # pytest-exercised every round) head the r9 window together with
-    # the value-identical-but-touched win_range_between /
-    # pack_token_budget.
+    # precedent). mm_features (r5 row, untouched, pytest-exercised
+    # every round) heads the r9 window together with the
+    # value-identical-but-touched win_range_between /
+    # pack_token_budget; mm_resize later re-entered the window itself
+    # (its fit math changed values — see the (d)-section note).
     "win_ntile",
     "mixture_interleave",
     "stream_trigger",
@@ -82,18 +83,19 @@ _CHECK_ORDER = [
     "agg_conditional_family",
     "agg_having",
     "agg_stats_moments",
-    # embedding_similar_pairs / ann_topk were code-touched by the r8
-    # similarity hardening (NULL/empty-vector guards, ANSI-safe
-    # try_divide cosine, vectorized cluster-pair loop, query-dim guard)
-    # — touched code re-lands. They displace agg_minmax / ngram_bigrams
-    # (families carry newer greens: agg_having/agg_collect_csv here,
-    # token_counts/text_repetition r6, tfidf_topterms r7); r4 residue
-    # is now 10, exactly at the <=10 done-criterion. The remaining
-    # touched id embedding_similar_pairs_lsh keeps its r7 row (guard-
-    # only diff on its path, value-identical by the fresh-process sim)
-    # and heads the r9 window with dedup_embedding_semantic.
+    # embedding_similar_pairs (r8 similarity hardening: NULL-vector
+    # guards, ANSI-safe try_divide, vectorized cluster-pair loop) and
+    # mm_resize (the ONE id whose driver-data VALUES changed this round
+    # beyond the mandated oracle casts — the 224-fit is now integer-
+    # exact with the bound side exactly at the target, oracle updated
+    # in lockstep) take the agg_minmax / ngram_bigrams slots (families
+    # carry newer greens). Guard-only value-identical touched ids
+    # (ann_topk, embedding_similar_pairs_lsh, dedup_embedding_semantic,
+    # lang_id/doc_fingerprint/text_quality consumers of the codepoint
+    # fingerprint fix — all verified exact by the fresh-process sim)
+    # head the r9 window. r4 residue is 10, at the <=10 criterion.
     "embedding_similar_pairs",
-    "ann_topk",
+    "mm_resize",
     "ann_topk_ivf",
     "ann_topk_lsh",
     "chunk_documents",
@@ -145,13 +147,14 @@ _CHECK_ORDER = [
     # q19/q22 every round). Post-r8 staleness ledger (computed from
     # CORRECTNESS_r01-r07 + this window): 10 ids on r4 rows (the 6
     # below plus set_union_all / win_cume_dist / agg_minmax /
-    # ngram_bigrams), 44 on r5 (incl. mm_features / mm_resize /
+    # ngram_bigrams), 43 on r5 (incl. mm_features /
     # pack_token_budget), 45 on r6. r9 window = (1) the four r8-touched
     # ids whose driver rows predate their change — win_range_between,
     # pack_token_budget (value-identical, parity-verified locally),
     # embedding_similar_pairs_lsh, dedup_embedding_semantic (guard-only
     # paths) — then (2) the 10 r4-row ids, then (3) mm_features /
-    # mm_resize and the rest of the r5 cohort oldest-first to fill 50;
+    # mm_features, ann_topk and the rest of the r5/r6 cohorts
+    # oldest-first to fill 50;
     # r10 = the r5 spill + the r6 cohort. After r10 no row is older
     # than 3 rounds.
     "tpch_q16_shape",

@@ -75,7 +75,12 @@ def connected_components(
             new_labels.unpersist()
             old.unpersist()
             if changed == 0:
+                # the converged labels stay persisted: the returned
+                # DataFrame is lazy and every downstream action re-reads
+                # it, so ownership transfers to the caller (unpersist
+                # after materializing if the session is long-lived)
                 return labels
+        labels.unpersist()  # raise path: nothing downstream will read it
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds the bound — raise max_iter or use a "

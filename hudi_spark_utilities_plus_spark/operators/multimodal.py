@@ -132,27 +132,36 @@ def extract_features(
             except ImportError:
                 _Img = None
 
-        def _dims(raw: bytes) -> tuple[int, int]:
+        def _dims(raw: bytes, h: bytes) -> tuple[int, int]:
             if _Img is not None:
                 try:
                     with _Img.open(_io.BytesIO(raw)) as im:
                         return im.size
                 except Exception:
                     pass  # not decodable media — stand-in below
-            h = _hl.sha256(raw).digest()
             return (
                 int.from_bytes(h[:2], "big") % 1920 + 1,
                 int.from_bytes(h[2:4], "big") % 1080 + 1,
             )
 
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
-            dims = [_dims(p) for p in payloads]
+            # NULL payloads ride as empty bytes (total per-row behavior:
+            # bytes(None) would kill the whole task); the sha-256 digest
+            # is computed ONCE per payload and reused for both the
+            # stand-in dims and the hex fingerprint — hashing is the
+            # dominant per-byte cost of this operator
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            digs = [_hl.sha256(p) for p in payloads]
+            dims = [
+                _dims(p, d.digest()) for p, d in zip(payloads, digs)
+            ]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(p) for p in payloads],
-                    "payload_sha": [_hl.sha256(p).hexdigest() for p in payloads],
+                    "payload_sha": [d.hexdigest() for d in digs],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }
@@ -203,11 +212,21 @@ def resize_media(
                 int.from_bytes(h[2:4], "big") % 1080 + 1,
             )
 
+        def _fit(in_w: int, in_h: int) -> tuple[int, int]:
+            # Aspect-preserving fit with the BOUND side exactly at the
+            # target, computed in pure integers: the float form
+            # int(in_w * min(tw/in_w, th/in_h)) truncated products like
+            # 223.99999999999997 to 223, so the fitted dimension came
+            # out target-1 for ~9% of input widths — a 224-fit contract
+            # that emits 223-px images. Width binds iff
+            # tw*in_h <= th*in_w (integer-exact cross-multiply).
+            if target_w * in_h <= target_h * in_w:
+                return target_w, max(1, (in_h * target_w) // in_w)
+            return max(1, (in_w * target_h) // in_h), target_h
+
         def _fake_resize(raw: bytes) -> tuple[int, int, int, int, bytes]:
             in_w, in_h = _fake_dims(raw)
-            scale = min(target_w / in_w, target_h / in_h)
-            out_w = max(1, int(in_w * scale))
-            out_h = max(1, int(in_h * scale))
+            out_w, out_h = _fit(in_w, in_h)
             return in_w, in_h, out_w, out_h, raw[: max(1, out_w * out_h // 256)]
 
         for pdf in batches:
@@ -216,16 +235,14 @@ def resize_media(
                 "out_w": [], "out_h": [], "resized": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
+                raw = bytes(payload) if payload is not None else b""
                 row = None
                 if _Img is not None:
                     try:
                         with _Img.open(_io.BytesIO(raw)) as im:
                             im.load()
                             in_w, in_h = im.size
-                            scale = min(target_w / in_w, target_h / in_h)
-                            out_w = max(1, int(in_w * scale))
-                            out_h = max(1, int(in_h * scale))
+                            out_w, out_h = _fit(in_w, in_h)
                             buf = _io.BytesIO()
                             fmt = im.format or "PNG"
                             try:
@@ -270,7 +287,7 @@ def sample_frames(
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
+                raw = bytes(payload) if payload is not None else b""
                 for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(i)
@@ -312,17 +329,32 @@ def audio_window_energy(
         for pdf in batches:
             ids, widx, ns, energy = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = bytes(payload).decode("utf-8", errors="strict")
+                if payload is None:
+                    continue
+                try:
+                    s = bytes(payload).decode("utf-8", errors="strict")
+                except UnicodeDecodeError:
+                    # undecodable payload (real binary audio reaching the
+                    # stand-in decode): total per-row behavior is to emit
+                    # no windows, never to fail the Spark task — a real
+                    # deployment swaps in soundfile/ffmpeg here
+                    continue
                 cp = np.frombuffer(
                     s.encode("utf-32-le"), dtype="<u4"
                 ).astype("int64")
                 n = len(cp)
                 if n == 0:
                     continue
-                w = np.arange(n) // window
-                nw = int(w[-1]) + 1
-                e = np.bincount(w, weights=cp * cp, minlength=nw)
-                c = np.bincount(w, minlength=nw)
+                # windows are CONTIGUOUS runs of `window` samples, so
+                # add.reduceat on int64 boundaries sums each window
+                # exactly in int64 — np.bincount(weights=...) accumulates
+                # in float64, which silently rounds once a window's
+                # energy exceeds 2^53 (~7.3k max-codepoint samples),
+                # breaking the repr-exact contract for large windows
+                bounds = np.arange(0, n, window)
+                e = np.add.reduceat(cp * cp, bounds)
+                c = np.diff(np.append(bounds, n))
+                nw = len(bounds)
                 ids.extend([doc_id] * nw)
                 widx.extend(range(nw))
                 ns.extend(int(x) for x in c)

@@ -30,7 +30,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    """Whitespace tokenization (trim first so no empty edge tokens on
+    NON-blank input). Known artifact, pinned by every token-count
+    oracle: split of an empty/whitespace-only string yields [''] — ONE
+    phantom empty token — identically in Spark and DuckDB, so
+    token_count_ws('') is 1, not 0. Callers that must not count blank
+    docs filter them first (see packing.chunk_documents)."""
     return F.split(F.trim(text), "\\s+")
 
 
@@ -62,7 +67,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Predicted language = argmax of stopword hits (ties broken by the
-    fixed language order en>de>es>fr>zh, so the result is deterministic)."""
+    fixed language order en>de>es>fr>zh, so the result is deterministic).
+    NULL text stays NULL — without the guard every CASE condition is
+    NULL (not true) and the chain fell through to confidently labeling
+    a missing document with the LAST language."""
     scores = lang_scores(text)
     langs = list(LANG_MARKERS)
     expr = F.lit(langs[-1])
@@ -75,7 +83,7 @@ def lang_id(text: Column) -> Column:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(expr)
 
 
 def punct_count(text: Column) -> Column:
@@ -252,13 +260,32 @@ ROLLING_BASE = 31
 
 
 def rolling_fingerprint(text: Column) -> Column:
-    """Karp-Rabin rolling hash over characters: fold (acc*31 + code) mod p.
+    """Karp-Rabin rolling hash over UNICODE CODEPOINTS: fold
+    (acc*31 + codepoint) mod p. Expressed with ``F.aggregate`` so it
+    runs inside codegen — no UDF.
 
-    Expressed with ``F.aggregate`` so it runs inside codegen — no UDF.
-    Empty-string splits are filtered to keep engine-agnostic semantics.
-    """
-    codes = F.transform(
-        F.filter(F.split(text, ""), lambda ch: ch != ""), lambda ch: F.ascii(ch)
+    Codepoints come from hex(encode(text, 'utf-32')) sliced 8 hex chars
+    at a time, NOT from ``split('')`` + ``ascii()``: Spark's split
+    iterates UTF-16 code units (an astral char becomes TWO surrogate
+    elements) and its ascii() returns the surrogate value, while
+    codepoint engines (the DuckDB oracle) iterate codepoints — so the
+    old form diverged on any non-BMP character. The utf-32 form is
+    codepoint-exact in both engines and bit-identical to the old one on
+    BMP-only text. NULL text stays NULL; empty text folds to 0."""
+    hx = F.hex(F.encode(text, "utf-32"))
+    n_cp = (F.length(hx) / 8).cast("int")
+    codes = (
+        F.when(text.isNull(), F.lit(None).cast("array<long>"))
+        .when(
+            n_cp > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_cp - 1),
+                lambda i: F.conv(
+                    F.substring(hx, i * 8 + 1, F.lit(8)), 16, 10
+                ).cast("long"),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
     )
     return F.aggregate(
         codes,

@@ -940,11 +940,18 @@ def unpivot_measures(spark, sf_dir):
              ('0x' || substr(h, 5, 4))::INTEGER % 1080 + 1 AS in_h
       FROM d
     ), fit AS (
+      -- integer fit: the bound side is EXACTLY 224 (width binds iff
+      -- in_h <= in_w), the other side integer-floors — the float form
+      -- trunc(in_w * least(224.0/in_w, ...)) emitted 223 for ~9% of
+      -- widths (224*x/x computing as 223.99999999999997)
       SELECT doc_id, text, len, in_w, in_h,
-             GREATEST(1, CAST(trunc(in_w * LEAST(224.0 / in_w, 224.0 / in_h))
-                              AS INT)) AS out_w,
-             GREATEST(1, CAST(trunc(in_h * LEAST(224.0 / in_w, 224.0 / in_h))
-                              AS INT)) AS out_h
+             CAST(CASE WHEN in_h <= in_w THEN 224
+                       ELSE GREATEST(1, (in_w * 224) // in_h)
+                  END AS INT) AS out_w,
+             CAST(CASE WHEN in_h <= in_w
+                       THEN GREATEST(1, (in_h * 224) // in_w)
+                       ELSE 224
+                  END AS INT) AS out_h
       FROM dims
     )
     SELECT doc_id, in_w, in_h, out_w, out_h,

@@ -1216,3 +1216,76 @@ def test_global_row_number_no_second_exchange(spark):
     got = [r["id"] for r in out.orderBy("rn").collect()]
     want = [r["id"] for r in df.orderBy("k", "id").collect()]
     assert got == want
+
+
+def test_text_and_multimodal_degenerate_inputs(spark):
+    """Round-8 review guards: astral-plane chars fingerprint by CODEPOINT
+    (cross-engine — Spark's old split('')+ascii() iterated UTF-16
+    surrogates); NULL text gets NULL lang/fingerprint; NULL payloads and
+    undecodable bytes never kill a mapInPandas task; window energies sum
+    exactly in int64 past the float53 boundary; the 224-fit's bound side
+    is exactly 224."""
+    from hudi_spark_utilities_plus_spark.operators import multimodal as MM
+    from hudi_spark_utilities_plus_spark.operators import text as T
+
+    # astral codepoint fingerprint: the reference fold is Python ord()
+    # (true codepoints — what DuckDB's ascii() also returns)
+    texts = ["plain ascii", "emoji \U0001F600 and \U0001F680 here", ""]
+    df = spark.createDataFrame([(t,) for t in texts] + [(None,)], "t string")
+    got = {
+        r["t"]: r["fp"]
+        for r in df.select(
+            "t", T.rolling_fingerprint(F.col("t")).alias("fp")
+        ).collect()
+    }
+    for t in texts:
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        assert got[t] == acc, (t, got[t], acc)
+    assert got[None] is None
+
+    # NULL text -> NULL language, not 'zh'
+    lang = df.select(T.lang_id(F.col("t")).alias("lang")).collect()
+    assert any(r["lang"] is None for r in lang)
+    assert not any(r["lang"] == "zh" for r in lang if r["lang"] is None)
+
+    # NULL payload rows must not kill the Arrow task in any operator
+    pay = spark.createDataFrame(
+        [(1, b"hello world"), (2, None), (3, b"\xff\xfe\xff")],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r["n_bytes"] for r in MM.extract_features(
+        pay, use_codec=False).collect()}
+    assert feats[2] == 0 and feats[1] == 11
+    frames = MM.sample_frames(pay).groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in frames} == {1, 2, 3}
+    # undecodable payload (0xff) emits no audio windows; valid one does
+    energy = MM.audio_window_energy(pay, window=4).collect()
+    assert {r["doc_id"] for r in energy} == {1}
+
+    # int64-exact energy past the float53 boundary: 8000 max codepoints
+    big = spark.createDataFrame(
+        [(9, ("\U0010FFFF" * 8000).encode("utf-8"))],
+        "doc_id long, payload binary",
+    )
+    e = MM.audio_window_energy(big, window=8000).collect()[0]
+    assert e["energy"] == 8000 * 0x10FFFF * 0x10FFFF  # exact int sum
+    assert e["n_samples"] == 8000
+
+    # 224-fit: the bound side is EXACTLY the target for widths that the
+    # float form truncated to 223 (e.g. 55 -> 223.99999999999997)
+    from hudi_spark_utilities_plus_spark.operators.multimodal import (
+        resize_media,
+    )
+    docs = spark.createDataFrame(
+        [(1, "x" * 100)], "doc_id long, text string"
+    )
+    # drive _fit directly through the stand-in by checking the invariant
+    rows = resize_media(MM.attach_payload(docs), use_codec=False).collect()
+    for r in rows:
+        assert max(r["out_w"], r["out_h"]) == 224 or (
+            r["in_w"] <= 224 and r["in_h"] <= 224
+        )
+        # the bound side is exact: scale ratios imply one side == 224
+        assert 224 in (r["out_w"], r["out_h"])
