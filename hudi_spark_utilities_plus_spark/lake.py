@@ -829,7 +829,9 @@ class HudiTable:
         (semi-join → metadata-scale partition list) and rewrite only
         those. MOR tables append delete markers to the delta log; a
         marker carrying the precombine column competes by (precombine,
-        commit-seq), a key-only marker deletes unconditionally."""
+        commit-seq), a key-only marker deletes unconditionally. COW
+        applies the same contract at rewrite time: precombine-carrying
+        markers kill only rows at or below the marker's timestamp."""
         spark = spark or keys_df.sparkSession
         if not self.exists(spark):
             return
@@ -847,6 +849,35 @@ class HudiTable:
             self._maybe_sync_catalog(spark)
             return
         keys = keys_df.select(self.record_key).distinct()
+        # COW conditional delete: when the marker frame carries the
+        # precombine column, only rows at or below the marker's
+        # timestamp die — a redelivered/out-of-order delete from an
+        # at-least-once CDC bus must not kill a NEWER upsert (the MOR
+        # path above already competes markers by precombine; this gives
+        # COW the same latest-wins contract). Key-only markers stay
+        # unconditional.
+        _dts = "__hsup_del_ts"
+        marks = None
+        if self.precombine in keys_df.columns:
+            marks = (
+                keys_df.groupBy(self.record_key)
+                .agg(F.max(self.precombine).alias(_dts))
+            )
+
+        def _survivors(scoped_df: DataFrame) -> DataFrame:
+            if marks is None:
+                return scoped_df.join(
+                    keys, on=self.record_key, how="left_anti"
+                )
+            return (
+                scoped_df.join(marks, on=self.record_key, how="left")
+                .filter(
+                    F.col(_dts).isNull()
+                    | (F.col(self.precombine) > F.col(_dts))
+                )
+                .drop(_dts)
+            )
+
         existing = self.read(spark)
         if self.partition_field is not None:
             affected = existing.join(keys, on=self.record_key, how="left_semi")
@@ -854,7 +885,7 @@ class HudiTable:
             if not parts and not has_null:
                 return
             scoped = existing.filter(self._partition_scope(parts, has_null))
-            remaining = scoped.join(keys, on=self.record_key, how="left_anti")
+            remaining = _survivors(scoped)
             # a partition whose every row is deleted has nothing left for
             # dynamic overwrite to replace — find those BEFORE the rewrite
             # (remaining's plan reads the pre-rewrite files), then drop
@@ -870,7 +901,7 @@ class HudiTable:
                     sorted(emptied, key=lambda v: (v is None, v))
                 )
         else:
-            remaining = existing.join(keys, on=self.record_key, how="left_anti")
+            remaining = _survivors(existing)
             self._atomic_rewrite(remaining, spark)
         self._maybe_sync_catalog(spark)
 
@@ -1202,20 +1233,20 @@ class HudiTable:
         df.write.mode("overwrite").partitionBy(self.partition_field).parquet(staging)
         import shutil
 
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-        try:
-            (
-                # explicit schema: staging may be empty (e.g. a delete
-                # that emptied every touched partition) and empty dirs
-                # can't infer one
-                spark.read.schema(df.schema).parquet(staging)
-                .write.mode("overwrite")
-                .partitionBy(self.partition_field)
-                .parquet(local)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        (
+            # explicit schema: staging may be empty (e.g. a delete
+            # that emptied every touched partition) and empty dirs
+            # can't infer one. partitionOverwriteMode rides as a
+            # PER-WRITE option, NOT a session conf flip: concurrent
+            # writers on one session (the demux thread pool) raced on
+            # the shared conf — thread A restoring STATIC while thread
+            # B's overwrite planned could truncate B's whole table.
+            spark.read.schema(df.schema).parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_field)
+            .parquet(local)
+        )
         shutil.rmtree(staging)
 
     def _drop_partitions(self, values: list) -> None:

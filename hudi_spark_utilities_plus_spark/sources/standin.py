@@ -250,7 +250,7 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
             self._options.get("binlognameprefix", "mysql-bin"),  # ...and fixed
         )
         idx = self._options.get("binlogindex")
-        self._start_file = f"{prefix}.{int(idx):06d}" if idx is not None else None
+        self._start_idx = int(idx) if idx is not None else None
         self._start_off = int(self._options.get("binlogfileoffset", "4"))
 
     def initialOffset(self) -> dict:
@@ -261,12 +261,19 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
             return False
         if not self._tbl_re.match(obj.get("table") or ""):
             return False
-        if self._start_file is not None:
+        if self._start_idx is not None:
             bf, off = obj.get("binlog_file"), obj.get("binlog_offset")
             if bf is not None:  # positionless events are kept (old fixtures)
-                if bf < self._start_file:
+                # compare PARSED integer indexes: file-name strings
+                # mis-order at MySQL's 6-digit suffix rollover
+                # ('mysql-bin.1000000' < 'mysql-bin.999999' as strings)
+                try:
+                    bf_idx = int(str(bf).rsplit(".", 1)[-1])
+                except ValueError:
+                    return True  # unparseable name — keep, like no position
+                if bf_idx < self._start_idx:
                     return False
-                if bf == self._start_file and off is not None:
+                if bf_idx == self._start_idx and off is not None:
                     if off < self._start_off:
                         return False
         return True

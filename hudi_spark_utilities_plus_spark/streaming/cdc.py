@@ -64,14 +64,20 @@ def read_cdc_stream(
         F.col("db").rlike(f"^({db_re})$") & F.col("table").rlike(f"^({tbl_re})$")
     )
     if binlog_index is not None:
-        start_file = f"{binlog_name_prefix}.{int(binlog_index):06d}"
+        start_idx = int(binlog_index)
         start_off = int(binlog_file_offset or 4)  # 4 = first event, as in MySQL
-        # zero-padded file names order lexicographically by index
+        # compare PARSED integer indexes, not file-name strings: MySQL
+        # widens the suffix past 6 digits at .999999 rollover, and
+        # 'mysql-bin.1000000' < 'mysql-bin.999999' lexicographically —
+        # string comparison re-ingests pre-start events at the rollover
+        file_idx = F.substring_index(F.col("binlog_file"), ".", -1).cast(
+            "long"
+        )
         df = df.filter(
             F.col("binlog_file").isNull()
-            | (F.col("binlog_file") > start_file)
+            | (file_idx > start_idx)
             | (
-                (F.col("binlog_file") == start_file)
+                (file_idx == start_idx)
                 # a null offset means "no position" — keep, per the
                 # docstring contract (coalescing to 0 silently dropped
                 # such events whenever start_off > 0)
@@ -141,8 +147,26 @@ def read_binlog_stream(
 
 
 def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> DataFrame:
-    """Within-batch latest-wins: keep only the last op per key."""
-    w = Window.partitionBy(record_key).orderBy(F.col(precombine).desc())
+    """Within-batch latest-wins: keep only the last op per key.
+
+    Ties on the precombine break on the BINLOG POSITION when the
+    envelope carries it (binlog ts is second-resolution, so
+    insert-then-delete on one key within a second is routine): ordering
+    by ts alone left the winner to shuffle-internal row order — a
+    checkpoint replay could pick the other op, breaking the
+    replay-converges claim. (binlog_file compares by its parsed integer
+    index; the name string mis-orders at the 6-digit rollover.)"""
+    order = [F.col(precombine).desc()]
+    cols = set(batch_df.columns)
+    if "binlog_file" in cols:
+        order.append(
+            F.substring_index(F.col("binlog_file"), ".", -1)
+            .cast("long")
+            .desc_nulls_last()
+        )
+    if "binlog_offset" in cols:
+        order.append(F.col("binlog_offset").desc_nulls_last())
+    w = Window.partitionBy(record_key).orderBy(*order)
     return (
         batch_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -153,11 +177,19 @@ def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> Data
 def apply_cdc_batch(
     table: HudiTable, batch_df: DataFrame, spark: SparkSession
 ) -> None:
-    """Apply one micro-batch of change events to a keyed lake table."""
+    """Apply one micro-batch of change events to a keyed lake table.
+
+    Deletes keep the precombine column: a redelivered/out-of-order
+    delete in a LATER micro-batch (at-least-once delivery) must compete
+    by timestamp with the newer upsert already in the table — a
+    key-only delete is unconditional and would kill the newer row."""
     compacted = compact_batch(batch_df, table.record_key, table.precombine).persist()
     try:
         upserts = compacted.filter(F.col("op") != "delete").drop("op", "db", "table")
-        deletes = compacted.filter(F.col("op") == "delete").select(table.record_key)
+        del_cols = [table.record_key]
+        if table.precombine in compacted.columns:
+            del_cols.append(table.precombine)
+        deletes = compacted.filter(F.col("op") == "delete").select(*del_cols)
         if not upserts.isEmpty():
             table.upsert(upserts, spark)
         if not deletes.isEmpty():

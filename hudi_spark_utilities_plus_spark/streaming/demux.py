@@ -52,13 +52,25 @@ def resolve_table_config(
     )
     if not path:
         raise ValueError(f"no path configured for {db}.{table}")
-    return HudiTable(
-        path=path,
-        record_key=scoped.get(RECORDKEY_FIELD, "id"),
-        precombine=scoped.get(PRECOMBINE_FIELD, "ts"),
-        table_name=scoped.get("hoodie.table.name", f"ods_{db}_{table}"),
-        options=scoped,
+    # Delegate the hoodie.* -> constructor mapping to from_props (the
+    # one audited mapping): the previous hand-rolled call passed only
+    # path/record_key/precombine/table_name, silently DROPPING
+    # partitionpath.field and table.type — a table configured as
+    # partitioned MERGE_ON_READ got an unpartitioned COPY_ON_WRITE
+    # full-table rewrite every micro-batch.
+    from ..lake import (
+        PRECOMBINE_FIELD as _PC,
+        RECORDKEY_FIELD as _RK,
+        TABLE_NAME as _TN,
+        TABLE_PATH as _TP,
     )
+
+    merged = dict(scoped)
+    merged[_TP] = path
+    merged.setdefault(_RK, "id")
+    merged.setdefault(_PC, "ts")
+    merged.setdefault(_TN, f"ods_{db}_{table}")
+    return HudiTable.from_props(merged)
 
 
 def demux_batch(
@@ -77,9 +89,14 @@ def demux_batch(
     batch_df.persist()
     try:
         # Metadata-sized collect: the distinct routing keys, not the data.
+        # NULL routing keys are skipped, not fanned out: one malformed
+        # event would otherwise TypeError in the path template, fail the
+        # batch before its checkpoint commits, and wedge the query in a
+        # permanent replay loop.
         pairs = [
             (r["db"], r["table"])
             for r in batch_df.select("db", "table").distinct().collect()
+            if r["db"] is not None and r["table"] is not None
         ]
         if not pairs:
             return

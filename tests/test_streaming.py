@@ -451,3 +451,91 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         assert ok, msg
     finally:
         con.close()
+
+
+def test_compact_batch_ties_break_on_binlog_position(spark):
+    """Binlog ts is second-resolution, so insert-then-delete on one key
+    within one second is routine; the tie must break on (binlog_file
+    index, binlog_offset), not shuffle row order — a replay that picked
+    the other winner would resurrect a deleted row."""
+    from hudi_spark_utilities_plus_spark.streaming.cdc import compact_batch
+
+    rows = [
+        ("insert", 1, "2024-01-01T10:00:00", "mysql-bin.000001", 100),
+        ("delete", 1, "2024-01-01T10:00:00", "mysql-bin.000001", 200),
+        # rollover: integer index 1000000 outranks 999999 even though
+        # the STRING 'mysql-bin.1000000' < 'mysql-bin.999999'
+        ("insert", 2, "2024-01-01T10:00:00", "mysql-bin.999999", 50),
+        ("delete", 2, "2024-01-01T10:00:00", "mysql-bin.1000000", 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, id long, ts_s string, binlog_file string, "
+        "binlog_offset long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = {
+        r["id"]: r["op"] for r in compact_batch(df, "id", "ts").collect()
+    }
+    assert got == {1: "delete", 2: "delete"}, got
+
+
+def test_cow_delete_conditional_on_precombine(spark, tmp_path):
+    """A precombine-carrying delete marker on a COW table kills only
+    rows at or below the marker's timestamp — a redelivered old delete
+    must not erase a newer upsert (the MOR log already competes this
+    way; COW now matches)."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "cowdel"), record_key="id", precombine="ts"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 10, "keep"), (2, 3, "die")], "id int, ts int, v string"
+        )
+    )
+    # stale delete for id=1 (ts 5 < 10), current delete for id=2
+    t.delete(
+        spark.createDataFrame([(1, 5), (2, 3)], "id int, ts int"), spark
+    )
+    left = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert left == {1: "keep"}, left
+    # key-only marker stays unconditional
+    t.delete(spark.createDataFrame([(1,)], "id int"), spark)
+    assert t.read(spark).count() == 0
+
+
+def test_demux_honors_table_type_and_skips_null_routing(spark, tmp_path):
+    """resolve_table_config must forward table.type / partitionpath to
+    HudiTable (the hand-rolled constructor call silently dropped them —
+    a MOR-configured demux table got full COW rewrites every batch),
+    and a NULL routing key must be skipped, not crash the batch into a
+    permanent checkpoint-replay loop."""
+    from hudi_spark_utilities_plus_spark.streaming.demux import (
+        demux_batch,
+        resolve_table_config,
+    )
+
+    base = str(tmp_path)
+    props = {
+        "option.hoodie.path": base + "/{db}/ods_{db}_{table}",
+        "db1.t1.hoodie.datasource.write.recordkey.field": "id",
+        "db1.t1.hoodie.datasource.write.precombine.field": "ts",
+        "db1.t1.hoodie.table.type": "MERGE_ON_READ",
+        "db1.t1.hoodie.datasource.write.partitionpath.field": "dt",
+    }
+    t = resolve_table_config(props, "db1", "t1")
+    assert t.is_mor
+    assert t.partition_field == "dt"
+    # a batch containing a null-db row routes the valid rows and skips
+    # the malformed one
+    batch = spark.createDataFrame(
+        [
+            ("insert", "db1", "t1", 1, '{"x":1}', "2024-01-01T10:00:00"),
+            ("insert", None, "t1", 2, '{"x":2}', "2024-01-01T10:00:01"),
+        ],
+        "op string, db string, `table` string, id long, data string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    demux_batch(spark, batch, props)  # must not raise
+    routed = spark.read.parquet(f"{base}/db1/ods_db1_t1")
+    assert [r["id"] for r in routed.collect()] == [1]
