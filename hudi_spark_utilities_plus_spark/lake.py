@@ -309,7 +309,7 @@ class HudiTable:
     # -- write ---------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
         w = df.write.mode(mode)
-        if self.partition_field:
+        if self.partition_field and self.partition_field in df.columns:
             w = w.partitionBy(self.partition_field)
         return w
 
@@ -323,6 +323,7 @@ class HudiTable:
         earlier delete. The log entry gets a commit seq after the
         marker, preserving that ordering."""
         spark = df.sparkSession
+        df = self._with_partition_col(df, spark)
         if self.is_mor and self.exists(spark) and self._has_log(spark):
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)
@@ -338,8 +339,35 @@ class HudiTable:
     insert = bulk_insert
 
     def overwrite(self, df: DataFrame) -> None:
+        df = self._with_partition_col(df)
         self._writer(df, "overwrite").parquet(self.path)
         self._maybe_sync_catalog(df.sparkSession)
+
+    def _with_partition_col(
+        self, df: DataFrame, spark: SparkSession | None = None
+    ) -> DataFrame:
+        """A configured partition column missing from the batch is
+        materialized as NULL — routed to ``__HIVE_DEFAULT_PARTITION__``,
+        which the read scope already includes (_partition_scope) — rather
+        than crashing the write (``Partition column not found``) or
+        silently flipping the table to an unpartitioned layout for that
+        batch. The CDC demux path hits this whenever a table is
+        configured with ``partitionpath.field`` but its change events
+        don't carry the column and no transformer derives it; the crash
+        variant wedged the streaming query in a checkpoint-replay loop.
+        The NULL's type follows the existing table schema when there is
+        one, so later batches that DO carry the column union cleanly."""
+        if not self.partition_field or self.partition_field in df.columns:
+            return df
+        dtype = "string"
+        spark = spark or df.sparkSession
+        try:
+            if self.exists(spark):
+                existing = dict(self.read(spark).dtypes)
+                dtype = existing.get(self.partition_field, "string")
+        except Exception:
+            pass
+        return df.withColumn(self.partition_field, F.lit(None).cast(dtype))
 
     def _touched_partitions(self, df: DataFrame) -> tuple[list, bool]:
         """Distinct partition values in a batch — metadata-scale collect
@@ -395,11 +423,21 @@ class HudiTable:
         no base files are opened, the write cost is O(batch), and the
         merge is deferred to read()/compact()."""
         seq = self._next_seq(spark)
+        # materialize, don't guard: on a partitioned table a log entry
+        # missing the partition column (typically a key-only delete
+        # marker) used to append at the log ROOT while sibling entries
+        # sat in dt=... dirs — Spark's partition discovery silently
+        # drops the root-level files from such a mixed layout, so the
+        # delete marker was LOST and the doomed row survived the merge.
+        # NULL routes the entry to __HIVE_DEFAULT_PARTITION__, keeping
+        # one consistent layout; the merge joins on record_key, so a
+        # marker's partition value is irrelevant to its semantics.
+        df = self._with_partition_col(df, spark)
         entry = df.withColumn("__hudi_op", F.lit(op)).withColumn(
             "__hudi_seq", F.lit(seq).cast("long")
         )
         w = entry.write.mode("append")
-        if self.partition_field and self.partition_field in df.columns:
+        if self.partition_field and self.partition_field in entry.columns:
             w = w.partitionBy(self.partition_field)
         w.parquet(self._log_path)
 
@@ -769,6 +807,7 @@ class HudiTable:
         (real Hudi closes this window with a lock provider; single-lake
         deployments should serialize writers externally)."""
         spark = spark or df.sparkSession
+        df = self._with_partition_col(df, spark)
         if expected_seq is not None:
             # is_mor is checked FIRST: on a MOR table (manifest mode or
             # not) the write path below appends to the delta log, so the
@@ -857,11 +896,21 @@ class HudiTable:
         # COW the same latest-wins contract). Key-only markers stay
         # unconditional.
         _dts = "__hsup_del_ts"
+        _hit = "__hsup_del_hit"
         marks = None
         if self.precombine in keys_df.columns:
+            # the presence flag distinguishes "no marker for this key"
+            # (left-join miss -> _dts NULL -> keep) from "marker whose
+            # precombine is NULL" (matched -> _dts NULL -> treat as an
+            # UNCONDITIONAL marker, same as a key-only delete) — without
+            # it a NULL-ts delete from an at-least-once CDC feed
+            # silently never deleted anything. F.max skips NULLs, so a
+            # mixed NULL/valued marker set for one key degrades to the
+            # conditional form at the max timestamp.
             marks = (
                 keys_df.groupBy(self.record_key)
                 .agg(F.max(self.precombine).alias(_dts))
+                .withColumn(_hit, F.lit(True))
             )
 
         def _survivors(scoped_df: DataFrame) -> DataFrame:
@@ -872,10 +921,13 @@ class HudiTable:
             return (
                 scoped_df.join(marks, on=self.record_key, how="left")
                 .filter(
-                    F.col(_dts).isNull()
-                    | (F.col(self.precombine) > F.col(_dts))
+                    F.col(_hit).isNull()
+                    | (
+                        F.col(_dts).isNotNull()
+                        & (F.col(self.precombine) > F.col(_dts))
+                    )
                 )
-                .drop(_dts)
+                .drop(_dts, _hit)
             )
 
         existing = self.read(spark)
@@ -943,6 +995,7 @@ class HudiTable:
         is one extra table-wide merge only when a log is actually
         pending."""
         spark = spark or df.sparkSession
+        df = self._with_partition_col(df, spark)
         if self.is_mor and self._has_log(spark):
             self.compact(spark)
         result = merge_latest_wins(df, self.record_key, self.precombine)
@@ -1203,7 +1256,11 @@ class HudiTable:
         staging = f"{local.rstrip('/')}__staging_{suffix}"
         backup = f"{local.rstrip('/')}__prev_{suffix}"
         w = df.write.mode("overwrite")
-        if self.partition_field:
+        # membership guard, consistent with every sibling write path
+        # (_writer-append, _append_log): callers materialize a missing
+        # partition column via _with_partition_col, but a direct call
+        # must not crash on a column the frame doesn't carry.
+        if self.partition_field and self.partition_field in df.columns:
             w = w.partitionBy(self.partition_field)
         w.parquet(staging)
         import shutil

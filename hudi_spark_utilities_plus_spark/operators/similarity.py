@@ -95,9 +95,16 @@ def _check_query_dim(queries: DataFrame, vec_col: str, dim: int) -> None:
     exists for, on the other input): a mismatched query vector null-pads
     every zip_with projection, packs all-zero band keys, and returns
     garbage top-k with no error. Empty query frames pass — the result is
-    simply empty."""
-    row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is not None and int(row["d"]) != dim:
+    simply empty. The probe looks at the first VALID vector — a leading
+    NULL/empty row must not crash the guard (F.size(NULL) is NULL under
+    ANSI and int(None) raises), since _valid_vecs drops such rows from
+    the computation anyway."""
+    row = (
+        _valid_vecs(queries, vec_col)
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if row is not None and row["d"] is not None and int(row["d"]) != dim:
         raise ValueError(
             f"query vector width {int(row['d'])} does not match the "
             f"corpus width {dim} for column {vec_col!r}"
@@ -110,12 +117,21 @@ def _check_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     all sign bits collapse to one bucket and the candidate equi-join
     degenerates to all-pairs. Fail loudly instead — but an EMPTY corpus
     with an explicit ``dim`` is fine (the result is simply empty; a
-    filtered-out partition must not crash the caller)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
+    filtered-out partition must not crash the caller). Probes the first
+    VALID vector: a leading NULL/empty row is _valid_vecs-dropped later,
+    so it must not crash the inference here either."""
+    row = (
+        _valid_vecs(df, vec_col)
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if row is None or row["d"] is None:
         if dim is not None:
             return dim
-        raise ValueError(f"cannot infer dim: no rows in column {vec_col!r}")
+        raise ValueError(
+            f"cannot infer dim: no rows with a valid vector in column "
+            f"{vec_col!r}"
+        )
     actual = int(row["d"])
     if dim is not None and dim != actual:
         raise ValueError(
@@ -140,10 +156,12 @@ def cosine_topk_bruteforce(
     work is one dot product (identical float result: sqrt(dot(v,v)) is
     the same value whether computed before or inside the join).
     """
-    corpus_row = embeddings.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).first()
-    if corpus_row is not None:
+    corpus_row = (
+        _valid_vecs(embeddings, vec_col)
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if corpus_row is not None and corpus_row["d"] is not None:
         _check_query_dim(queries, vec_col, int(corpus_row["d"]))
     docs = (
         _scatter(_valid_vecs(embeddings, vec_col))
@@ -847,10 +865,12 @@ def ivf_topk(
     cluster column becomes the lake partition key, so probing is
     partition pruning.
     """
-    corpus_row = embeddings.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).first()
-    if corpus_row is not None:
+    corpus_row = (
+        _valid_vecs(embeddings, vec_col)
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if corpus_row is not None and corpus_row["d"] is not None:
         _check_query_dim(queries, vec_col, int(corpus_row["d"]))
     docs = (
         _scatter(_valid_vecs(embeddings, vec_col))

@@ -271,11 +271,23 @@ def rolling_fingerprint(text: Column) -> Column:
     codepoint engines (the DuckDB oracle) iterate codepoints — so the
     old form diverged on any non-BMP character. The utf-32 form is
     codepoint-exact in both engines and bit-identical to the old one on
-    BMP-only text. NULL text stays NULL; empty text folds to 0."""
+    BMP-only text. NULL text stays NULL; empty text folds to 0.
+
+    ASCII fast path: for pure-ASCII text (the overwhelming bulk of real
+    corpora, and where UTF-16 units == codepoints by construction) the
+    codes come from the cheap ``split('')`` + ``ascii()`` form instead —
+    the utf-32 route inflates every character to 8 hex chars and does a
+    base conversion per codepoint, which benched at 2.3x the old plan.
+    The two branches agree exactly on ASCII, so the oracle is
+    unchanged."""
     hx = F.hex(F.encode(text, "utf-32"))
     n_cp = (F.length(hx) / 8).cast("int")
+    ascii_codes = F.transform(
+        F.split(text, ""), lambda c: F.ascii(c).cast("long")
+    )
     codes = (
         F.when(text.isNull(), F.lit(None).cast("array<long>"))
+        .when(text.rlike("^[\\x00-\\x7F]*$"), ascii_codes)
         .when(
             n_cp > 0,
             F.transform(

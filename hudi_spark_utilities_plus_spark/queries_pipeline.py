@@ -677,6 +677,99 @@ def stream_demux(spark, sf_dir):
 
 
 @query(
+    "stream_demux_transform",
+    oracle="""
+    SELECT event_type AS tbl,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '1970-01-01') AS dt,
+           COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_demux_transform(spark, sf_dir):
+    """A1+A12/C4: the per-table SQL-transform hook inside the streaming
+    demux path — each routed table's slice runs the reference's exact
+    partition-derivation transform (``nvl(cast(to_date(...) as string),
+    '1970-01-01') as dt``, HoodieBinlogDeltaTransformationSuite
+    .scala:38-40) BEFORE the keyed Hudi write, so a configured
+    ``partitionpath.field`` the raw CDC envelope lacks is derived and
+    every table lands hive-partitioned by dt. The read-back groups per
+    (table, partition), so a transform that didn't run, ran after the
+    write, or derived the wrong day flips the oracle hash.
+
+    Scale: the transform is one Catalyst projection folded into each
+    per-table slice plan — no extra pass; partitioned writes turn the
+    per-day dirs into partition-pruned reads downstream."""
+    import os
+    import tempfile
+
+    from .lake import HudiTable
+    from .operators.transform import TRANSFORMER_SQL_KEY
+    from .streaming.cdc import read_binlog_stream
+    from .streaming.demux import start_binlog_streamer
+
+    e = _t(spark, sf_dir, "events")["events"]
+    cdc = e.select(
+        F.lit("insert").alias("op"),
+        F.lit("shop").alias("db"),
+        F.col("event_type").alias("table"),
+        F.col("event_id").alias("id"),
+        F.col("value").cast("string").alias("data"),
+        F.col("ts"),
+    )
+    expected = cdc.count()
+    tables = sorted(r["table"] for r in cdc.select("table").distinct().collect())
+    root = tempfile.mkdtemp(prefix="stream_demux_tf_")
+    src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
+    cdc.coalesce(1).write.json(src_dir)
+    props = {
+        "option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}",
+        # global hook: every table derives dt the reference's way
+        TRANSFORMER_SQL_KEY: (
+            "SELECT *, nvl(cast(to_date(ts) as string), '1970-01-01') AS dt "
+            "FROM <SRC>"
+        ),
+    }
+    for t in tables:
+        props[f"shop.{t}.hoodie.datasource.write.partitionpath.field"] = "dt"
+    q = start_binlog_streamer(
+        spark,
+        read_binlog_stream(spark, src_dir, database_pattern="shop"),
+        props,
+        checkpoint_location=os.path.join(root, "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        _await_stream_rows(q, expected, 180)
+    finally:
+        q.stop()
+    parts = [
+        HudiTable(
+            path=f"{lake_root}/shop/ods_shop_{t}",
+            record_key="id",
+            precombine="ts",
+            partition_field="dt",
+        )
+        .read(spark)
+        .select(
+            F.lit(t).alias("tbl"),
+            F.col("id").alias("event_id"),
+            # partition discovery types dt as DATE; the oracle (and the
+            # transform itself) speak strings
+            F.col("dt").cast("string").alias("dt"),
+        )
+        for t in tables
+    ]
+    routed = parts[0]
+    for p in parts[1:]:
+        routed = routed.unionByName(p)
+    return routed.groupBy("tbl", "dt").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
     "binlog_stream_scan",
     oracle="""
     SELECT event_type AS tbl, COUNT(*) AS n,

@@ -31,10 +31,31 @@ from ..lake import (
     RECORDKEY_FIELD,
     HudiTable,
 )
+from ..operators.transform import TRANSFORMER_SQL_KEY, transform
 from .cdc import apply_cdc_batch
 
 PATH_TEMPLATE_KEY = "option.hoodie.path"
 DEFAULT_TRIGGER_SECONDS = 60  # HoodieBinlogDeltaStreamer.scala:243-245
+
+
+def resolve_transformer_sql(
+    props: dict[str, str], db: str, table: str
+) -> str | None:
+    """Per-table SQL-transform hook for the streaming demux path —
+    ``${db}.${table}.hoodie.deltastreamer.transformer.sql`` beats the
+    global key. Reference parity: the binlog pipeline runs the user's
+    ``<SRC>`` transform on each table's slice before the Hudi write
+    (HoodieBinlogDeltaTransformationSuite.scala:38-40 derives ``dt``
+    from the event time this way), which is how a configured
+    ``partitionpath.field`` gets its column when the raw CDC envelope
+    doesn't carry it. The transform sees the full envelope
+    (op/db/table/id/data/ts[/binlog_*]) and must preserve op, the
+    record key, and the precombine column for the CDC apply."""
+    return (
+        props.get(f"{db}.{table}.{TRANSFORMER_SQL_KEY}")
+        or props.get(TRANSFORMER_SQL_KEY)
+        or None
+    )
 
 
 def resolve_table_config(
@@ -110,6 +131,15 @@ def demux_batch(
                 part = batch_df.filter(
                     (batch_df["db"] == db) & (batch_df["table"] == table)
                 )
+                sql = resolve_transformer_sql(props, db, table)
+                if sql:
+                    # uuid-suffixed temp views, so concurrent per-table
+                    # transforms on the driver pool can't collide. The
+                    # view must register AND resolve on the BATCH df's
+                    # session: foreachBatch hands out a frame bound to
+                    # an isolated session clone, so the outer session's
+                    # catalog never sees the view.
+                    part = transform(part.sparkSession, part, sql)
                 apply_cdc_batch(target, part, spark)
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)

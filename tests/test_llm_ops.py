@@ -541,6 +541,31 @@ def test_ann_lsh_empty_corpus_with_explicit_dim(spark, sf_dir):
     assert S.ann_topk_lsh(empty, emb.limit(2), dim=64, k=3).count() == 0
 
 
+def test_dim_guards_tolerate_leading_null_vector(spark):
+    """The width guards probe the first VALID vector: a NULL/empty
+    vector in the FIRST row (F.size -> NULL under ANSI) must not
+    TypeError the guard — those rows are _valid_vecs-dropped from the
+    computation, so they carry no width information either."""
+    rows = [(0, None), (1, []), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(10, None), (11, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = S.cosine_topk_bruteforce(corpus, queries, k=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert got == {(11, 2), (11, 3)}
+    ivf = S.ivf_topk(corpus, queries, k=1, n_clusters=1)
+    assert {r["query_id"] for r in ivf.collect()} == {11}
+    # all-null corpus without an explicit dim still fails loudly
+    allnull = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot infer dim"):
+        S.ann_topk_lsh(allnull, queries, k=1)
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Multi-hop chains collapse to the min id; disjoint edges stay
     separate; nodes outside any edge are their own canonical."""

@@ -505,6 +505,70 @@ def test_cow_delete_conditional_on_precombine(spark, tmp_path):
     assert t.read(spark).count() == 0
 
 
+def test_cow_delete_null_precombine_marker_is_unconditional(spark, tmp_path):
+    """A delete marker carrying a NULL precombine value acts like a
+    key-only (unconditional) marker — the left-join-miss NULL and the
+    marker-NULL used to be indistinguishable, so a NULL-ts delete from
+    an at-least-once CDC feed silently never deleted anything."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "cownull"), record_key="id", precombine="ts"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 10, "die"), (2, 7, "keep")], "id int, ts int, v string"
+        )
+    )
+    t.delete(
+        spark.createDataFrame([(1, None)], "id int, ts int"), spark
+    )
+    left = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert left == {2: "keep"}, left
+
+
+def test_partitioned_mor_delete_marker_without_partition_column(spark, tmp_path):
+    """A delete marker lacking the partition column on a partitioned MOR
+    table must not be silently lost: the old membership guard appended
+    it at the log ROOT while upsert entries sat in dt=... dirs, and
+    Spark's partition discovery drops root-level files from a mixed
+    layout — the doomed row survived every merge. The marker now lands
+    in the null partition, one consistent layout."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "mordel"),
+        record_key="id",
+        precombine="ts",
+        partition_field="dt",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 5, "2024-01-01", "a"), (2, 5, "2024-01-02", "b")],
+            "id int, ts int, dt string, v string",
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 6, "2024-01-02", "b2")], "id int, ts int, dt string, v string"
+        ),
+        spark,
+    )
+    t.delete(spark.createDataFrame([(1, 7)], "id int, ts int"), spark)
+    assert sorted(
+        (r["id"], r["v"]) for r in t.read(spark).collect()
+    ) == [(2, "b2")]
+    # stale (conditional) delete still loses to the newer upsert
+    t.delete(spark.createDataFrame([(2, 4)], "id int, ts int"), spark)
+    assert [r["id"] for r in t.read(spark).collect()] == [2]
+    # and the fold-to-base path agrees with the merged read
+    t.compact(spark)
+    assert sorted(
+        (r["id"], r["v"]) for r in t.read(spark).collect()
+    ) == [(2, "b2")]
+
+
 def test_demux_honors_table_type_and_skips_null_routing(spark, tmp_path):
     """resolve_table_config must forward table.type / partitionpath to
     HudiTable (the hand-rolled constructor call silently dropped them —
@@ -539,3 +603,44 @@ def test_demux_honors_table_type_and_skips_null_routing(spark, tmp_path):
     demux_batch(spark, batch, props)  # must not raise
     routed = spark.read.parquet(f"{base}/db1/ods_db1_t1")
     assert [r["id"] for r in routed.collect()] == [1]
+    # the missing partition column is materialized as NULL (hive default
+    # partition), not dropped from the layout
+    assert [r["dt"] for r in routed.collect()] == [None]
+
+
+def test_demux_transformer_derives_partition_column(spark, tmp_path):
+    """Per-table transformer.sql runs on each table's slice before the
+    keyed write (HoodieBinlogDeltaTransformationSuite.scala:38-40 derives
+    dt from the event time) — so a partitionpath.field the raw CDC
+    envelope lacks is derived, and the table lands hive-partitioned."""
+    import os
+
+    from hudi_spark_utilities_plus_spark.streaming.demux import demux_batch
+
+    base = str(tmp_path)
+    props = {
+        "option.hoodie.path": base + "/{db}/ods_{db}_{table}",
+        "db1.t1.hoodie.datasource.write.recordkey.field": "id",
+        "db1.t1.hoodie.datasource.write.precombine.field": "ts",
+        "db1.t1.hoodie.datasource.write.partitionpath.field": "dt",
+        "db1.t1.hoodie.deltastreamer.transformer.sql": (
+            "SELECT *, date_format(ts, 'yyyy-MM-dd') AS dt FROM <SRC>"
+        ),
+    }
+    batch = spark.createDataFrame(
+        [
+            ("insert", "db1", "t1", 1, '{"x":1}', "2024-01-01T10:00:00"),
+            ("insert", "db1", "t1", 2, '{"x":2}', "2024-01-02T09:00:00"),
+        ],
+        "op string, db string, `table` string, id long, data string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    demux_batch(spark, batch, props)
+    tdir = f"{base}/db1/ods_db1_t1"
+    assert sorted(
+        d for d in os.listdir(tdir) if d.startswith("dt=")
+    ) == ["dt=2024-01-01", "dt=2024-01-02"]
+    routed = spark.read.parquet(tdir)
+    # partition discovery infers dt as a DATE from the dir names
+    assert sorted(
+        (r["id"], str(r["dt"])) for r in routed.collect()
+    ) == [(1, "2024-01-01"), (2, "2024-01-02")]
