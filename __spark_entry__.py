@@ -93,6 +93,14 @@ _CHECK_ORDER = [
     "hudi_schema_evolution",
     "hudi_cdc_read",
     "hudi_manifest_commit",
+    # hudi_mor_ro_read / hudi_time_travel sit on r8 rows, but the
+    # write paths they drive (bulk_insert/upsert/delete) changed in
+    # r9 (_with_partition_col, _append_log materialization, the COW
+    # NULL-precombine marker semantics) — "full hudi family" means
+    # ALL 13 ids, at the cost of two r5-fill slots (dedup_latest_wins
+    # / filter_eq spill to the r10 head)
+    "hudi_mor_ro_read",
+    "hudi_time_travel",
     # (c) the remaining r4-row residue (computed: 11 total; mm_features
     # and win_cume_dist already above)
     "set_union_all",
@@ -115,8 +123,6 @@ _CHECK_ORDER = [
     "csv_scan",
     "cte",
     "date_funcs",
-    "dedup_latest_wins",
-    "filter_eq",
     # ---- window edge: position 50 ----
     # anything not listed appends in registration order (see _ordered)
 ]

@@ -50,6 +50,7 @@ analogue of the reference's Hive-metastore sync.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import uuid
@@ -57,6 +58,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 # Hudi option keys the reference exercises (SURVEY §1.2 table).
 RECORDKEY_FIELD = "hoodie.datasource.write.recordkey.field"
@@ -359,14 +362,39 @@ class HudiTable:
         one, so later batches that DO carry the column union cleanly."""
         if not self.partition_field or self.partition_field in df.columns:
             return df
-        dtype = "string"
-        spark = spark or df.sparkSession
-        try:
-            if self.exists(spark):
-                existing = dict(self.read(spark).dtypes)
-                dtype = existing.get(self.partition_field, "string")
-        except Exception:
-            pass
+        # memoized: the demux hot path hits this once per micro-batch
+        # per table, and the dtype probe costs a read-plan construction
+        # (file listing + schema inference) — pay it once per instance,
+        # not per batch. The dtype of a partition column can't drift
+        # within one table lifetime (partition discovery types the
+        # whole dt= dir set together).
+        dtype = getattr(self, "_partition_dtype_memo", None)
+        if dtype is None:
+            dtype = "string"
+            spark = spark or df.sparkSession
+            try:
+                if self.exists(spark):
+                    existing = dict(self.read(spark).dtypes)
+                    dtype = existing.get(self.partition_field, "string")
+            except Exception:
+                # a missing/unreadable table must not fail the write
+                # that is about to create it; real read errors resurface
+                # on the next read() call
+                pass
+            self._partition_dtype_memo = dtype
+            # once per table instance, not per batch: a partition_field
+            # TYPO (column never present in any batch) would otherwise
+            # silently land the whole table in the null partition with
+            # pruning permanently dead — make the fallback visible.
+            _LOG.warning(
+                "table %s: configured partition column %r is absent from "
+                "the batch schema; materializing it as NULL "
+                "(__HIVE_DEFAULT_PARTITION__). If every batch lacks it, "
+                "check the partitionpath.field spelling or derive the "
+                "column with a transformer.sql hook.",
+                self.path,
+                self.partition_field,
+            )
         return df.withColumn(self.partition_field, F.lit(None).cast(dtype))
 
     def _touched_partitions(self, df: DataFrame) -> tuple[list, bool]:
@@ -896,21 +924,24 @@ class HudiTable:
         # COW the same latest-wins contract). Key-only markers stay
         # unconditional.
         _dts = "__hsup_del_ts"
-        _hit = "__hsup_del_hit"
+        _unc = "__hsup_del_uncond"
         marks = None
         if self.precombine in keys_df.columns:
-            # the presence flag distinguishes "no marker for this key"
-            # (left-join miss -> _dts NULL -> keep) from "marker whose
-            # precombine is NULL" (matched -> _dts NULL -> treat as an
-            # UNCONDITIONAL marker, same as a key-only delete) — without
-            # it a NULL-ts delete from an at-least-once CDC feed
-            # silently never deleted anything. F.max skips NULLs, so a
-            # mixed NULL/valued marker set for one key degrades to the
-            # conditional form at the max timestamp.
-            marks = (
-                keys_df.groupBy(self.record_key)
-                .agg(F.max(self.precombine).alias(_dts))
-                .withColumn(_hit, F.lit(True))
+            # _unc (any-marker-NULL, boolean max = OR) doubles as the
+            # presence flag: a left-join miss leaves it NULL ("no marker
+            # for this key" -> keep), while a marker whose precombine is
+            # NULL sets it TRUE — an UNCONDITIONAL marker, same as a
+            # key-only delete. Without the distinction a NULL-ts delete
+            # from an at-least-once CDC feed silently never deleted
+            # anything; and a key carrying BOTH a NULL and a valued
+            # marker in one batch must still die unconditionally (the
+            # MOR read-merge treats any NULL-precombine marker as a
+            # seq barrier — F.max alone would silently degrade the
+            # mixed case to conditional-at-max-ts, diverging from MOR
+            # on identical input).
+            marks = keys_df.groupBy(self.record_key).agg(
+                F.max(self.precombine).alias(_dts),
+                F.max(F.col(self.precombine).isNull()).alias(_unc),
             )
 
         def _survivors(scoped_df: DataFrame) -> DataFrame:
@@ -918,16 +949,18 @@ class HudiTable:
                 return scoped_df.join(
                     keys, on=self.record_key, how="left_anti"
                 )
+            # _unc FALSE implies every marker was valued, so _dts is
+            # non-null there by construction
             return (
                 scoped_df.join(marks, on=self.record_key, how="left")
                 .filter(
-                    F.col(_hit).isNull()
+                    F.col(_unc).isNull()
                     | (
-                        F.col(_dts).isNotNull()
+                        ~F.col(_unc)
                         & (F.col(self.precombine) > F.col(_dts))
                     )
                 )
-                .drop(_dts, _hit)
+                .drop(_dts, _unc)
             )
 
         existing = self.read(spark)

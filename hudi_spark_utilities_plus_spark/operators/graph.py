@@ -37,57 +37,60 @@ def connected_components(
     Raises after ``max_iter`` non-converged rounds rather than returning
     a silently-partial labeling.
     """
-    ud = (
+    def _truncate(df: DataFrame) -> DataFrame:
+        """Materialize AND cut lineage — mandatory for the iterative
+        loop, not an optimization. ``persist()`` caches data but keeps
+        the logical plan: round k's plan embeds round k-1's plan TWICE
+        (labels feeds both the neighbor aggregation and the join), so
+        the tree doubles every round on top of the (already large)
+        upstream pair-mining plan — Catalyst re-analysis cost grows
+        exponentially with rounds, and merely NAMING the cached
+        relation (CachedRDDBuilder.cachedName -> treeString) OOMed the
+        driver heap in a loaded session. checkpoint(eager) replaces
+        the plan with a scan of the materialized RDD: reliable
+        checkpoint when the session has a checkpoint dir (cluster —
+        survives executor loss), localCheckpoint otherwise
+        (MEMORY_AND_DISK blocks; fine for local mode / short loops).
+        Freed by the ContextCleaner when the frame goes out of scope."""
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    ud = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
-    ud.count()  # eager: every round re-reads the edge list
-    labels = (
+    labels = _truncate(
         ud.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
     )
-    labels.count()
-    try:
-        for _ in range(max_iter):
-            neigh = (
-                ud.join(labels, ud["b"] == labels["node"])
-                .groupBy(F.col("a").alias("node2"))
-                .agg(F.min("comp").alias("nmin"))
-            )
-            new_labels = (
-                labels.join(neigh, labels["node"] == neigh["node2"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                    ).alias("comp"),
-                    (F.col("nmin") < F.col("comp")).alias("_changed"),
-                )
-                .persist()
-            )
-            changed = new_labels.filter(F.col("_changed")).count()  # scalar
-            old = labels
-            labels = new_labels.drop("_changed").persist()
-            labels.count()
-            new_labels.unpersist()
-            old.unpersist()
-            if changed == 0:
-                # the converged labels stay persisted: the returned
-                # DataFrame is lazy and every downstream action re-reads
-                # it, so ownership transfers to the caller (unpersist
-                # after materializing if the session is long-lived)
-                return labels
-        labels.unpersist()  # raise path: nothing downstream will read it
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds the bound — raise max_iter or use a "
-            "star-contraction variant)"
+    for _ in range(max_iter):
+        neigh = (
+            ud.join(labels, ud["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
         )
-    finally:
-        ud.unpersist()
+        new_labels = _truncate(
+            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+        )
+        changed = new_labels.filter(F.col("_changed")).count()  # scalar
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the bound — raise max_iter or use a "
+        "star-contraction variant)"
+    )
 
 
 def canonical_assignment(

@@ -592,6 +592,46 @@ def stream_dedup_watermark(spark, sf_dir):
     )
 
 
+def _drive_demux_stream(spark, cdc, extra_props, prefix):
+    """Materialize a CDC envelope frame as a file-backed binlog stream,
+    run the foreachBatch demux to completion, and return the lake root.
+
+    Shared by the stream_demux* drives: the streamer lifecycle (tempdir
+    layout, source write, format("mysql-binlog") start / await / stop,
+    the path template) must not drift between them — only the envelope
+    and the per-table read-back are per-query semantics. The stream
+    originates through the CONNECTOR'S format name — readStream
+    .format("mysql-binlog") resolved via the registered streaming
+    Python Data Source stand-in, exactly the reference's read path
+    (HoodieBinlogDeltaStreamer.scala:77)."""
+    import os
+    import tempfile
+
+    from .streaming.cdc import read_binlog_stream
+    from .streaming.demux import start_binlog_streamer
+
+    expected = cdc.count()
+    root = tempfile.mkdtemp(prefix=prefix)
+    src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
+    cdc.coalesce(1).write.json(src_dir)
+    props = {
+        "option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}",
+        **extra_props,
+    }
+    q = start_binlog_streamer(
+        spark,
+        read_binlog_stream(spark, src_dir, database_pattern="shop"),
+        props,
+        checkpoint_location=os.path.join(root, "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        _await_stream_rows(q, expected, 180)
+    finally:
+        q.stop()
+    return lake_root
+
+
 @query(
     "stream_demux",
     oracle="""
@@ -614,11 +654,6 @@ def stream_demux(spark, sf_dir):
     Scale: routing keys are a metadata-sized distinct collect; per-table
     applies run concurrently on the driver pool, each an independent
     keyed shuffle (streaming/demux.py:64)."""
-    import os
-    import tempfile
-
-    from .streaming.cdc import read_binlog_stream
-    from .streaming.demux import start_binlog_streamer
     from .lake import HudiTable
 
     e = _t(spark, sf_dir, "events")["events"]
@@ -632,27 +667,8 @@ def stream_demux(spark, sf_dir):
         F.lit("mysql-bin.000001").alias("binlog_file"),
         F.col("event_id").alias("binlog_offset"),
     )
-    expected = cdc.count()
     tables = sorted(r["table"] for r in cdc.select("table").distinct().collect())
-    root = tempfile.mkdtemp(prefix="stream_demux_")
-    src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
-    cdc.coalesce(1).write.json(src_dir)
-    props = {"option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}"}
-    # the stream originates through the CONNECTOR'S format name —
-    # readStream.format("mysql-binlog") resolved via the registered
-    # streaming Python Data Source stand-in, exactly the reference's
-    # read path (HoodieBinlogDeltaStreamer.scala:77)
-    q = start_binlog_streamer(
-        spark,
-        read_binlog_stream(spark, src_dir, database_pattern="shop"),
-        props,
-        checkpoint_location=os.path.join(root, "ckpt"),
-        trigger_seconds=1,
-    )
-    try:
-        _await_stream_rows(q, expected, 180)
-    finally:
-        q.stop()
+    lake_root = _drive_demux_stream(spark, cdc, {}, "stream_demux_")
     parts = [
         HudiTable(
             path=f"{lake_root}/shop/ods_shop_{t}",
@@ -699,13 +715,8 @@ def stream_demux_transform(spark, sf_dir):
     Scale: the transform is one Catalyst projection folded into each
     per-table slice plan — no extra pass; partitioned writes turn the
     per-day dirs into partition-pruned reads downstream."""
-    import os
-    import tempfile
-
     from .lake import HudiTable
     from .operators.transform import TRANSFORMER_SQL_KEY
-    from .streaming.cdc import read_binlog_stream
-    from .streaming.demux import start_binlog_streamer
 
     e = _t(spark, sf_dir, "events")["events"]
     cdc = e.select(
@@ -716,13 +727,8 @@ def stream_demux_transform(spark, sf_dir):
         F.col("value").cast("string").alias("data"),
         F.col("ts"),
     )
-    expected = cdc.count()
     tables = sorted(r["table"] for r in cdc.select("table").distinct().collect())
-    root = tempfile.mkdtemp(prefix="stream_demux_tf_")
-    src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
-    cdc.coalesce(1).write.json(src_dir)
-    props = {
-        "option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}",
+    extra = {
         # global hook: every table derives dt the reference's way
         TRANSFORMER_SQL_KEY: (
             "SELECT *, nvl(cast(to_date(ts) as string), '1970-01-01') AS dt "
@@ -730,18 +736,8 @@ def stream_demux_transform(spark, sf_dir):
         ),
     }
     for t in tables:
-        props[f"shop.{t}.hoodie.datasource.write.partitionpath.field"] = "dt"
-    q = start_binlog_streamer(
-        spark,
-        read_binlog_stream(spark, src_dir, database_pattern="shop"),
-        props,
-        checkpoint_location=os.path.join(root, "ckpt"),
-        trigger_seconds=1,
-    )
-    try:
-        _await_stream_rows(q, expected, 180)
-    finally:
-        q.stop()
+        extra[f"shop.{t}.hoodie.datasource.write.partitionpath.field"] = "dt"
+    lake_root = _drive_demux_stream(spark, cdc, extra, "stream_demux_tf_")
     parts = [
         HudiTable(
             path=f"{lake_root}/shop/ods_shop_{t}",

@@ -140,6 +140,25 @@ def demux_batch(
                     # an isolated session clone, so the outer session's
                     # catalog never sees the view.
                     part = transform(part.sparkSession, part, sql)
+                    # fail with a CONFIG-shaped error, not an
+                    # AnalysisException deep in the CDC apply: a
+                    # transform that drops op / the record key / the
+                    # precombine column would otherwise fail every
+                    # micro-batch before the checkpoint commits — the
+                    # exact permanent replay-loop wedge the partition
+                    # materialization above exists to prevent.
+                    needed = ["op", target.record_key, target.precombine]
+                    missing = [c for c in needed if c not in part.columns]
+                    if missing:
+                        raise ValueError(
+                            f"transformer.sql for {db}.{table} dropped "
+                            f"required column(s) {missing}; the "
+                            "transform must preserve 'op', the record "
+                            f"key {target.record_key!r} and the "
+                            f"precombine column {target.precombine!r} "
+                            "for the CDC apply (SELECT *, ... FROM "
+                            "<SRC> keeps them)"
+                        )
                 apply_cdc_batch(target, part, spark)
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)

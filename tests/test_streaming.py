@@ -527,6 +527,52 @@ def test_cow_delete_null_precombine_marker_is_unconditional(spark, tmp_path):
     assert left == {2: "keep"}, left
 
 
+def test_cow_delete_mixed_null_and_valued_markers_is_unconditional(
+    spark, tmp_path
+):
+    """A key carrying BOTH a NULL-precombine marker and a stale valued
+    marker in one batch dies unconditionally — matching the MOR
+    read-merge, where any NULL-precombine marker is a seq barrier. The
+    bare F.max aggregation silently degraded this to conditional-at-
+    max-ts (10 > 5 kept the row), so an at-least-once feed redelivering
+    a NULL-ts delete alongside an old valued one never deleted."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "cowmixed"), record_key="id", precombine="ts"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 10, "die"), (2, 7, "keep")], "id int, ts int, v string"
+        )
+    )
+    t.delete(
+        spark.createDataFrame([(1, None), (1, 5)], "id int, ts int"), spark
+    )
+    left = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert left == {2: "keep"}, left
+    # the same mixed batch on a MOR table agrees
+    m = HudiTable(
+        path=str(tmp_path / "mormixed"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    m.bulk_insert(
+        spark.createDataFrame(
+            [(1, 10, "die"), (2, 7, "keep")], "id int, ts int, v string"
+        )
+    )
+    m.upsert(
+        spark.createDataFrame([(2, 8, "keep2")], "id int, ts int, v string"),
+        spark,
+    )
+    m.delete(
+        spark.createDataFrame([(1, None), (1, 5)], "id int, ts int"), spark
+    )
+    assert {r["id"]: r["v"] for r in m.read(spark).collect()} == {2: "keep2"}
+
+
 def test_partitioned_mor_delete_marker_without_partition_column(spark, tmp_path):
     """A delete marker lacking the partition column on a partitioned MOR
     table must not be silently lost: the old membership guard appended
@@ -644,3 +690,30 @@ def test_demux_transformer_derives_partition_column(spark, tmp_path):
     assert sorted(
         (r["id"], str(r["dt"])) for r in routed.collect()
     ) == [(1, "2024-01-01"), (2, "2024-01-02")]
+
+
+def test_demux_transformer_dropping_required_column_fails_loudly(
+    spark, tmp_path
+):
+    """A transformer.sql that drops op / the record key / the precombine
+    column raises a config-shaped ValueError naming the columns — not an
+    AnalysisException deep inside the CDC apply that would wedge the
+    stream in a checkpoint-replay loop with no hint at the cause."""
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.streaming.demux import demux_batch
+
+    props = {
+        "option.hoodie.path": str(tmp_path) + "/{db}/ods_{db}_{table}",
+        "db1.t1.hoodie.datasource.write.recordkey.field": "id",
+        "db1.t1.hoodie.datasource.write.precombine.field": "ts",
+        "db1.t1.hoodie.deltastreamer.transformer.sql": (
+            "SELECT id, ts FROM <SRC>"  # drops op
+        ),
+    }
+    batch = spark.createDataFrame(
+        [("insert", "db1", "t1", 1, "{}", 100)],
+        "op string, db string, `table` string, id long, data string, ts long",
+    )
+    with _pytest.raises(ValueError, match="dropped required column.*'op'"):
+        demux_batch(spark, batch, props)
