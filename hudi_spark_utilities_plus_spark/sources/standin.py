@@ -203,10 +203,9 @@ def register_standin_sources(spark) -> None:
 # files are immutable and append-only in the emulation, so
 # readBetweenOffsets replays any committed batch deterministically.
 
-_BINLOG_SCHEMA = (
-    "op STRING, db STRING, `table` STRING, id BIGINT, data STRING, "
-    "ts TIMESTAMP, binlog_file STRING, binlog_offset BIGINT"
-)
+# one authoritative envelope DDL (streaming/cdc.py) — the stand-in and
+# the file-source emulation must agree on schema by construction
+from ..streaming.cdc import CDC_SCHEMA as _BINLOG_SCHEMA  # noqa: E402
 
 
 def _binlog_files(path: str) -> list[str]:
@@ -245,7 +244,7 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         self._tbl_re = re.compile(
             "^(%s)$" % self._options.get("tablenamepattern", ".*")
         )
-        prefix = self._options.get(
+        self._prefix = self._options.get(
             "binglognameprefix",  # reference-preserved typo...
             self._options.get("binlognameprefix", "mysql-bin"),  # ...and fixed
         )
@@ -257,6 +256,8 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         return {"files": 0}
 
     def _keep(self, obj) -> bool:
+        import re
+
         if not self._db_re.match(obj.get("db") or ""):
             return False
         if not self._tbl_re.match(obj.get("table") or ""):
@@ -264,13 +265,25 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         if self._start_idx is not None:
             bf, off = obj.get("binlog_file"), obj.get("binlog_offset")
             if bf is not None:  # positionless events are kept (old fixtures)
+                # position comparison is scoped to the configured name
+                # prefix: a file from a DIFFERENT binlog series
+                # ('mysql-bin-changelog.000003') must not be index-
+                # compared against this series' start — keep it, like
+                # an unparseable name (same rule as read_cdc_stream's
+                # NULL-parse branch, so the two read paths agree)
+                if not str(bf).startswith(self._prefix + "."):
+                    return True
                 # compare PARSED integer indexes: file-name strings
                 # mis-order at MySQL's 6-digit suffix rollover
-                # ('mysql-bin.1000000' < 'mysql-bin.999999' as strings)
-                try:
-                    bf_idx = int(str(bf).rsplit(".", 1)[-1])
-                except ValueError:
+                # ('mysql-bin.1000000' < 'mysql-bin.999999' as strings).
+                # ASCII-digits-only, NOT bare int(): Python's int()
+                # accepts underscores ('0_1') and non-ASCII digits that
+                # Spark's try_cast rejects, and the two read paths must
+                # agree on the keep rule for identical input
+                suffix = str(bf).rsplit(".", 1)[-1]
+                if not re.fullmatch(r"[0-9]+", suffix):
                     return True  # unparseable name — keep, like no position
+                bf_idx = int(suffix)
                 if bf_idx < self._start_idx:
                     return False
                 if bf_idx == self._start_idx and off is not None:

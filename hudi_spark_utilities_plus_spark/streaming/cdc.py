@@ -25,10 +25,43 @@ from pyspark.sql import functions as F
 
 from ..lake import HudiTable
 
+__all__ = [
+    "CDC_SCHEMA",
+    "read_cdc_stream",
+    "read_binlog_stream",
+    "compact_batch",
+    "apply_cdc_batch",
+]
+
+# The one authoritative envelope DDL — sources/standin.py's binlog
+# stand-in aliases this constant, so the file-source emulation and the
+# format("mysql-binlog") path can never drift apart on schema.
 CDC_SCHEMA = (
     "op STRING, db STRING, `table` STRING, id BIGINT, data STRING, ts TIMESTAMP, "
     "binlog_file STRING, binlog_offset BIGINT"
 )
+
+
+def _alternation(pattern: str) -> str:
+    """The reference's comma-list -> regex-alternation rewrite
+    (HoodieBinlogDeltaStreamer.scala:85), shared by every pattern
+    consumer so the rewrite rule can't drift between them."""
+    return "|".join(p.strip() for p in pattern.split(","))
+
+
+def _parsed_binlog_index(prefix: str | None = None):
+    """Binlog file index as a LONG column — parsed, not the name string
+    (MySQL widens the suffix past 6 digits at the .999999 rollover, and
+    'mysql-bin.1000000' < 'mysql-bin.999999' lexicographically). NULL
+    for unparseable names; with ``prefix``, also NULL for files of a
+    different binlog series, which must not be index-compared against
+    this series' positions. try_cast, not cast: under Spark 4's default
+    ANSI mode a bare cast THROWS on a non-numeric suffix
+    ('mysql-bin.v2.log'), failing the whole micro-batch."""
+    parsed = F.substring_index(F.col("binlog_file"), ".", -1).try_cast("long")
+    if prefix is None:
+        return parsed
+    return F.when(F.col("binlog_file").startswith(prefix + "."), parsed)
 
 
 def read_cdc_stream(
@@ -53,28 +86,36 @@ def read_cdc_stream(
     events at or after ``(file, offset)``. Checkpoint recovery subsumes
     the position on restart — the option matters for first attach, same
     as the reference. Events without position columns (older fixtures)
-    are kept."""
+    are kept — as are events whose file name belongs to a different
+    series or has a non-numeric suffix (no comparable position). The
+    corollary: ``binlog_name_prefix`` must name your ACTUAL series
+    (e.g. ``mysql-bin-changelog`` on Aurora) — a prefix matching no
+    event names makes every event rank positionless, i.e. silently
+    disables the start-position filter for the first attach (a real
+    server would instead error the dump request for an unknown file)."""
     reader = spark.readStream.schema(CDC_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.json(path)
-    db_re = "|".join(p.strip() for p in database_pattern.split(","))
-    tbl_re = "|".join(p.strip() for p in table_pattern.split(","))
+    db_re = _alternation(database_pattern)
+    tbl_re = _alternation(table_pattern)
     df = df.filter(
         F.col("db").rlike(f"^({db_re})$") & F.col("table").rlike(f"^({tbl_re})$")
     )
     if binlog_index is not None:
         start_idx = int(binlog_index)
         start_off = int(binlog_file_offset or 4)  # 4 = first event, as in MySQL
-        # compare PARSED integer indexes, not file-name strings: MySQL
-        # widens the suffix past 6 digits at .999999 rollover, and
-        # 'mysql-bin.1000000' < 'mysql-bin.999999' lexicographically —
-        # string comparison re-ingests pre-start events at the rollover
-        file_idx = F.substring_index(F.col("binlog_file"), ".", -1).cast(
-            "long"
-        )
+        # prefix-scoped parsed index: NULL for other-series files and
+        # unparseable suffixes (see _parsed_binlog_index)
+        file_idx = _parsed_binlog_index(binlog_name_prefix)
         df = df.filter(
             F.col("binlog_file").isNull()
+            # NULL parse = other series / non-numeric suffix — keep,
+            # like no position (the mysql-binlog stand-in keeps such
+            # events too; a bare cast made the whole predicate NULL
+            # here and silently DROPPED them, so the two documented-
+            # equivalent read paths diverged on identical input)
+            | file_idx.isNull()
             | (file_idx > start_idx)
             | (
                 (file_idx == start_idx)
@@ -129,12 +170,8 @@ def read_binlog_stream(
         .option("port", str(port))
         .option("userName", username)
         .option("password", password)
-        .option("databaseNamePattern", "|".join(
-            p.strip() for p in database_pattern.split(",")
-        ))
-        .option("tableNamePattern", "|".join(
-            p.strip() for p in table_pattern.split(",")
-        ))
+        .option("databaseNamePattern", _alternation(database_pattern))
+        .option("tableNamePattern", _alternation(table_pattern))
         .option("bingLogNamePrefix", binlog_name_prefix)
     )
     if binlog_index is not None:
@@ -146,7 +183,12 @@ def read_binlog_stream(
     return reader.load()
 
 
-def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> DataFrame:
+def compact_batch(
+    batch_df: DataFrame,
+    record_key: str,
+    precombine: str,
+    binlog_name_prefix: str = "mysql-bin",
+) -> DataFrame:
     """Within-batch latest-wins: keep only the last op per key.
 
     Ties on the precombine break on the BINLOG POSITION when the
@@ -155,14 +197,17 @@ def compact_batch(batch_df: DataFrame, record_key: str, precombine: str) -> Data
     by ts alone left the winner to shuffle-internal row order — a
     checkpoint replay could pick the other op, breaking the
     replay-converges claim. (binlog_file compares by its parsed integer
-    index; the name string mis-orders at the 6-digit rollover.)"""
+    index; the name string mis-orders at the 6-digit rollover.) The
+    tie-break parse is PREFIX-SCOPED like the read paths': since those
+    deliberately admit other-series events, an unscoped parse here
+    would let a foreign file's index outrank this series' tombstone —
+    a cross-series comparison with no meaning. Foreign/unparseable
+    names rank like positionless events (nulls last)."""
     order = [F.col(precombine).desc()]
     cols = set(batch_df.columns)
     if "binlog_file" in cols:
         order.append(
-            F.substring_index(F.col("binlog_file"), ".", -1)
-            .cast("long")
-            .desc_nulls_last()
+            _parsed_binlog_index(binlog_name_prefix).desc_nulls_last()
         )
     if "binlog_offset" in cols:
         order.append(F.col("binlog_offset").desc_nulls_last())
@@ -182,14 +227,45 @@ def apply_cdc_batch(
     Deletes keep the precombine column: a redelivered/out-of-order
     delete in a LATER micro-batch (at-least-once delivery) must compete
     by timestamp with the newer upsert already in the table — a
-    key-only delete is unconditional and would kill the newer row."""
-    compacted = compact_batch(batch_df, table.record_key, table.precombine).persist()
+    key-only delete is unconditional and would kill the newer row.
+
+    Cost note (100 TB): a mixed-op micro-batch issues two table writes
+    (upsert, then delete). On MERGE_ON_READ both are O(batch) delta-log
+    appends — which is why streaming CDC targets should be MOR-typed
+    (``hoodie.table.type=MERGE_ON_READ`` in the demux props), Hudi's
+    own guidance for write-heavy streams. On COPY_ON_WRITE each pass
+    re-reads and rewrites the touched partitions, so a mixed batch pays
+    that twice; COW remains correct (and fine for low-rate streams or
+    bounded backfills) but is not the scale path here.
+
+    Malformed events are skipped BEFORE compaction (the demux route's
+    precedent for NULL db/table): NULL record keys (which would
+    collapse into one window partition and upsert an arbitrary survivor
+    as a phantom NULL-key record), NULL ``op``, and ops OUTSIDE the
+    envelope contract ``insert|update|delete`` (matched
+    case-insensitively after trimming — an emitter shouting ``DELETE``
+    or trailing a newline must not have its tombstone silently applied
+    as an UPSERT, and an unknown op like ``truncate`` must not be
+    applied as one either; previously any non-'delete' string upserted)."""
+    # regexp, not F.trim: Spark's trim strips only SPACE characters,
+    # while the sloppy-producer case is a trailing newline/tab
+    op_n = F.regexp_replace(F.lower(F.col("op")), r"^\s+|\s+$", "")
+    compacted = compact_batch(
+        batch_df.filter(
+            op_n.isin("insert", "update", "delete")
+            & F.col(table.record_key).isNotNull()
+        ),
+        table.record_key,
+        table.precombine,
+    ).persist()
     try:
-        upserts = compacted.filter(F.col("op") != "delete").drop("op", "db", "table")
-        del_cols = [table.record_key]
-        if table.precombine in compacted.columns:
-            del_cols.append(table.precombine)
-        deletes = compacted.filter(F.col("op") == "delete").select(*del_cols)
+        upserts = compacted.filter(op_n != "delete").drop("op", "db", "table")
+        # the precombine column is unconditionally present here:
+        # compact_batch's window ordered by it, so a batch lacking it
+        # raised before this line
+        deletes = compacted.filter(op_n == "delete").select(
+            table.record_key, table.precombine
+        )
         if not upserts.isEmpty():
             table.upsert(upserts, spark)
         if not deletes.isEmpty():

@@ -246,6 +246,85 @@ def test_cdc_null_offset_kept_at_start_file(spark, tmp_path):
 
 
 @pytest.mark.streaming
+def test_cdc_other_series_and_unparseable_names_kept(spark, tmp_path):
+    """With a start position set, events whose binlog_file belongs to a
+    DIFFERENT series (prefix mismatch) or has a non-numeric suffix carry
+    no comparable position and are kept — the bare cast used to make the
+    filter predicate NULL and silently DROP them, diverging from the
+    mysql-binlog stand-in, which keeps them."""
+    base = str(tmp_path)
+    src = f"{base}/cdc_in"
+    props = _props(base)
+    _write_events(
+        src,
+        "batch1",
+        [
+            # other series, low index — must NOT be position-compared
+            {"op": "insert", "db": "db1", "table": "person", "id": 1,
+             "data": "{}", "ts": "2024-01-01T00:00:01",
+             "binlog_file": "mysql-bin-changelog.000001", "binlog_offset": 9},
+            # unparseable suffix — keep, like no position
+            {"op": "insert", "db": "db1", "table": "person", "id": 2,
+             "data": "{}", "ts": "2024-01-01T00:00:02",
+             "binlog_file": "mysql-bin.v2.log", "binlog_offset": 9},
+            # this series, before the start — dropped
+            {"op": "insert", "db": "db1", "table": "person", "id": 3,
+             "data": "{}", "ts": "2024-01-01T00:00:03",
+             "binlog_file": "mysql-bin.000003", "binlog_offset": 9},
+            # this series, at/after the start — kept
+            {"op": "insert", "db": "db1", "table": "person", "id": 4,
+             "data": "{}", "ts": "2024-01-01T00:00:04",
+             "binlog_file": "mysql-bin.000004", "binlog_offset": 700},
+        ],
+    )
+    stream = read_cdc_stream(spark, src, binlog_index=4, binlog_file_offset=500)
+    q = start_binlog_streamer(spark, stream, props, f"{base}/ckpt", 1)
+    try:
+        q.processAllAvailable()
+        person = f"{base}/lake/db1/ods_db1_person"
+        assert sorted(
+            r["id"] for r in spark.read.parquet(person).collect()
+        ) == [1, 2, 4]
+    finally:
+        q.stop()
+
+
+def test_apply_cdc_batch_op_totality_and_null_key_skip(spark, tmp_path):
+    """op routes case-insensitively (an emitter shouting DELETE must not
+    have its tombstone applied as an upsert), and malformed events (NULL
+    op, NULL record key) are skipped before compaction instead of
+    landing a phantom NULL-key row or vanishing into the op filters."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+    from hudi_spark_utilities_plus_spark.streaming.cdc import apply_cdc_batch
+
+    t = HudiTable(
+        path=str(tmp_path / "optot"), record_key="id", precombine="ts"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "id long, ts long, data string"
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            ("DELETE", "db1", "t1", 1, "gone", 5),     # uppercase delete
+            ("Insert", "db1", "t1", 3, "c", 5),        # mixed-case upsert
+            (None, "db1", "t1", 2, "zz", 9),           # NULL op: skipped
+            ("insert", "db1", "t1", None, "phantom", 9),  # NULL key: skipped
+            ("truncate", "db1", "t1", 2, "nope", 9),   # unknown op: skipped
+            # whitespace-padded delete must compact over the insert and
+            # route as a tombstone — untrimmed it would upsert "junk"
+            ("insert", "db1", "t1", 4, "d", 5),
+            ("delete\t", "db1", "t1", 4, "junk", 9),
+        ],
+        "op string, db string, `table` string, id long, data string, ts long",
+    )
+    apply_cdc_batch(t, batch, spark)
+    state = {r["id"]: r["data"] for r in t.read(spark).collect()}
+    assert state == {2: "b", 3: "c"}, state
+
+
+@pytest.mark.streaming
 def test_demux_many_tables_parallel_apply(spark, tmp_path):
     """≥4 tables in one micro-batch: the thread-pooled per-table applies
     must all land, and a re-run of the same batch stays idempotent."""
