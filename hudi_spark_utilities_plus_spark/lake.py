@@ -283,7 +283,15 @@ class HudiTable:
         ``seq > since_seq``. Keys whose net effect since the cursor is
         deletion simply don't appear (Hudi semantics). The key set is a
         seq-pruned log scan + semi-join — cost tracks the delta, not the
-        table."""
+        table.
+
+        Cursor protocol: the GENESIS base load is the seq ``-1`` commit,
+        so ``since_seq=-1`` means "consumed through genesis" — exactly
+        what ``latest_commit_seq()`` returns right after the initial
+        load. A mirror bootstraps with a full ``read()`` + cursor
+        ``latest_commit_seq()``, then polls incrementally; every LATER
+        bulk_insert routes through the log with a real seq (see
+        bulk_insert), so no post-genesis load can bypass the cursor."""
         if not self.is_mor:
             raise ValueError(
                 "incremental read requires a MERGE_ON_READ table "
@@ -319,20 +327,33 @@ class HudiTable:
     def bulk_insert(self, df: DataFrame) -> None:
         """Append without index lookup (``write.operation=bulk_insert``).
 
-        On a MOR table with a pending delta log the batch is routed
-        through the log (op=upsert) instead of the base: base rows merge
-        at seq=-1, so a base append would be killed by any EARLIER
-        unconditional delete marker — in Hudi a later insert survives an
-        earlier delete. The log entry gets a commit seq after the
-        marker, preserving that ordering."""
+        On an EXISTING MOR table the batch is routed through the log
+        (op=upsert) instead of the base, for two reasons. (1) Ordering:
+        base rows merge at seq=-1, so a base append would be killed by
+        any EARLIER unconditional delete marker — in Hudi a later
+        insert survives an earlier delete; the log entry gets a commit
+        seq after the marker. (2) Timeline visibility: a base append
+        carries no commit seq, so it would be invisible to
+        read_incremental/read_cdc cursors (silent loss for downstream
+        mirrors) and RETROACTIVELY visible to read(as_of_seq=old) —
+        rows appearing in a historical snapshot that predates them.
+        Only the GENESIS load (table doesn't exist yet) writes the
+        base: seq -1 is the genesis commit, correctly visible at every
+        as_of; ``latest_commit_seq()`` returns -1 right after it, so
+        the incremental cursor protocol (bootstrap = full read() +
+        that cursor) hands the load to mirrors without a log entry —
+        see read_incremental's cursor-protocol note."""
         spark = df.sparkSession
         df = self._with_partition_col(df, spark)
-        if self.is_mor and self.exists(spark) and self._has_log(spark):
+        if self.is_mor and self.exists(spark):
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)
         elif self._is_manifest:
             files = self._manifest_write_batch(df)
-            self._publish_manifest(self._manifest_files() + files)
+            # append commit: the head list is merged INSIDE the
+            # conditional-put retry loop (a stale-head retry would drop
+            # a concurrent committer's files — see _publish_manifest)
+            self._publish_manifest(files, merge_head=True)
         else:
             self._writer(df, "append").parquet(self.path)
         self._maybe_sync_catalog(spark)
@@ -464,10 +485,7 @@ class HudiTable:
         entry = df.withColumn("__hudi_op", F.lit(op)).withColumn(
             "__hudi_seq", F.lit(seq).cast("long")
         )
-        w = entry.write.mode("append")
-        if self.partition_field and self.partition_field in entry.columns:
-            w = w.partitionBy(self.partition_field)
-        w.parquet(self._log_path)
+        self._writer(entry, "append").parquet(self._log_path)
 
     def _maybe_compact(self, spark: SparkSession) -> None:
         """Inline compaction trigger (Hudi's ``hoodie.compact.inline`` +
@@ -480,8 +498,13 @@ class HudiTable:
         max_commits = int(
             self.options.get("hoodie.compact.inline.max.delta.commits", 5)
         )
-        # _next_seq == number of commits in the log (seqs are 0-based)
-        if self._next_seq(spark) >= max_commits:
+        # commits SINCE the last compaction, not the absolute seq: seqs
+        # are monotonic across compactions (the seqbase watermark), so
+        # comparing _next_seq alone would fire on EVERY commit once the
+        # absolute count passed the threshold — degrading MOR's O(batch)
+        # write to an O(table) rewrite per micro-batch and advancing the
+        # incremental horizon under every cursor
+        if self._next_seq(spark) - self._seq_base() >= max_commits:
             self.compact(spark)
 
     def compact(self, spark: SparkSession) -> None:
@@ -529,6 +552,14 @@ class HudiTable:
         for exactness on any log shape; a delta-optimized variant would
         seq-prune the log first (read_incremental's trick) and only
         snapshot the touched keys."""
+        if not self.is_mor:
+            # guard here, not via the time-travel read below: its
+            # 'time travel requires a MERGE_ON_READ table' message
+            # misdirects a caller who never asked for time travel
+            raise ValueError(
+                "CDC read requires a MERGE_ON_READ table (COPY_ON_WRITE "
+                "rewrites keep no commit history to diff against)"
+            )
         before = self.read(spark, as_of_seq=since_seq)
         after = self.read(spark)
         key = self.record_key
@@ -605,10 +636,7 @@ class HudiTable:
             return
         # materialize the surviving log BEFORE dropping the source dir
         tmp = log_local + ".restore_tmp"
-        w = kept.write.mode("overwrite")
-        if self.partition_field and self.partition_field in kept.columns:
-            w = w.partitionBy(self.partition_field)
-        w.parquet(tmp)
+        self._writer(kept, "overwrite").parquet(tmp)
         shutil.rmtree(log_local)
         os.rename(tmp, log_local)
         self._maybe_sync_catalog(spark)
@@ -704,13 +732,22 @@ class HudiTable:
             self.compact(spark)
         if not self.exists(spark):
             return 0
-        local = self._local_fs_path()
-        sizes = [
-            os.path.getsize(os.path.join(dirpath, f))
-            for dirpath, _, files in os.walk(local)
-            for f in files
-            if f.endswith(".parquet")
-        ]
+        if self._is_manifest:
+            # size only the LIVE file list: os.walk would also count
+            # every superseded commit's dead files, inflating the
+            # fragmentation estimate so the trigger mis-fires — and
+            # since each rectify publishes a new manifest while leaving
+            # old files on disk (clean() reclaims them), the walk-based
+            # count would grow with every pass and never converge
+            sizes = [os.path.getsize(f) for f in self._manifest_files()]
+        else:
+            local = self._local_fs_path()
+            sizes = [
+                os.path.getsize(os.path.join(dirpath, f))
+                for dirpath, _, files in os.walk(local)
+                for f in files
+                if f.endswith(".parquet")
+            ]
         total = sum(sizes)
         n_target = max(1, -(-total // target_file_bytes))  # ceil
         # only rewrite meaningful fragmentation (>2x the needed file
@@ -749,8 +786,11 @@ class HudiTable:
         numeric = {}
         for c in sort_cols:
             dt = df.schema[c].dataType.simpleString()
-            if dt.startswith(("int", "bigint", "smallint", "tinyint",
-                              "float", "double", "decimal")):
+            # exact names, not startswith("int"): 'interval day to
+            # second' startswith 'int' too, and interval types can't
+            # cast to double — they belong on the hash-bucket path
+            if dt in ("int", "bigint", "smallint", "tinyint",
+                      "float", "double") or dt.startswith("decimal"):
                 numeric[c] = F.col(c).cast("double")
             elif dt == "date" or dt.startswith("timestamp"):
                 # NTZ/date can't cast to double under ANSI; epoch micros
@@ -860,13 +900,16 @@ class HudiTable:
                     f"{expected_seq} but found {head} — recompute the "
                     "batch against the current state and retry"
                 )
-        if self.is_mor and self.exists(spark):
+        # one probe per write: exists() is a file-listing/schema job,
+        # and the streaming demux upserts many tables per micro-batch
+        table_exists = self.exists(spark)
+        if self.is_mor and table_exists:
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)
             self._maybe_sync_catalog(spark)
             return
         incoming = df.withColumn("__hudi_src", F.lit(1))
-        partitioned = self.partition_field is not None and self.exists(spark)
+        partitioned = self.partition_field is not None and table_exists
         if partitioned:
             parts, has_null = self._touched_partitions(df)
             existing = (
@@ -875,7 +918,7 @@ class HudiTable:
                 .withColumn("__hudi_src", F.lit(0))
             )
             merged = existing.unionByName(incoming, allowMissingColumns=True)
-        elif self.exists(spark):
+        elif table_exists:
             existing = self.read(spark).withColumn("__hudi_src", F.lit(0))
             merged = existing.unionByName(incoming, allowMissingColumns=True)
         else:
@@ -1121,7 +1164,9 @@ class HudiTable:
         ) as fh:
             return json.load(fh)["files"]
 
-    def _publish_manifest(self, files: list[str]) -> int:
+    def _publish_manifest(
+        self, files: list[str], merge_head: bool = False
+    ) -> int:
         """Atomically publish the next manifest version. The data files
         are fully written BEFORE this point, so a crash anywhere earlier
         leaves the previous manifest authoritative and the half-written
@@ -1132,7 +1177,18 @@ class HudiTable:
         clobber each other — the loser just retries with the next
         number). This models an object store's if-none-match PUT; plain
         rename would let the second committer silently overwrite the
-        first's published manifest."""
+        first's published manifest.
+
+        ``merge_head=True`` is the APPEND commit form: ``files`` are the
+        new files only, and the head's file list is re-read INSIDE the
+        retry loop so each attempt merges against the version it is
+        actually contending for. Re-listing only before the loop would
+        make a lost race silently publish the STALE head + our files —
+        dropping the winning committer's files from the new head (and
+        clean() would then delete them as unreferenced). With
+        merge_head=False (full-replace commits: overwrite, compaction
+        rewrite) the retry payload is unchanged — last-writer-wins is
+        the intended overwrite semantic."""
         import json
 
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -1142,10 +1198,16 @@ class HudiTable:
                 self._manifest_dir, f"manifest-{v:012d}.json"
             )
             tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-            # version is embedded in the payload, so each retry rewrites
-            # the tmp with the new number before attempting the link
+            # version (and, for appends, the merged head list) is
+            # embedded in the payload, so each retry rewrites the tmp
+            # before attempting the link
+            payload = (
+                sorted(set(self._manifest_files()) | set(files))
+                if merge_head
+                else sorted(files)
+            )
             with open(tmp, "w") as fh:
-                json.dump({"version": v, "files": sorted(files)}, fh)
+                json.dump({"version": v, "files": payload}, fh)
             try:
                 try:
                     os.link(tmp, target)
@@ -1288,14 +1350,11 @@ class HudiTable:
         suffix = uuid.uuid4().hex[:8]
         staging = f"{local.rstrip('/')}__staging_{suffix}"
         backup = f"{local.rstrip('/')}__prev_{suffix}"
-        w = df.write.mode("overwrite")
-        # membership guard, consistent with every sibling write path
-        # (_writer-append, _append_log): callers materialize a missing
-        # partition column via _with_partition_col, but a direct call
-        # must not crash on a column the frame doesn't carry.
-        if self.partition_field and self.partition_field in df.columns:
-            w = w.partitionBy(self.partition_field)
-        w.parquet(staging)
+        # _writer carries the membership guard: callers materialize a
+        # missing partition column via _with_partition_col, but a
+        # direct call must not crash on a column the frame doesn't
+        # carry.
+        self._writer(df, "overwrite").parquet(staging)
         import shutil
 
         had_old = os.path.exists(local)
@@ -1342,15 +1401,40 @@ class HudiTable:
     def _drop_partitions(self, values: list) -> None:
         """Physically remove partition directories (delete may empty a
         partition entirely; dynamic overwrite only replaces partitions
-        that still have rows)."""
+        that still have rows).
+
+        Matching is by UNESCAPED value against the listed directories,
+        not by constructing ``k=str(v)``: Spark percent-escapes special
+        characters in partition paths ('a:b' -> ``k=a%3Ab``, spaces and
+        colons in timestamps likewise), so a constructed raw name would
+        miss the real directory and the 'deleted' partition's rows
+        would silently resurrect on the next read."""
         import shutil
+        from urllib.parse import unquote
 
         local = self._local_fs_path()
-        for v in values:
-            leaf = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-            d = os.path.join(local, f"{self.partition_field}={leaf}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+        if not os.path.isdir(local):
+            return
+        want = {
+            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            for v in values
+        }
+        prefix = f"{self.partition_field}="
+        for d in os.listdir(local):
+            if not d.startswith(prefix):
+                continue
+            leaf = d[len(prefix):]
+            # unquote inverts Spark's escapePathName for any value Spark
+            # actually wrote (it always escapes '%' itself, so the
+            # round-trip is unambiguous); the hive default token is
+            # literal
+            val = (
+                leaf
+                if leaf == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(leaf)
+            )
+            if val in want:
+                shutil.rmtree(os.path.join(local, d))
 
     # -- catalog sync ---------------------------------------------------
     def _maybe_sync_catalog(self, spark: SparkSession) -> None:
@@ -1375,6 +1459,17 @@ class HudiTable:
                 f"{HIVE_SYNC_TABLE} nor {TABLE_NAME} is set"
             )
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+
+        if self._is_manifest:
+            # a path-based parquet table at the root would recursively
+            # list EVERY commit-* dir — the union of all versions, with
+            # stale/duplicate rows — because only the head manifest's
+            # file list is live and a LOCATION clause can't express
+            # that. Same fail-loud rule as the MOR pending-log case:
+            # drop the by-name entry rather than serve wrong data;
+            # manifest tables are read via read()/read_manifest_version.
+            spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+            return
 
         def _register(name: str) -> None:
             # external (path-based) table; re-registered each write so

@@ -417,7 +417,12 @@ def test_hudi_mor_incremental_read(spark, tmp_path):
         )
     )
     assert t.latest_commit_seq(spark) == -1
-    assert t.read_incremental(spark).count() == 0  # no delta commits yet
+    # cursor protocol: the genesis base load IS the seq -1 commit, and
+    # latest_commit_seq() returns -1 right after it — so a cursor of -1
+    # means "consumed through genesis" and the pull is empty. (A mirror
+    # bootstraps with a full read() + that cursor; every LATER
+    # bulk_insert routes through the log, so nothing bypasses it.)
+    assert t.read_incremental(spark).count() == 0
     t.upsert(spark.createDataFrame([(1, 2, "a2")], "id int, ver int, v string"))
     cursor = t.latest_commit_seq(spark)
     assert cursor == 0
@@ -1970,3 +1975,204 @@ def test_occ_manifest_mor_tracks_log_seq(spark, tmp_path):
         expected_seq=t.latest_commit_seq(spark),
     )
     assert [r["v"] for r in t.read(spark).collect()] == ["c"]
+
+
+def test_manifest_concurrent_append_merges_winner(spark, tmp_path, monkeypatch):
+    """A lost conditional put retries against the NEW head's file list:
+    the winner's files must appear in the loser's published manifest.
+    A stale-head retry (merging the list captured before the race)
+    silently dropped the winner's commit — and clean() then deleted its
+    data files as unreferenced debris."""
+    import json
+    import os as _os
+
+    m = _manifest_table(tmp_path)
+    m.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    # the "winner": a real data file that a concurrent committer will
+    # publish between our head listing and our link attempt
+    wdir = _os.path.join(str(tmp_path / "m"), "data", "commit-winner")
+    spark.createDataFrame(
+        [(9, 1, "w")], "id int, ts int, v string"
+    ).coalesce(1).write.parquet(wdir)
+    winner_files = [
+        _os.path.join(wdir, f)
+        for f in _os.listdir(wdir)
+        if f.endswith(".parquet")
+    ]
+
+    real_link = _os.link
+    raced = {"done": False}
+
+    def racing_link(src, dst):
+        if not raced["done"] and dst.endswith(".json"):
+            raced["done"] = True
+            # the winner lands this exact version first
+            head = m._manifest_files()
+            with open(dst, "w") as fh:
+                json.dump(
+                    {"version": 0, "files": sorted(head + winner_files)}, fh
+                )
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(_os, "link", racing_link)
+    m.bulk_insert(
+        spark.createDataFrame([(2, 1, "b")], "id int, ts int, v string")
+    )
+    monkeypatch.setattr(_os, "link", real_link)
+    got = sorted((r["id"], r["v"]) for r in m.read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (9, "w")], got
+
+
+def test_inline_compaction_counts_commits_since_compaction(spark, tmp_path):
+    """hoodie.compact.inline.max.delta.commits counts commits SINCE the
+    last compaction (seqs stay monotonic across compactions), not the
+    absolute seq — the absolute compare fired on EVERY commit once the
+    lifetime count passed the threshold, degrading MOR's O(batch) write
+    to an O(table) rewrite per micro-batch."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "inline"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+        options={
+            "hoodie.compact.inline": "true",
+            "hoodie.compact.inline.max.delta.commits": 3,
+        },
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 0, "a")], "id int, ts int, v string")
+    )
+    for i in range(1, 4):  # seqs 0,1,2 -> compacts at the third commit
+        t.upsert(
+            spark.createDataFrame(
+                [(1, i, f"v{i}")], "id int, ts int, v string"
+            ),
+            spark,
+        )
+    assert not t._has_log(spark)  # first compaction fired
+    # the next two commits must NOT compact (2 < 3 since-compaction)
+    for i in (4, 5):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, i, f"v{i}")], "id int, ts int, v string"
+            ),
+            spark,
+        )
+    assert t._has_log(spark), (
+        "inline compaction fired on every commit after the first "
+        "compaction — the trigger is comparing absolute seq, not "
+        "commits since compaction"
+    )
+    assert [r["v"] for r in t.read(spark).collect()] == ["v5"]
+
+
+def test_mor_bulk_insert_after_compaction_visible_incrementally(
+    spark, tmp_path
+):
+    """bulk_insert on an EXISTING MOR table routes through the log so it
+    carries a commit seq: a base append was invisible to incremental
+    cursors (silent loss for downstream mirrors) and retroactively
+    visible to time travel."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "morb"),
+        record_key="id",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ts int, v string")
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 2, "a2")], "id int, ts int, v string"),
+        spark,
+    )
+    t.compact(spark)
+    cursor = t.latest_commit_seq(spark)
+    t.bulk_insert(
+        spark.createDataFrame([(2, 3, "b")], "id int, ts int, v string")
+    )
+    inc = {r["id"]: r["v"] for r in t.read_incremental(spark, cursor).collect()}
+    assert inc == {2: "b"}, inc
+    # and the load is NOT retroactively visible at the pre-load seq
+    asof = {r["id"] for r in t.read(spark, as_of_seq=cursor).collect()}
+    assert asof == {1}, asof
+
+
+def test_manifest_hive_sync_withholds_by_name_table(spark, tmp_path):
+    """Manifest-mode + hive_sync: a path-based parquet table at the root
+    would union EVERY commit dir (stale + duplicate rows), so the sync
+    drops the by-name entry instead of serving wrong data — same
+    fail-loud rule as the MOR pending-log case."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "msync"),
+        record_key="id",
+        precombine="ts",
+        table_name="msync_tbl",
+        options={
+            "hoodie.commit.mode": "manifest",
+            "hoodie.datasource.hive_sync.enable": "true",
+            "hoodie.datasource.hive_sync.database": "default",
+        },
+    )
+    rows = "id int, ts int, v string"
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], rows))
+    t.upsert(spark.createDataFrame([(1, 2, "a2")], rows), spark)
+    assert not spark.catalog.tableExists("default.msync_tbl")
+    # read() serves the correct head state
+    assert [r["v"] for r in t.read(spark).collect()] == ["a2"]
+
+
+def test_drop_partitions_matches_escaped_directory_names(spark, tmp_path):
+    """Deleting every row of a partition whose value Spark percent-
+    escapes in the directory name ('a:b' -> dt=a%3Ab) must still drop
+    the directory — constructing the raw dt=a:b name missed it and the
+    'deleted' rows resurrected on the next read."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "esc"),
+        record_key="id",
+        precombine="ts",
+        partition_field="dt",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a:b", "x"), (2, 1, "plain", "y")],
+            "id int, ts int, dt string, v string",
+        )
+    )
+    t.delete(spark.createDataFrame([(1,)], "id int"), spark)
+    left = [(r["id"], r["dt"]) for r in t.read(spark).collect()]
+    assert left == [(2, "plain")], left
+
+
+def test_rectify_converges_on_manifest_tables(spark, tmp_path):
+    """rectify_file_sizes on a manifest table sizes only the LIVE file
+    list: os.walk also counted superseded commits' dead files, so the
+    trigger mis-fired and each pass made the next one worse."""
+    m = _manifest_table(tmp_path, "rect")
+    rows = "id int, ts int, v string"
+    for i in range(6):  # 6 append commits -> 6+ live files, 6 manifests
+        m.bulk_insert(spark.createDataFrame([(i, 1, f"v{i}")], rows))
+    n = m.rectify_file_sizes(spark, target_file_bytes=1 << 30)
+    assert n == 1  # all rows fit one right-sized file
+    assert m.read(spark).count() == 6
+    # converged: the rewritten head is not fragmented, second pass no-ops
+    assert m.rectify_file_sizes(spark, target_file_bytes=1 << 30) == 0
+
+
+def test_read_cdc_on_cow_raises_cdc_specific_error(spark, tmp_path):
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    cow = HudiTable(path=str(tmp_path / "cdccow"), record_key="id", precombine="ts")
+    with pytest.raises(ValueError, match="CDC read requires"):
+        cow.read_cdc(spark)
