@@ -32,8 +32,26 @@ from pyspark.sql import functions as F
 # monotonically_increasing_id() = (partition_id << 33) | row_index, so
 # the low 33 bits ARE the 0-based ordinal within the partition — a local
 # row number with no window (and no hash exchange). Valid while every
-# partition holds < 2^33 rows (8.5 B — far above any sane task size).
+# partition holds < 2^33 rows (8.5 B — far above any sane task size);
+# the per-partition counts collect enforces the bound at runtime.
 _MID_ROW_MASK = (1 << 33) - 1
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize AND freeze the frame — correctness, not caching: the
+    monotonic ids / in-partition window sums are nondeterministic under
+    recomputation (range sampling, id assignment), so the offsets
+    collected driver-side and the rows the caller finally reads MUST
+    come from one single evaluation. checkpoint(eager) (reliable form
+    when the session has a checkpoint dir, localCheckpoint otherwise)
+    freezes the data and cuts lineage; unlike ``persist()`` — whose
+    CacheManager entry nothing ever releases, leaking one full-table
+    cache per call in a long session — checkpoint blocks are freed by
+    the ContextCleaner once the result goes out of scope."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def global_row_number(
@@ -63,7 +81,10 @@ def global_row_number(
     """
     sess = df.sparkSession
     n_partitions = n_partitions or sess.sparkContext.defaultParallelism
-    local = (
+    # _materialize: the ids below must be computed exactly once (see
+    # its docstring) — the counts collect and the caller's final read
+    # must observe the same evaluation
+    local = _materialize(
         df.repartitionByRange(n_partitions, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__gw_pid", F.spark_partition_id())
@@ -76,17 +97,22 @@ def global_row_number(
                 + 1
             ).cast("long"),
         )
-        .persist()
     )
-    # the counts collect below is the FIRST action over the persisted
-    # frame, so it both computes the offsets and fills the cache in one
-    # job — an extra eager count() here would be a whole redundant pass
     counts = sorted(
         (r["__gw_pid"], r["n"])
         for r in local.groupBy("__gw_pid").agg(F.count("*").alias("n")).collect()
     )
     offsets, acc = {}, 0
     for pid, n in counts:
+        if n >= 1 << 33:
+            # the low-bits ordinal wraps into the partition-id bits
+            # past 2^33 rows in one partition — fail loudly instead of
+            # silently emitting duplicate/wrapped row numbers (the
+            # counts are already on the driver, the check is free)
+            raise RuntimeError(
+                f"partition {pid} holds {n} rows (>= 2^33): the "
+                "monotonic-id ordinal would wrap — raise n_partitions"
+            )
         offsets[pid] = acc
         acc += n
     off_df = F.broadcast(
@@ -107,6 +133,8 @@ def ntile_expr(rn: Column, n_total: int, tiles: int) -> Column:
     """Standard-SQL NTILE from a global row number and the total count
     (driver-side scalar): the first ``n mod tiles`` buckets get
     ``⌈n/tiles⌉`` rows, the rest ``⌊n/tiles⌋``."""
+    if tiles <= 0:
+        raise ValueError(f"tiles must be > 0; got {tiles}")
     q, r = divmod(n_total, tiles)
     if q == 0:  # fewer rows than tiles: bucket = rn
         return rn.cast("int")
@@ -163,11 +191,23 @@ def global_running_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = tagged.withColumn("__gw_lcum", F.sum("__gw_v").over(w)).persist()
-    # the totals collect is the first action and fills the cache itself
+    # __gw_lcnt (COUNT ignores NULLs) distinguishes "prefix sums to
+    # NULL because every value so far is NULL" from a genuine sum: the
+    # SQL running sum is NULL only while the GLOBAL prefix has zero
+    # non-null values, but the in-partition __gw_lcum alone is NULL for
+    # any row whose LOCAL prefix is all-NULL — adding the offset to
+    # that NULL silently yielded NULL where the true running sum is the
+    # preceding partitions' total.
+    local = _materialize(
+        tagged.withColumn("__gw_lcum", F.sum("__gw_v").over(w)).withColumn(
+            "__gw_lcnt", F.count("__gw_v").over(w)
+        )
+    )
     totals = sorted(
-        (r["__gw_pid"], r["t"])
-        for r in local.groupBy("__gw_pid").agg(F.sum("__gw_v").alias("t")).collect()
+        (r["__gw_pid"], r["t"], r["c"])
+        for r in local.groupBy("__gw_pid")
+        .agg(F.sum("__gw_v").alias("t"), F.count("__gw_v").alias("c"))
+        .collect()
     )
     # offsets inherit the sum's arithmetic from the VALUE column's type:
     # integral columns stay exact longs (token counts — the original
@@ -181,28 +221,43 @@ def global_running_sum(
     vt = tagged.schema["__gw_v"].dataType
     integral = vt.simpleString() in ("tinyint", "smallint", "int", "bigint")
     decimal = isinstance(vt, DecimalType)
-    offsets, acc = {}, Decimal(0) if decimal else 0
-    for pid, t in totals:
-        offsets[pid] = int(acc) if integral else (acc if decimal else float(acc))
+    offsets, acc, cnt_acc = {}, Decimal(0) if decimal else 0, 0
+    for pid, t, c in totals:
+        offsets[pid] = (
+            int(acc) if integral else (acc if decimal else float(acc)),
+            cnt_acc,
+        )
         acc += t or 0  # SUM of an all-NULL partition is NULL → adds 0
+        cnt_acc += c
     off_type = (
         "LONG" if integral else f"DECIMAL(38,{vt.scale})" if decimal else "DOUBLE"
     )
     off_df = F.broadcast(
         sess.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()],
-            f"__gw_pid INT, __gw_off {off_type}",
+            [(pid, off, cnt) for pid, (off, cnt) in offsets.items()],
+            f"__gw_pid INT, __gw_off {off_type}, __gw_offcnt LONG",
         )
     )
-    out = (F.col("__gw_off") + F.col("__gw_lcum"))
+    out = F.when(
+        # zero non-null values in the whole global prefix → NULL, the
+        # SQL window semantic; otherwise a NULL local prefix
+        # contributes 0 on top of the preceding partitions' total
+        (F.col("__gw_offcnt") + F.col("__gw_lcnt")) == 0,
+        F.lit(None),
+    ).otherwise(F.col("__gw_off") + F.coalesce(F.col("__gw_lcum"), F.lit(0)))
     if integral:
         out = out.cast("long")
     elif decimal:
         out = out.cast(f"decimal(38,{vt.scale})")
+    else:
+        out = out.cast("double")
     return (
         local.join(off_df, "__gw_pid")
         .withColumn(out_col, out)
-        .drop("__gw_pid", "__gw_v", "__gw_lcum", "__gw_off")
+        .drop(
+            "__gw_pid", "__gw_v", "__gw_lcum", "__gw_lcnt",
+            "__gw_off", "__gw_offcnt",
+        )
     )
 
 
@@ -234,11 +289,33 @@ def range_frame_sum(
             f"preceding must be > 0 (it is the block width); got {preceding}"
         )
     k = F.col(key_col)
+
+    kt = df.schema[key_col].dataType.simpleString()
+    if kt in ("tinyint", "smallint", "int", "bigint"):
+        # INTEGER floor division, not F.floor(k / p): Spark's Divide
+        # casts both sides to double, and for keys beyond ~2^53 the
+        # rounded quotient lands rows in the wrong block — a frame
+        # contributor emitted to blocks {b, b+1} never joins its
+        # target's block and is SILENTLY dropped from the sum
+        # (Snowflake-style 64-bit ids hit this everywhere). `div`
+        # truncates toward zero, so floor = tdiv - 1 exactly when the
+        # operands have opposite signs and the remainder is non-zero.
+        def _block() -> Column:
+            tdiv = F.expr(f"`{key_col}` div {preceding}")
+            return tdiv - F.when(
+                ((k % preceding) != 0) & (k < 0), 1
+            ).otherwise(0)
+
+    else:
+
+        def _block() -> Column:
+            return F.floor(k / preceding)
+
     nn = df.filter(k.isNotNull())
     contrib = nn.select(
         k.alias("__gw_ck"),
         val.alias("__gw_cv"),
-        F.floor(k / preceding).alias("__gw_blk"),
+        _block().alias("__gw_blk"),
     )
     contrib = contrib.select(
         "__gw_ck",
@@ -252,7 +329,7 @@ def range_frame_sum(
     rows = nn.select(k.alias(key_col))
     if not keys_unique:
         rows = rows.distinct()
-    rows = rows.withColumn("__gw_blk", F.floor(F.col(key_col) / preceding))
+    rows = rows.withColumn("__gw_blk", _block())
     result = (
         rows.join(contrib, "__gw_blk")
         .filter(

@@ -40,10 +40,10 @@ def pack_assignments(
     if budget <= 0:
         raise ValueError(f"budget must be > 0 tokens; got {budget}")
     tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
-    cum = global_running_sum(df, [F.col(id_col)], tok, out_col="_cum")
+    cum = global_running_sum(df, [F.col(id_col)], tok, out_col="__gw_cum")
     return cum.withColumn(
-        "pack_id", F.floor((F.col("_cum") - tok) / budget)
-    ).drop("_cum")
+        "pack_id", F.floor((F.col("__gw_cum") - tok) / budget)
+    ).drop("__gw_cum")
 
 
 def pack_stats(

@@ -2176,3 +2176,69 @@ def test_read_cdc_on_cow_raises_cdc_specific_error(spark, tmp_path):
     cow = HudiTable(path=str(tmp_path / "cdccow"), record_key="id", precombine="ts")
     with pytest.raises(ValueError, match="CDC read requires"):
         cow.read_cdc(spark)
+
+
+def test_global_running_sum_null_prefix_carries_offset(spark):
+    """A row whose IN-PARTITION value prefix is all NULL must still
+    carry the preceding partitions' total — off + NULL-lcum used to
+    yield NULL where SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)
+    gives the prior sum. The result is NULL only while the GLOBAL
+    prefix holds zero non-null values (the SQL window semantic)."""
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 3.0), (2, None), (3, 2.0)], "id long, v double"
+    )
+    out = global_running_sum(
+        df, [F.col("id")], F.col("v"), n_partitions=4, out_col="cum"
+    )
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    # SQL: id0 -> NULL (no non-null values yet), id1 -> 3, id2 -> 3, id3 -> 5
+    assert got == {0: None, 1: 3.0, 2: 3.0, 3: 5.0}, got
+
+
+def test_range_frame_sum_exact_blocks_beyond_double_precision(spark):
+    """Block assignment uses integer floor division: the double-rounded
+    quotient placed >2^53 keys in the wrong block, so an in-frame
+    contributor was silently dropped from the join (Snowflake-style
+    64-bit ids live entirely in that range)."""
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        range_frame_sum,
+    )
+
+    k = 18014398509481998  # ~2^54: 1 ulp of double is 4 here
+    rows = [(k - 100, 1.0), (k, 10.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {
+        r["id"]: r["s"]
+        for r in range_frame_sum(
+            df, "id", F.col("v"), preceding=100, out_col="s",
+            keys_unique=True,
+        ).collect()
+    }
+    # frame [k-100, k] includes both rows
+    assert out[k] == 11.0, out
+    assert out[k - 100] == 1.0, out
+    # negative keys: floor semantics, not truncation toward zero
+    neg = spark.createDataFrame([(-150, 1.0), (-100, 2.0)], "id long, v double")
+    got = {
+        r["id"]: r["s"]
+        for r in range_frame_sum(
+            neg, "id", F.col("v"), preceding=100, out_col="s",
+            keys_unique=True,
+        ).collect()
+    }
+    assert got == {-150: 1.0, -100: 3.0}, got
+
+
+def test_ntile_expr_rejects_nonpositive_tiles(spark):
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        ntile_expr,
+    )
+
+    with pytest.raises(ValueError, match="tiles"):
+        ntile_expr(F.lit(1), 10, 0)
+    with pytest.raises(ValueError, match="tiles"):
+        ntile_expr(F.lit(1), 10, -3)
