@@ -80,11 +80,14 @@ def _col_to_idx(ref: str) -> int:
 
 
 def _parse_cell_ref(ref: str) -> tuple[int, int]:
-    # '$' strips: Excel commonly emits absolute refs ($A$1) in ranges
-    m = re.match(r"([A-Z]+)(\d+)", ref.replace("$", ""))
+    # '$' strips: Excel commonly emits absolute refs ($A$1) in ranges.
+    # Case-insensitive: POI's CellReference (what spark-excel parses
+    # dataAddress with) accepts 'a1:c4', so user-supplied lowercase
+    # refs must not be rejected.
+    m = re.match(r"([A-Za-z]+)(\d+)", ref.replace("$", ""))
     if not m:
         raise ValueError(f"bad cell ref: {ref}")
-    return int(m.group(2)) - 1, _col_to_idx(m.group(1))
+    return int(m.group(2)) - 1, _col_to_idx(m.group(1).upper())
 
 
 def parse_data_address(addr: str) -> tuple[str | None, tuple[int, int], tuple[int, int] | None]:
@@ -389,7 +392,12 @@ def _file_body(
     r0, c0 = start
     r1 = end[0] if end else (len(rows) - 1)
     c1 = end[1] if end else max((max(r) for r in rows if r), default=0)
-    width = c1 - c0 + 1
+    # An open range whose start column sits right of every populated
+    # cell would yield width <= 0: zero-width rows and an EMPTY header
+    # list, which downstream renders as a malformed zero-column schema.
+    # Clamp to one (all-null) column — the range addresses real sheet
+    # rows, they just hold no cells at/after c0.
+    width = max(c1 - c0 + 1, 1)
     grid = [
         [rows[r].get(c0 + i) if r < len(rows) else None for i in range(width)]
         for r in range(r0, min(r1, len(rows) - 1) + 1)

@@ -682,6 +682,29 @@ def test_excel_absolute_data_address(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_excel_lowercase_data_address(spark, tmp_path):
+    """POI's CellReference (spark-excel's dataAddress parser) is
+    case-insensitive — 'a2:b4' must address the same range as 'A2:B4'."""
+    p = str(tmp_path / "lc.xlsx")
+    write_xlsx(p, [["junk", "junk"], ["h1", "h2"], ["a", 1], ["b", 2]])
+    df = read_excel(spark, p, {"dataAddress": "'Sheet1'!a2:b4", "inferSchema": "true"})
+    assert df.columns == ["h1", "h2"]
+    assert [r["h2"] for r in df.orderBy("h1").collect()] == [1, 2]
+
+
+def test_excel_open_range_right_of_data(spark, tmp_path):
+    """An open range starting right of every populated cell used to
+    produce width <= 0 — an EMPTY header list and a malformed
+    zero-column schema. It now yields one all-null column spanning the
+    addressed rows."""
+    p = str(tmp_path / "or.xlsx")
+    write_xlsx(p, [["h1", "h2"], ["a", 1]])
+    df = read_excel(spark, p, {"dataAddress": "C1", "header": "false"})
+    assert df.columns == ["_c0"]
+    rows = df.collect()
+    assert len(rows) == 2 and all(r["_c0"] is None for r in rows)
+
+
 def test_excel_multi_file_parses_on_executors(spark, tmp_path):
     """Glob reads fan the per-workbook parse out as one task per file
     (the returned plan scans an RDD with len(paths) partitions)."""
