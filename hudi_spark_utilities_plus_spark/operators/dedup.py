@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
 from .text import sha_fingerprint, ws_tokens
 
 # ---------------------------------------------------------------------------
@@ -304,13 +305,14 @@ def ngram_jaccard_pairs(
         .drop("sh")
         .persist()
     )
-    # The ordering pass, the prefix join, and the verify join each
-    # reference the shingling subtree; persist base first so shingling
-    # runs once, then persist the ordered result the joins share.
-    # count() populates the cache eagerly: otherwise the broadcast-build
-    # job and the postings job race and each recomputes the subtree.
-    s = _freq_ordered(base).persist()
-    n_docs = s.count()
+    # The prefix join and the verify join both read the ordered result:
+    # persist base so the ordering pass computes shingling once, then
+    # MATERIALIZE (not persist) the shared frame — the returned
+    # DataFrame still references it, so an in-function persist could
+    # never be released and leaked one full shingle table per call (see
+    # operators/materialize.py).
+    s = materialize(_freq_ordered(base))
+    n_docs = s.count()  # cheap scan of the materialized blocks
     base.unpersist()
     t_num, t_den = _rationalize_threshold(threshold)
     # Prefixes in frequency-ascending order (_freq_ordered): on the
@@ -454,12 +456,11 @@ def minhash_lsh_pairs(
     # Only doc/n_sh/shh/sig survive the select: the raw shingle-string
     # array and the mod-P intermediate would otherwise ~triple the
     # cached row (same drop-before-persist as ngram_jaccard_pairs).
-    sigs = (
+    sigs = materialize(
         minhash_signatures(df, text_col, id_col, n)
         .select("doc", "n_sh", "shh", "sig")
-        .persist()
-    )
-    n_docs = sigs.count()  # eager cache fill — see ngram_jaccard_pairs
+    )  # materialize, not persist — see ngram_jaccard_pairs
+    n_docs = sigs.count()
     t_num, t_den = _rationalize_threshold(threshold)
     bands = sigs.select(
         "doc",
@@ -564,8 +565,7 @@ def simhash_pairs(
     sigs = scatter(df).select(
         F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sim")
     )
-    sigs = sigs.persist()
-    sigs.count()  # eager cache fill
+    sigs = materialize(sigs)  # not persist — see ngram_jaccard_pairs
     bands = sigs.select(
         "doc",
         "sim",
@@ -786,7 +786,9 @@ def containment_pairs(
         .drop("sh")
         .persist()
     )
-    s = _freq_ordered(base).persist()
+    # materialize, not persist: the returned frame references s, so an
+    # in-function persist leaks (see ngram_jaccard_pairs)
+    s = materialize(_freq_ordered(base))
     n_docs = s.count()
     base.unpersist()
     cand = _containment_candidates(s, t_num, t_den, size_ratio)

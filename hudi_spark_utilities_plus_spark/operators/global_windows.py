@@ -38,20 +38,15 @@ _MID_ROW_MASK = (1 << 33) - 1
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Materialize AND freeze the frame — correctness, not caching: the
-    monotonic ids / in-partition window sums are nondeterministic under
-    recomputation (range sampling, id assignment), so the offsets
-    collected driver-side and the rows the caller finally reads MUST
-    come from one single evaluation. checkpoint(eager) (reliable form
-    when the session has a checkpoint dir, localCheckpoint otherwise)
-    freezes the data and cuts lineage; unlike ``persist()`` — whose
-    CacheManager entry nothing ever releases, leaking one full-table
-    cache per call in a long session — checkpoint blocks are freed by
-    the ContextCleaner once the result goes out of scope."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    """Freeze the frame — correctness, not caching: the monotonic ids /
+    in-partition window sums are nondeterministic under recomputation
+    (range sampling, id assignment), so the offsets collected
+    driver-side and the rows the caller finally reads MUST come from
+    one single evaluation. See operators/materialize.py for why
+    checkpoint, not persist."""
+    from .materialize import materialize
+
+    return materialize(df)
 
 
 def global_row_number(

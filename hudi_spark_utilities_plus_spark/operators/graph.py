@@ -39,23 +39,17 @@ def connected_components(
     """
     def _truncate(df: DataFrame) -> DataFrame:
         """Materialize AND cut lineage — mandatory for the iterative
-        loop, not an optimization. ``persist()`` caches data but keeps
-        the logical plan: round k's plan embeds round k-1's plan TWICE
-        (labels feeds both the neighbor aggregation and the join), so
-        the tree doubles every round on top of the (already large)
-        upstream pair-mining plan — Catalyst re-analysis cost grows
-        exponentially with rounds, and merely NAMING the cached
-        relation (CachedRDDBuilder.cachedName -> treeString) OOMed the
-        driver heap in a loaded session. checkpoint(eager) replaces
-        the plan with a scan of the materialized RDD: reliable
-        checkpoint when the session has a checkpoint dir (cluster —
-        survives executor loss), localCheckpoint otherwise
-        (MEMORY_AND_DISK blocks; fine for local mode / short loops).
-        Freed by the ContextCleaner when the frame goes out of scope."""
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        loop, not an optimization: round k's plan embeds round k-1's
+        plan TWICE (labels feeds both the neighbor aggregation and the
+        join), so under ``persist()`` — which caches data but keeps the
+        logical plan — the tree doubles every round on top of the
+        (already large) upstream pair-mining plan; merely NAMING the
+        cached relation (CachedRDDBuilder.cachedName -> treeString)
+        OOMed the driver heap in a loaded session. See
+        operators/materialize.py."""
+        from .materialize import materialize
+
+        return materialize(df)
 
     ud = _truncate(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

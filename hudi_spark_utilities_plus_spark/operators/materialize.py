@@ -1,0 +1,45 @@
+"""Shared materialize-and-cut-lineage helper for multi-consumer
+intermediates.
+
+``persist()`` has two problems as the freeze mechanism for an
+intermediate that a RETURNED DataFrame still references:
+
+1. **It leaks.** Nothing inside the producing function can unpersist it
+   (the caller's frame still needs the blocks), so every call adds a
+   CacheManager entry that lives until the session dies. A long-lived
+   service calling a dedup/similarity operator per request accretes
+   cached full-corpus tables; eviction is LRU-best-effort, and the
+   CacheManager's plan registry (used to NAME cached relations) grows
+   without bound — the exact class that OOMed the driver in the
+   connected-components loop (operators/graph.py).
+2. **It caches data but keeps the logical plan.** Downstream re-analysis
+   still walks the full upstream tree; for iterative or deeply-nested
+   plans the tree itself is the cost.
+
+``checkpoint(eager=True)`` (reliable form when the session has a
+checkpoint directory — survives executor loss, the cluster posture) or
+``localCheckpoint(eager=True)`` (MEMORY_AND_DISK blocks on the
+executors) replaces the plan with a scan of the materialized RDD, and
+the ContextCleaner frees the blocks once the last reference goes out of
+scope — no leak, no plan growth. The interleaved A/B (BASELINE.md,
+round 9) measured checkpoint ≈ persist on the global-window operators.
+
+Use for: (a) nondeterministic intermediates whose single evaluation is a
+CORRECTNESS requirement (monotonic ids, sampled range boundaries —
+operators/global_windows.py); (b) deterministic compute-once
+intermediates that outlive their producing function (shingle/signature
+tables feeding both a candidate join and a verify join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` NOW and return a frame whose plan is a scan of
+    the materialized blocks (lineage cut, no CacheManager entry)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

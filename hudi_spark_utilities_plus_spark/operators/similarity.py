@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import verify_broadcast_cap
+from .materialize import materialize
 
 
 def _scatter(df: DataFrame) -> DataFrame:
@@ -488,11 +489,14 @@ def similar_pairs(
     assigned, cents = _kmeans(
         side, "nv", "id", n_clusters, kmeans_iters, with_dist=True
     )
-    # persist the assignment: the nearest-centroid expression is a large
-    # (k × dim literals) codegen unit, and the radii job plus BOTH sides
-    # of the candidate join would otherwise re-analyze and re-execute it
-    # (the radii collect below is the first action and fills the cache)
-    assigned = assigned.persist()
+    # materialize the assignment: the nearest-centroid expression is a
+    # large (k × dim literals) codegen unit, and the radii job plus BOTH
+    # sides of the candidate join would otherwise re-analyze and
+    # re-execute it. materialize, not persist — the returned frame
+    # references assigned, so an in-function persist could never be
+    # released (operators/materialize.py); the radii collect below then
+    # reads the materialized blocks.
+    assigned = materialize(assigned)
 
     # covering radii from the _cdist the argmin already produced — a
     # plain k-row aggregate, and the action that fills assigned's cache
@@ -878,10 +882,14 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
         )
         .withColumn("d_norm", l2_norm(F.col("v")))
-        .persist()
     )
-    # lazy cache fill: the k-means seed/means jobs populate it as they
-    # scan (an eager count() is a whole extra corpus pass)
+    # materialize, not persist: the k-means loop scans docs several
+    # times AND the returned frame's candidate join reads it, so an
+    # in-function persist could never be released — one cached corpus
+    # per call (operators/materialize.py). The materialization pass
+    # replaces the first k-means job's cache-fill compute; every scan
+    # after it reads blocks either way.
+    docs = materialize(docs)
 
     assigned, cents = _kmeans(docs, "v", "neighbor_id", n_clusters, kmeans_iters)
 

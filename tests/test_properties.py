@@ -1,0 +1,266 @@
+"""Property-based differential tests (hypothesis) — randomized inputs,
+independent oracles.
+
+Each test drives a distributed operator over hypothesis-generated data
+and compares against an independent implementation of the same
+semantics: DuckDB's native window/ASOF engine, or a direct Python
+computation (union-find, brute-force Jaccard). These cover the input
+shapes hand-written fixtures never enumerate — NULL placement, ties,
+negative/huge keys, empty sides, self-loops.
+
+Example counts are deliberately small (each example runs real Spark
+jobs); the value is the generator's edge-case bias plus shrinking, not
+volume. Deterministic seeds (derandomize) keep CI stable — a failure
+here is a real counterexample, reproducible by copying the printed
+falsifying example into a unit test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs DuckDB ASOF LEFT JOIN
+# ---------------------------------------------------------------------------
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+)
+# right side unique on (key, ts): both engines' tie policies (among
+# equal-(key, ts) right rows) are deliberately unspecified, so the
+# differential property quantifies only over tie-free right sides
+_asof_right = st.dictionaries(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),
+    st.integers(-100, 100),
+    max_size=12,
+)
+
+
+@PROP
+@given(left=_asof_left, right=_asof_right)
+def test_asof_join_matches_duckdb(spark, left, right):
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid long, k long, lts long"
+    )
+    rrows = [(k, ts, v) for (k, ts), v in right.items()]
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "k long, rts long, rv long"
+    )
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        r["lid"]: (r["rts"], r["rv"])
+        for r in asof_join(ldf, rdf, "k", "lts", "rts").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        columns=["lid", "k", "lts"],
+    ))
+    con.register("r", pd.DataFrame(rrows, columns=["k", "rts", "rv"]))
+    if rrows:
+        rel = con.execute(
+            "SELECT l.lid, r.rts, r.rv FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+        want = {lid: (rts, rv) for lid, rts, rv in rel}
+    else:
+        want = {i: (None, None) for i in range(len(left))}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# global running sum vs DuckDB window
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)), min_size=1, max_size=25
+    ),
+    n_parts=st.integers(1, 5),
+)
+def test_global_running_sum_matches_duckdb(spark, vals, n_parts):
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        global_running_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = global_running_sum(
+        df, [F.col("id")], F.col("v"), n_partitions=n_parts, out_col="cum"
+    )
+    got = {r["id"]: r["cum"] for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "v"]).astype(
+        {"id": "int64", "v": "Int64"}
+    ))
+    want = {
+        lid: (None if c is None else int(c))
+        for lid, c in con.execute(
+            "SELECT id, SUM(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# range-frame sum vs DuckDB RANGE window (unique keys, incl. negative and
+# beyond-double-precision magnitudes)
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    keys=st.sets(
+        st.one_of(
+            st.integers(-50, 50),
+            st.integers(2**54 - 40, 2**54 + 40),
+            st.integers(-(2**54) - 40, -(2**54) + 40),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    preceding=st.integers(1, 12),
+)
+def test_range_frame_sum_matches_duckdb(spark, keys, preceding):
+    from hudi_spark_utilities_plus_spark.operators.global_windows import (
+        range_frame_sum,
+    )
+
+    rows = [(k, (k % 7) - 3) for k in sorted(keys)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = range_frame_sum(
+        df, "k", F.col("v"), preceding=preceding, out_col="s", keys_unique=True
+    )
+    got = {r["k"]: r["s"] for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "v"]))
+    want = {
+        k: int(s)
+        for k, s in con.execute(
+            f"SELECT k, SUM(v) OVER (ORDER BY k RANGE BETWEEN {preceding} "
+            "PRECEDING AND CURRENT ROW) AS s FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected components vs union-find
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from hudi_spark_utilities_plus_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id in the component
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    want = {n: min(ms) for _root, ms in members.items() for n in ms}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dedup vs brute force over the same shingle sets
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+
+
+def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
+    # mirrors operators/dedup.py shingles(): trim + \s+ split (an empty
+    # doc yields one phantom '' token, pinned behavior), whole-text
+    # shingle under n tokens, else distinct word n-grams
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < n:
+        return frozenset([" ".join(toks)])
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.5, 0.8]),
+)
+def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
+    from hudi_spark_utilities_plus_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, "text", "id", threshold=threshold).collect()
+    }
+
+    sets = [_py_shingles(d) for d in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want.add((a, b))
+    assert got == want
