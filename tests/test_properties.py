@@ -264,3 +264,97 @@ def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
             if union and inter / union >= threshold:
                 want.add((a, b))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hudi engine state machine vs dict replay (COW and MOR must agree)
+# ---------------------------------------------------------------------------
+
+# An op sequence over a small key space. Timestamps strictly increase
+# across the whole sequence, which makes the reference model unambiguous
+# AND mode-independent: a fresh delete marker always outranks current
+# rows, a later upsert always outranks any earlier marker, so
+# COPY_ON_WRITE's eager physical replay and MERGE_ON_READ's deferred
+# (precombine, seq) merge must both land on the same final state.
+# - upsert: latest-wins per key (payload derived from (key, ts), so any
+#   within-batch tie resolution yields identical rows)
+# - delete fresh: marker ts newer than every row -> removes the keys
+# - delete stale: marker ts=0, older than every row -> MUST be a no-op
+#   (the conditional-delete contract; a redelivered CDC delete must not
+#   kill newer data)
+# - delete key-only: no precombine column -> unconditional remove
+_hudi_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "del_fresh", "del_stale", "del_keyonly"]),
+        st.sets(st.integers(0, 4), min_size=1, max_size=3),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@PROP
+@given(ops=_hudi_ops, compact_at_end=st.booleans())
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_hudi_table_matches_dict_replay(spark, table_type, ops, compact_at_end):
+    import tempfile
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = HudiTable(
+            path=f"{tmp}/t",
+            record_key="id",
+            precombine="ts",
+            table_type=table_type,
+        )
+        model: dict[int, tuple[int, str]] = {}
+        ts = 0
+        for kind, keys in ops:
+            if kind == "upsert":
+                rows = []
+                for k in sorted(keys):
+                    ts += 1
+                    rows.append((k, ts, f"v{k}_{ts}"))
+                    model[k] = (ts, f"v{k}_{ts}")
+                t.upsert(
+                    spark.createDataFrame(rows, "id long, ts long, v string"),
+                    spark,
+                )
+            elif kind == "del_fresh":
+                ts += 1
+                t.delete(
+                    spark.createDataFrame(
+                        [(k, ts) for k in sorted(keys)], "id long, ts long"
+                    ),
+                    spark,
+                )
+                for k in keys:
+                    model.pop(k, None)
+            elif kind == "del_stale":
+                t.delete(
+                    spark.createDataFrame(
+                        [(k, 0) for k in sorted(keys)], "id long, ts long"
+                    ),
+                    spark,
+                )  # marker older than every row: no-op
+            else:  # del_keyonly — unconditional
+                t.delete(
+                    spark.createDataFrame(
+                        [(k,) for k in sorted(keys)], "id long"
+                    ),
+                    spark,
+                )
+                for k in keys:
+                    model.pop(k, None)
+        if not t.exists(spark):
+            # only delete ops ran: deletes on a nonexistent table no-op
+            assert model == {}
+            return
+        if compact_at_end and table_type == "MERGE_ON_READ":
+            t.compact(spark)
+        got = {
+            r["id"]: (r["ts"], r["v"])
+            for r in t.read(spark).select("id", "ts", "v").collect()
+        }
+        assert got == model
