@@ -358,3 +358,93 @@ def test_hudi_table_matches_dict_replay(spark, table_type, ops, compact_at_end):
             for r in t.read(spark).select("id", "ts", "v").collect()
         }
         assert got == model
+
+
+@PROP
+@given(ops=_hudi_ops, prefix_len=st.integers(0, 6))
+def test_hudi_incremental_cursor_protocol(spark, ops, prefix_len):
+    """Mirror protocol: capture latest_commit_seq() after a random
+    prefix of the op sequence, then read_incremental(cursor) at the end
+    must return the CURRENT snapshot rows of exactly the keys touched by
+    log commits after the cursor — genesis-load keys excluded (the
+    bootstrap is a full read), net-deleted keys absent (Hudi
+    semantics)."""
+    import tempfile
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    prefix_len = min(prefix_len, len(ops))
+    with tempfile.TemporaryDirectory() as tmp:
+        t = HudiTable(
+            path=f"{tmp}/t",
+            record_key="id",
+            precombine="ts",
+            table_type="MERGE_ON_READ",
+        )
+        model: dict[int, tuple[int, str]] = {}
+        exists = False
+        ts = 0
+        cursor = None
+        touched: set[int] = set()
+
+        def _after_cursor() -> bool:
+            return cursor is not None
+
+        for i, (kind, keys) in enumerate(ops):
+            if i == prefix_len:
+                cursor = t.latest_commit_seq(spark) if exists else -1
+            if kind == "upsert":
+                rows = []
+                for k in sorted(keys):
+                    ts += 1
+                    rows.append((k, ts, f"v{k}_{ts}"))
+                    model[k] = (ts, f"v{k}_{ts}")
+                log_commit = exists  # first upsert = genesis base load
+                t.upsert(
+                    spark.createDataFrame(rows, "id long, ts long, v string"),
+                    spark,
+                )
+                exists = True
+                if _after_cursor() and log_commit:
+                    touched |= keys
+            else:
+                if not exists:
+                    continue  # delete on a nonexistent table no-ops
+                if kind == "del_fresh":
+                    ts += 1
+                    mts: int | None = ts
+                elif kind == "del_stale":
+                    mts = 0
+                else:
+                    mts = None
+                if mts is None:
+                    t.delete(
+                        spark.createDataFrame(
+                            [(k,) for k in sorted(keys)], "id long"
+                        ),
+                        spark,
+                    )
+                else:
+                    t.delete(
+                        spark.createDataFrame(
+                            [(k, mts) for k in sorted(keys)], "id long, ts long"
+                        ),
+                        spark,
+                    )
+                if kind != "del_stale":
+                    for k in keys:
+                        model.pop(k, None)
+                if _after_cursor():
+                    touched |= keys  # a marker touches the key either way
+        if cursor is None:
+            cursor = t.latest_commit_seq(spark) if exists else -1
+        if not exists:
+            return
+        got = {
+            r["id"]: (r["ts"], r["v"])
+            for r in t.read_incremental(spark, cursor)
+            .select("id", "ts", "v")
+            .collect()
+        }
+        want = {k: model[k] for k in touched if k in model}
+        assert got == want
