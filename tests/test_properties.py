@@ -448,3 +448,89 @@ def test_hudi_incremental_cursor_protocol(spark, ops, prefix_len):
         }
         want = {k: model[k] for k in touched if k in model}
         assert got == want
+
+
+@PROP
+@given(ops=_hudi_ops, restore_pick=st.integers(0, 10))
+def test_hudi_time_travel_and_restore_match_history(spark, ops, restore_pick):
+    """Timeline protocol: after every log commit, record the model
+    snapshot; at the end every read(as_of_seq=s) must reproduce its
+    snapshot exactly (time travel is a read-side view), and
+    restore(to_seq=s) must roll the TABLE back to that same snapshot."""
+    import tempfile
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = HudiTable(
+            path=f"{tmp}/t",
+            record_key="id",
+            precombine="ts",
+            table_type="MERGE_ON_READ",
+        )
+        model: dict[int, tuple[int, str]] = {}
+        exists = False
+        ts = 0
+        seq = -1
+        history: list[tuple[int, dict[int, tuple[int, str]]]] = []
+        for kind, keys in ops:
+            if kind == "upsert":
+                rows = []
+                for k in sorted(keys):
+                    ts += 1
+                    rows.append((k, ts, f"v{k}_{ts}"))
+                    model[k] = (ts, f"v{k}_{ts}")
+                was_genesis = not exists
+                t.upsert(
+                    spark.createDataFrame(rows, "id long, ts long, v string"),
+                    spark,
+                )
+                exists = True
+                if not was_genesis:
+                    seq += 1
+                history.append((seq, dict(model)))
+            else:
+                if not exists:
+                    continue
+                if kind == "del_fresh":
+                    ts += 1
+                    t.delete(
+                        spark.createDataFrame(
+                            [(k, ts) for k in sorted(keys)], "id long, ts long"
+                        ),
+                        spark,
+                    )
+                    for k in keys:
+                        model.pop(k, None)
+                elif kind == "del_stale":
+                    t.delete(
+                        spark.createDataFrame(
+                            [(k, 0) for k in sorted(keys)], "id long, ts long"
+                        ),
+                        spark,
+                    )
+                else:
+                    t.delete(
+                        spark.createDataFrame(
+                            [(k,) for k in sorted(keys)], "id long"
+                        ),
+                        spark,
+                    )
+                    for k in keys:
+                        model.pop(k, None)
+                seq += 1
+                history.append((seq, dict(model)))
+        if not exists:
+            return
+
+        def snap(df) -> dict[int, tuple[int, str]]:
+            return {
+                r["id"]: (r["ts"], r["v"])
+                for r in df.select("id", "ts", "v").collect()
+            }
+
+        for s, want in history:
+            assert snap(t.read(spark, as_of_seq=s)) == want, f"as_of {s}"
+        s, want = history[restore_pick % len(history)]
+        t.restore(spark, s)
+        assert snap(t.read(spark)) == want, f"restore {s}"
