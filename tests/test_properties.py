@@ -534,3 +534,84 @@ def test_hudi_time_travel_and_restore_match_history(spark, ops, restore_pick):
         s, want = history[restore_pick % len(history)]
         t.restore(spark, s)
         assert snap(t.read(spark)) == want, f"restore {s}"
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_pairs_matches_bruteforce(spark, docs):
+    """Containment dedup vs brute force: |A∩B| >= (9/10)·min(|A|,|B|)
+    within the size window max <= 2·min — the prefix/positional filter
+    machinery must be lossless at exactly these integer boundaries."""
+    from hudi_spark_utilities_plus_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(df, "text", "id").collect()
+    }
+
+    sets = [_py_shingles(d) for d in docs]
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            na, nb = len(sets[a]), len(sets[b])
+            if max(na, nb) > 2 * min(na, nb):
+                continue
+            if 10 * len(sets[a] & sets[b]) >= 9 * min(na, nb):
+                want.add((a, b))
+    assert got == want
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_minhash_lsh_pairs_subset_of_true_pairs(spark, docs):
+    """MinHash-LSH precision is exact by construction (candidates are
+    verified with true Jaccard), so every reported pair must be a true
+    >= threshold pair — banding only affects RECALL, and identical
+    documents (Jaccard 1) collide in every band, so exact-duplicate
+    pairs must always be reported."""
+    from hudi_spark_utilities_plus_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, "text", "id", threshold=0.8).collect()
+    }
+
+    sets = [_py_shingles(d) for d in docs]
+    true_pairs = set()
+    exact_dups = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.8:
+                true_pairs.add((a, b))
+            if sets[a] == sets[b]:
+                exact_dups.add((a, b))
+    assert got <= true_pairs
+    assert exact_dups <= got
