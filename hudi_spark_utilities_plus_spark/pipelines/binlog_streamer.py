@@ -16,6 +16,7 @@ from ..config import resolve_props
 from ..session import build_spark_session
 from ..streaming.cdc import read_cdc_stream
 from ..streaming.demux import (
+    BINLOG_PREFIX_KEY,
     DEFAULT_TRIGGER_SECONDS,
     start_binlog_streamer,
     start_console_debug,
@@ -40,6 +41,10 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     props = resolve_props(props_file=args.props, cli_overrides=args.hoodie_conf)
+    # forward the source's binlog series name to the demux sink so
+    # compact_batch's position tie-break parses THIS series' file names
+    # (an explicit props/CLI value for the key still wins)
+    props.setdefault(BINLOG_PREFIX_KEY, args.binlog_name_prefix)
     spark = build_spark_session("hudi-binlog-delta-streamer")
     stream = read_cdc_stream(
         spark,

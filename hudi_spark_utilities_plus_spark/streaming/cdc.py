@@ -220,7 +220,10 @@ def compact_batch(
 
 
 def apply_cdc_batch(
-    table: HudiTable, batch_df: DataFrame, spark: SparkSession
+    table: HudiTable,
+    batch_df: DataFrame,
+    spark: SparkSession,
+    binlog_name_prefix: str = "mysql-bin",
 ) -> None:
     """Apply one micro-batch of change events to a keyed lake table.
 
@@ -246,7 +249,12 @@ def apply_cdc_batch(
     case-insensitively after trimming — an emitter shouting ``DELETE``
     or trailing a newline must not have its tombstone silently applied
     as an UPSERT, and an unknown op like ``truncate`` must not be
-    applied as one either; previously any non-'delete' string upserted)."""
+    applied as one either; previously any non-'delete' string upserted).
+
+    ``binlog_name_prefix`` scopes compact_batch's position tie-break to
+    the stream's actual binlog series (see _parsed_binlog_index) — it
+    must match the prefix the read path was attached with, or same-ts
+    ties degrade to positionless ordering."""
     # regexp, not F.trim: Spark's trim strips only SPACE characters,
     # while the sloppy-producer case is a trailing newline/tab
     op_n = F.regexp_replace(F.lower(F.col("op")), r"^\s+|\s+$", "")
@@ -257,6 +265,7 @@ def apply_cdc_batch(
         ),
         table.record_key,
         table.precombine,
+        binlog_name_prefix=binlog_name_prefix,
     ).persist()
     try:
         upserts = compacted.filter(op_n != "delete").drop("op", "db", "table")

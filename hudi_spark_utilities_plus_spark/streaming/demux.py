@@ -35,6 +35,12 @@ from ..operators.transform import TRANSFORMER_SQL_KEY, transform
 from .cdc import apply_cdc_batch
 
 PATH_TEMPLATE_KEY = "option.hoodie.path"
+# Binlog series name for compact_batch's position tie-break — the demux
+# sink never sees the source reader's --binlog-name-prefix unless the
+# pipeline forwards it here (binlog_streamer.py does); without it the
+# tie-break parse stays scoped to the default 'mysql-bin' series and is
+# silently inert on e.g. Aurora's 'mysql-bin-changelog' files.
+BINLOG_PREFIX_KEY = "option.demux.binlog.nameprefix"
 DEFAULT_TRIGGER_SECONDS = 60  # HoodieBinlogDeltaStreamer.scala:243-245
 
 
@@ -159,7 +165,14 @@ def demux_batch(
                             "for the CDC apply (SELECT *, ... FROM "
                             "<SRC> keeps them)"
                         )
-                apply_cdc_batch(target, part, spark)
+                apply_cdc_batch(
+                    target,
+                    part,
+                    spark,
+                    binlog_name_prefix=props.get(
+                        BINLOG_PREFIX_KEY, "mysql-bin"
+                    ),
+                )
             finally:
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 

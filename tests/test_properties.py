@@ -283,9 +283,26 @@ def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
 #   (the conditional-delete contract; a redelivered CDC delete must not
 #   kill newer data)
 # - delete key-only: no precombine column -> unconditional remove
+# - delete null-ts: marker row with a NULL precombine value -> treated
+#   as an UNCONDITIONAL marker (an at-least-once CDC feed emitting
+#   NULL-ts deletes must still delete; COW's _unc flag and the MOR
+#   read-merge's NULL-seq-barrier must agree)
+# - delete mixed: one batch carries BOTH a stale valued marker (ts=0,
+#   alone a no-op) and a NULL marker for the SAME key — the key must
+#   still die unconditionally (max(ts) alone would silently degrade
+#   this to conditional-at-0)
 _hudi_ops = st.lists(
     st.tuples(
-        st.sampled_from(["upsert", "del_fresh", "del_stale", "del_keyonly"]),
+        st.sampled_from(
+            [
+                "upsert",
+                "del_fresh",
+                "del_stale",
+                "del_keyonly",
+                "del_nullts",
+                "del_mixed",
+            ]
+        ),
         st.sets(st.integers(0, 4), min_size=1, max_size=3),
     ),
     min_size=1,
@@ -338,13 +355,32 @@ def test_hudi_table_matches_dict_replay(spark, table_type, ops, compact_at_end):
                     ),
                     spark,
                 )  # marker older than every row: no-op
-            else:  # del_keyonly — unconditional
+            elif kind == "del_keyonly":  # unconditional
                 t.delete(
                     spark.createDataFrame(
                         [(k,) for k in sorted(keys)], "id long"
                     ),
                     spark,
                 )
+                for k in keys:
+                    model.pop(k, None)
+            elif kind == "del_nullts":  # NULL precombine — unconditional
+                t.delete(
+                    spark.createDataFrame(
+                        [(k, None) for k in sorted(keys)], "id long, ts long"
+                    ),
+                    spark,
+                )
+                for k in keys:
+                    model.pop(k, None)
+            else:  # del_mixed — stale valued + NULL marker, same keys
+                t.delete(
+                    spark.createDataFrame(
+                        [(k, v) for k in sorted(keys) for v in (0, None)],
+                        "id long, ts long",
+                    ),
+                    spark,
+                )  # the NULL marker wins: unconditional despite ts=0
                 for k in keys:
                     model.pop(k, None)
         if not t.exists(spark):
@@ -410,14 +446,7 @@ def test_hudi_incremental_cursor_protocol(spark, ops, prefix_len):
             else:
                 if not exists:
                     continue  # delete on a nonexistent table no-ops
-                if kind == "del_fresh":
-                    ts += 1
-                    mts: int | None = ts
-                elif kind == "del_stale":
-                    mts = 0
-                else:
-                    mts = None
-                if mts is None:
+                if kind == "del_keyonly":
                     t.delete(
                         spark.createDataFrame(
                             [(k,) for k in sorted(keys)], "id long"
@@ -425,9 +454,23 @@ def test_hudi_incremental_cursor_protocol(spark, ops, prefix_len):
                         spark,
                     )
                 else:
+                    if kind == "del_fresh":
+                        ts += 1
+                        marker_ts: list[int | None] = [ts]
+                    elif kind == "del_stale":
+                        marker_ts = [0]
+                    elif kind == "del_nullts":
+                        marker_ts = [None]
+                    else:  # del_mixed: stale valued + NULL, same keys
+                        marker_ts = [0, None]
                     t.delete(
                         spark.createDataFrame(
-                            [(k, mts) for k in sorted(keys)], "id long, ts long"
+                            [
+                                (k, mts)
+                                for k in sorted(keys)
+                                for mts in marker_ts
+                            ],
+                            "id long, ts long",
                         ),
                         spark,
                     )
@@ -509,10 +552,25 @@ def test_hudi_time_travel_and_restore_match_history(spark, ops, restore_pick):
                         ),
                         spark,
                     )
-                else:
+                elif kind == "del_keyonly":
                     t.delete(
                         spark.createDataFrame(
                             [(k,) for k in sorted(keys)], "id long"
+                        ),
+                        spark,
+                    )
+                    for k in keys:
+                        model.pop(k, None)
+                else:  # del_nullts / del_mixed — unconditional markers
+                    marker_ts = [None] if kind == "del_nullts" else [0, None]
+                    t.delete(
+                        spark.createDataFrame(
+                            [
+                                (k, mts)
+                                for k in sorted(keys)
+                                for mts in marker_ts
+                            ],
+                            "id long, ts long",
                         ),
                         spark,
                     )

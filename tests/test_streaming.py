@@ -558,6 +558,38 @@ def test_compact_batch_ties_break_on_binlog_position(spark):
     assert got == {1: "delete", 2: "delete"}, got
 
 
+def test_compact_batch_prefix_scopes_tie_break_to_the_series(spark):
+    """The position tie-break parses file indexes ONLY for the
+    configured binlog series (Aurora names files mysql-bin-changelog.N):
+    with the right prefix the later position wins; with the default
+    'mysql-bin' prefix these names don't parse and the tie degrades to
+    positionless — which is exactly why the demux sink must forward the
+    reader's prefix (BINLOG_PREFIX_KEY)."""
+    from hudi_spark_utilities_plus_spark.streaming.cdc import compact_batch
+
+    rows = [
+        ("insert", 1, "2024-01-01T10:00:00", "mysql-bin-changelog.000002", 10),
+        ("delete", 1, "2024-01-01T10:00:00", "mysql-bin-changelog.000001", 999),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "op string, id long, ts_s string, binlog_file string, "
+            "binlog_offset long",
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    got = {
+        r["id"]: r["op"]
+        for r in compact_batch(
+            df, "id", "ts", binlog_name_prefix="mysql-bin-changelog"
+        ).collect()
+    }
+    # file 000002 outranks 000001 regardless of the offsets
+    assert got == {1: "insert"}, got
+
+
 def test_cow_delete_conditional_on_precombine(spark, tmp_path):
     """A precombine-carrying delete marker on a COW table kills only
     rows at or below the marker's timestamp — a redelivered old delete
