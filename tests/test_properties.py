@@ -673,3 +673,103 @@ def test_minhash_lsh_pairs_subset_of_true_pairs(spark, docs):
                 exact_dups.add((a, b))
     assert got <= true_pairs
     assert exact_dups <= got
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply vs Python replay (the demux hot path, end to end)
+# ---------------------------------------------------------------------------
+
+# A randomized CDC envelope stream in micro-batches. Covers what the
+# hand-written fixtures don't enumerate: malformed events (NULL op,
+# NULL key, shouting/whitespace-padded op strings, ops outside the
+# envelope contract), several ops per key per batch (within-batch
+# compaction, with ts ties resolved by binlog position), and the same
+# stream applied to COPY_ON_WRITE and MERGE_ON_READ — which must agree,
+# since delivery here is in order across batches (cross-batch ts bands
+# are disjoint; the out-of-order competition semantics are pinned by
+# test_hudi_table_matches_dict_replay instead).
+_cdc_raw_ops = st.sampled_from(
+    ["insert", "update", "delete", " DELETE\n", "Insert", "truncate", None]
+)
+_cdc_stream = st.lists(
+    st.lists(
+        st.tuples(
+            _cdc_raw_ops,
+            st.one_of(st.none(), st.integers(0, 3)),  # record key
+            st.integers(0, 2),  # ts jitter -> within-batch ties
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _norm_op(op: str | None) -> str | None:
+    if op is None:
+        return None
+    s = op.strip().lower()
+    return s if s in ("insert", "update", "delete") else None
+
+
+@PROP
+@given(batches=_cdc_stream)
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_apply_cdc_batch_matches_replay(spark, table_type, batches):
+    import tempfile
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+    from hudi_spark_utilities_plus_spark.streaming.cdc import apply_cdc_batch
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = HudiTable(
+            path=f"{tmp}/t",
+            record_key="id",
+            precombine="ts",
+            table_type=table_type,
+        )
+        model: dict[int, tuple[int, str]] = {}
+        off = 0
+        for bi, batch in enumerate(batches):
+            rows, oracle_rows = [], []
+            for op, key, jit in batch:
+                off += 1  # globally unique binlog position
+                ts = (bi + 1) * 10 + jit  # disjoint per-batch ts bands
+                data = f"v_{key}_{ts}_{off}"
+                rows.append(
+                    (op, "shop", "orders", key, data, ts,
+                     "mysql-bin.000001", off)
+                )
+                oracle_rows.append((op, key, ts, off, data))
+            bdf = spark.createDataFrame(
+                rows,
+                "op string, db string, `table` string, id long, "
+                "data string, ts long, binlog_file string, "
+                "binlog_offset long",
+            )
+            apply_cdc_batch(t, bdf, spark)
+            # replay oracle: drop malformed, compact per key by
+            # (ts, position), then apply the single winner per key
+            winners: dict[int, tuple[str, int, int, str]] = {}
+            for op, key, ts, o, data in oracle_rows:
+                nop = _norm_op(op)
+                if nop is None or key is None:
+                    continue
+                cur = winners.get(key)
+                if cur is None or (ts, o) > (cur[1], cur[2]):
+                    winners[key] = (nop, ts, o, data)
+            for key, (nop, ts, o, data) in winners.items():
+                if nop == "delete":
+                    if key in model and model[key][0] <= ts:
+                        del model[key]
+                elif key not in model or model[key][0] < ts:
+                    model[key] = (ts, data)
+        if not t.exists(spark):
+            assert model == {}
+            return
+        got = {
+            r["id"]: (r["ts"], r["data"])
+            for r in t.read(spark).select("id", "ts", "data").collect()
+        }
+        assert got == model
