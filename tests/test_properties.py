@@ -773,3 +773,134 @@ def test_apply_cdc_batch_matches_replay(spark, table_type, batches):
             for r in t.read(spark).select("id", "ts", "data").collect()
         }
         assert got == model
+
+
+# ---------------------------------------------------------------------------
+# token-budget packing vs Python scan
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    toks=st.lists(
+        st.one_of(st.none(), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    budget=st.integers(1, 20),
+)
+def test_pack_assignments_matches_python_scan(spark, toks, budget):
+    """Contiguous concat-and-chunk: pack_id = floor(cum_before / budget)
+    in id order, NULL token counts occupying zero budget — the global
+    running-sum program (range partition + offsets) must agree with a
+    sequential scan for any NULL placement and budget."""
+    from hudi_spark_utilities_plus_spark.operators.packing import (
+        pack_assignments,
+    )
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "id long, n_tok long")
+    got = {
+        r["id"]: r["pack_id"]
+        for r in pack_assignments(df, "id", "n_tok", budget).collect()
+    }
+    want, cum = {}, 0
+    for i, t in rows:
+        want[i] = cum // budget
+        cum += t or 0
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking vs Python slicing
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    size=st.integers(1, 6),
+    stride=st.integers(1, 6),
+)
+def test_chunk_documents_matches_python_slicing(spark, docs, size, stride):
+    """Every chunk is the exact token window toks[i*stride : i*stride+
+    size]; blank docs yield zero chunks (no phantom-token chunk); the
+    final partial window is kept."""
+    from hudi_spark_utilities_plus_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    stride = min(stride, size)  # operator contract: 0 < stride <= size
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(
+            df, size=size, stride=stride
+        ).collect()
+    }
+    want = {}
+    for i, d in enumerate(docs):
+        toks = re.split(r"\s+", d.strip())
+        if d.strip() == "":
+            continue  # blank doc: zero chunks
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(max(n - size, 0)) // stride))
+        for c in range(n_chunks):
+            w = toks[c * stride : c * stride + size]
+            want[(i, c)] = (" ".join(w), len(w))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# gap sessionization vs Python scan
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (user, ts sec)
+        min_size=1,
+        max_size=20,
+    ),
+    gap=st.integers(1, 10),
+)
+def test_session_seq_matches_python_scan(spark, events, gap):
+    """A new session starts exactly when the gap to the previous event
+    is STRICTLY greater than gap_seconds (equal-gap events stay in the
+    session); simultaneous events order by the tiebreak column. The
+    windowed lag/cumsum program must agree with a per-user sequential
+    scan for any duplicate-ts placement."""
+    from hudi_spark_utilities_plus_spark.operators.sessions import (
+        with_session_seq,
+    )
+
+    rows = [
+        (i, u, ts * 1_000_000) for i, (u, ts) in enumerate(events)
+    ]  # event_id, user_id, epoch micros
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in with_session_seq(df, gap_seconds=gap).collect()
+    }
+    want = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, u, us in rows:
+        by_user.setdefault(u, []).append((us, eid))
+    for u, evs in by_user.items():
+        evs.sort()  # (ts, tiebreak)
+        seq, prev = 0, None
+        for us, eid in evs:
+            if prev is None or (us - prev) > gap * 1_000_000:
+                seq += 1
+            want[eid] = (u, seq)
+            prev = us
+    assert got == want
