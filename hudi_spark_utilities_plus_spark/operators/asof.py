@@ -49,10 +49,16 @@ def asof_join(
     unique (key, ts) when a specific tie policy is needed.
     """
     r_payload = [c for c in right.columns if c != on]
-    # a NULL right_ts can never satisfy right_ts <= left_ts (DuckDB ASOF
-    # parity) — without this filter NULLs sort first in the window and
-    # F.last would hand them to left rows that have no real prior match
-    right = right.filter(F.col(right_ts).isNotNull())
+    # a NULL right_ts can never satisfy right_ts <= left_ts, and a NULL
+    # right KEY can never equal any left key (SQL equality — DuckDB ASOF
+    # parity). Without the filters NULL-ts rows sort first in the window
+    # and F.last hands them to left rows with no real prior match, and —
+    # worse — partitionBy groups the NULL keys of BOTH sides into one
+    # partition, silently matching NULL-key left rows to NULL-key right
+    # rows where the SQL join predicate matches nothing.
+    right = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    )
     l_side = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -39,27 +39,43 @@ PROP = settings(
 # ---------------------------------------------------------------------------
 
 _asof_left = st.lists(
-    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),  # NULL keys never match
+        st.one_of(st.none(), st.integers(0, 20)),  # NULL ts never match
+    ),
+    min_size=1,
+    max_size=12,
 )
 # right side unique on (key, ts): both engines' tie policies (among
 # equal-(key, ts) right rows) are deliberately unspecified, so the
-# differential property quantifies only over tie-free right sides
+# differential property quantifies only over tie-free right sides.
+# NULL right keys/ts are injected separately (they match nothing, but
+# must not poison the window — a NULL-key right row used to pair with
+# NULL-key left rows because partitionBy groups NULLs).
 _asof_right = st.dictionaries(
     st.tuples(st.integers(0, 3), st.integers(0, 20)),
     st.integers(-100, 100),
     max_size=12,
 )
+_asof_right_nulls = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(0, 20)),
+        st.integers(-100, 100),
+    ).filter(lambda t: t[0] is None or t[1] is None),
+    max_size=3,
+)
 
 
 @PROP
-@given(left=_asof_left, right=_asof_right)
-def test_asof_join_matches_duckdb(spark, left, right):
+@given(left=_asof_left, right=_asof_right, right_nulls=_asof_right_nulls)
+def test_asof_join_matches_duckdb(spark, left, right, right_nulls):
     from hudi_spark_utilities_plus_spark.operators.asof import asof_join
 
     ldf = spark.createDataFrame(
         [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid long, k long, lts long"
     )
-    rrows = [(k, ts, v) for (k, ts), v in right.items()]
+    rrows = [(k, ts, v) for (k, ts), v in right.items()] + right_nulls
     rdf = spark.createDataFrame(
         rrows or [(None, None, None)], "k long, rts long, rv long"
     )
@@ -71,11 +87,16 @@ def test_asof_join_matches_duckdb(spark, left, right):
     }
 
     con = duckdb.connect()
+    # nullable Int64, NOT default float64: pandas turns None into NaN in
+    # numeric columns, and DuckDB compares NaN (NaN = NaN, NaN > x) where
+    # SQL NULL matches nothing — the oracle would join NULL keys/ts
     con.register("l", pd.DataFrame(
         [(i, k, ts) for i, (k, ts) in enumerate(left)],
         columns=["lid", "k", "lts"],
-    ))
-    con.register("r", pd.DataFrame(rrows, columns=["k", "rts", "rv"]))
+    ).astype({"k": "Int64", "lts": "Int64"}))
+    con.register("r", pd.DataFrame(
+        rrows, columns=["k", "rts", "rv"]
+    ).astype({"k": "Int64", "rts": "Int64", "rv": "Int64"}))
     if rrows:
         rel = con.execute(
             "SELECT l.lid, r.rts, r.rv FROM l ASOF LEFT JOIN r "
