@@ -3,9 +3,22 @@
 Reference parity: the reference engine has no as-of operator either; this
 is one of the pipeline extensions (time-aligned feature lookup, "latest
 dimension state at event time", trade/quote alignment) the brief calls
-for. Semantics match DuckDB's ``ASOF LEFT JOIN`` (backward, inclusive):
-for each left row, the right row with the greatest ``right_ts`` ≤
-``left_ts`` within the same key, or NULLs when none exists.
+for. Semantics match DuckDB's ``ASOF LEFT JOIN`` (backward, inclusive)
+for non-NULL timestamps: for each left row, the right row with the
+greatest ``right_ts`` ≤ ``left_ts`` within the same key, or NULLs when
+none exists.
+
+NULL policy — SQL-predicate semantics, a DELIBERATE divergence from
+DuckDB: a NULL probe timestamp (or NULL key, either side) matches
+NOTHING, exactly as the predicate ``l.ts >= r.ts AND l.k = r.k``
+evaluates. DuckDB 1.0.0's sort-based ASOF instead treats NULL ts as +∞
+on BOTH sides (a NULL-ts probe matches the key's LATEST right row; a
+NULL-ts right row is that latest). For a training-data pipeline the
+predicate reading is the safe one — a record with an unknown event time
+silently picking up the newest dimension state is a correctness hazard,
+not a feature. The differential test
+(tests/test_properties.py::test_asof_join_matches_duckdb) oracles the
+predicate semantics directly.
 
 100 TB design — the MERGE shape, not the range-join shape:
 ``left ⋈ right ON key AND r.ts <= l.ts`` + argmax is a candidate
@@ -36,12 +49,14 @@ def asof_join(
     right_ts: str,
     tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join (DuckDB ``ASOF LEFT JOIN`` parity).
+    """Backward-inclusive as-of join (DuckDB ``ASOF LEFT JOIN`` parity
+    on non-NULL keys/timestamps; NULL matches nothing — module note).
 
     Every column of ``left`` is kept; every non-key column of ``right``
     comes back NULL-filled when no right row with ``right_ts <=
     left_ts`` exists for the key (or the newest candidate is older than
-    ``tolerance_seconds``, when given).
+    ``tolerance_seconds``, when given). A left row with a NULL ``on``
+    key or NULL ``left_ts`` is kept with NULL right columns.
 
     Determinism: if ``right`` has several rows at the same (key, ts),
     the one with the greatest remaining-column tuple wins (the union is

@@ -72,9 +72,11 @@ def _await_stream_rows(q, expected: int, timeout_s: float) -> None:
 def join_asof(spark, sf_dir):
     """As-of join: each purchase picks up the user's most recent click
     at-or-before the purchase time (backward inclusive, DuckDB ASOF
-    parity). MERGE shape — union + one user-keyed window pass, no
-    per-pair materialization. The right side is pre-aggregated to unique
-    (user, ts) so the match is tie-free."""
+    parity — exact here because events.ts is non-NULL; on NULL probe ts
+    asof_join diverges by design, see operators/asof.py). MERGE shape —
+    union + one user-keyed window pass, no per-pair materialization. The
+    right side is pre-aggregated to unique (user, ts) so the match is
+    tie-free."""
     e = _t(spark, sf_dir, "events")["events"]
     clicks = (
         e.filter(F.col("event_type") == "click")
