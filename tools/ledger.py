@@ -1,0 +1,277 @@
+"""Computed staleness ledger for the driver correctness registry.
+
+VERDICT r9 "Next" #3: the rotation plan is only as good as its
+bookkeeping, and two rounds running the hand-maintained comment in
+``__spark_entry__.py`` claimed a convergence it didn't have. This
+script COMPUTES, for every registered query id:
+
+  * ``row_round``  — the latest round whose ``CORRECTNESS_r0N.json``
+    has a row for the id (and whether that row is green);
+  * ``code_round`` — the round of the last git commit that touched the
+    id's implementation, where "implementation" means the query
+    function itself (git ``-L :func:file`` — function-level, so an
+    edit elsewhere in a 2,600-line registry module does NOT stain every
+    id in it) plus the transitive closure of NON-registry package
+    modules its body references (file-level: operators/, sources/,
+    streaming/, pipelines/, lake.py, … — cohesive modules where any
+    change plausibly shifts behavior).
+
+An id is STALE when ``row_round < code_round``: its latest driver row
+predates its implementation. The r10+ invariant is zero stale ids
+after each round's rotation; run this at end of round instead of
+trusting a comment.
+
+Deliberately conservative: file-level closure over operator modules
+over-flags (a comment-only edit to dedup.py stains every dedup id) —
+acceptable, because the cost of a false "stale" is one re-check slot
+while the cost of a false "fresh" is an unverified operator.
+
+Usage: ``python tools/ledger.py [--window N]`` from the repo root.
+Prints a per-id table of stale/never-checked/red ids and a suggested
+check-window head (stale first, then oldest rows).
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+from functools import lru_cache
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "hudi_spark_utilities_plus_spark"
+PKG_DIR = os.path.join(REPO, PKG)
+# Registry modules: huge, many-ids-per-file — tracked at FUNCTION level.
+REGISTRY_MODULES = {
+    "queries.py",
+    "queries_extra.py",
+    "queries_llm.py",
+    "queries_pipeline.py",
+    "queries_tpch.py",
+}
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", REPO, *args], capture_output=True, text=True
+    ).stdout
+
+
+def round_boundaries() -> list[tuple[int, int]]:
+    """[(round, end_ts)] from the driver's per-round artifact commits."""
+    out = _git("log", "--format=%ct %s", "--reverse")
+    bounds: dict[int, int] = {}
+    for line in out.splitlines():
+        m = re.match(r"(\d+) round (\d+): verdict", line)
+        if m:
+            bounds[int(m.group(2))] = max(
+                bounds.get(int(m.group(2)), 0), int(m.group(1))
+            )
+    return sorted(bounds.items())
+
+
+_BOUNDS = None
+
+
+def commit_round(ts: int) -> int:
+    """Round a commit timestamp falls in (current round if past the end)."""
+    global _BOUNDS
+    if _BOUNDS is None:
+        _BOUNDS = round_boundaries()
+    for rnd, end in _BOUNDS:
+        if ts <= end:
+            return rnd
+    return _BOUNDS[-1][0] + 1 if _BOUNDS else 1
+
+
+@lru_cache(maxsize=None)
+def file_last_change_ts(relpath: str) -> int:
+    out = _git("log", "-1", "--format=%ct", "--", relpath)
+    return int(out.strip() or 0)
+
+
+@lru_cache(maxsize=None)
+def func_last_change_ts(funcname: str, relpath: str) -> int:
+    """Last commit touching the function's lines (git log -L)."""
+    out = _git(
+        "log", f"-L:^def {funcname}\\b:{relpath}", "--format=%ct", "-s"
+    )
+    for line in out.splitlines():
+        if line.strip().isdigit():
+            return int(line.strip())
+    # -L failed (e.g. decorator-renamed function): fall back to the file.
+    return file_last_change_ts(relpath)
+
+
+def _module_files() -> dict[str, str]:
+    """module dotted suffix -> repo-relative path, for the package."""
+    files = {}
+    for p in glob.glob(os.path.join(PKG_DIR, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(p, REPO)
+        dotted = rel[: -len(".py")].replace(os.sep, ".")
+        files[dotted] = rel
+    return files
+
+
+def _package_imports(tree: ast.Module, this_mod: str) -> dict[str, str]:
+    """imported-name -> package module (dotted), module-level only."""
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom):
+            if node.level:  # relative import
+                base = this_mod.rsplit(".", node.level)[0]
+                mod = f"{base}.{node.module}" if node.module else base
+            else:
+                mod = node.module or ""
+            if not mod.startswith(PKG):
+                continue
+            for alias in node.names:
+                name = alias.asname or alias.name
+                # "from .operators import dedup" imports a MODULE
+                sub = f"{mod}.{alias.name}"
+                out[name] = sub if sub in _MODULES else mod
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PKG):
+                    out[alias.asname or alias.name.split(".")[0]] = alias.name
+    return out
+
+
+_MODULES = _module_files()
+_AST: dict[str, ast.Module] = {}
+for _mod, _rel in _MODULES.items():
+    with open(os.path.join(REPO, _rel)) as f:
+        _AST[_mod] = ast.parse(f.read())
+_IMPORTS = {m: _package_imports(t, m) for m, t in _AST.items()}
+
+
+def _closure(mods: set[str]) -> set[str]:
+    """Transitive closure over package imports, registry modules excluded
+    (they'd stain every id with every edit; their helpers are tracked at
+    function level via the query function itself)."""
+    seen, todo = set(), list(mods)
+    while todo:
+        m = todo.pop()
+        if m in seen or m not in _MODULES:
+            continue
+        if os.path.basename(_MODULES[m]) in REGISTRY_MODULES:
+            continue
+        seen.add(m)
+        todo.extend(_IMPORTS.get(m, {}).values())
+    return seen
+
+
+def registry() -> dict[str, tuple[str, str, set[str]]]:
+    """id -> (funcname, defining relpath, dep package modules)."""
+    reg: dict[str, tuple[str, str, set[str]]] = {}
+    for mod, tree in _AST.items():
+        if os.path.basename(_MODULES[mod]) not in REGISTRY_MODULES:
+            continue
+        imports = _IMPORTS[mod]
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            qid = None
+            for dec in node.decorator_list:
+                if (
+                    isinstance(dec, ast.Call)
+                    and isinstance(dec.func, ast.Name)
+                    and dec.func.id == "query"
+                    and dec.args
+                    and isinstance(dec.args[0], ast.Constant)
+                ):
+                    qid = dec.args[0].value
+            if qid is None:
+                continue
+            used = {
+                n.id for n in ast.walk(node) if isinstance(n, ast.Name)
+            }
+            deps = {imports[n] for n in used if n in imports}
+            # function-local package imports (queries that lazy-import a
+            # source/operator inside the body — excel_scan, demux tests)
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.ImportFrom) and (
+                    sub.level or (sub.module or "").startswith(PKG)
+                ):
+                    if sub.level:
+                        base = mod.rsplit(".", sub.level)[0]
+                        m2 = f"{base}.{sub.module}" if sub.module else base
+                    else:
+                        m2 = sub.module
+                    for alias in sub.names:
+                        cand = f"{m2}.{alias.name}"
+                        deps.add(cand if cand in _MODULES else m2)
+                elif isinstance(sub, ast.Import):
+                    for alias in sub.names:
+                        if alias.name.startswith(PKG):
+                            deps.add(alias.name)
+            deps = {d for d in deps if d in _MODULES}
+            reg[qid] = (node.name, _MODULES[mod], _closure(deps))
+    return reg
+
+
+def driver_rows() -> dict[str, tuple[int, bool]]:
+    """id -> (latest round with a row, that row green?)."""
+    rows: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for qid, row in data.items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if qid not in rows or rnd >= rows[qid][0]:
+                rows[qid] = (rnd, green)
+    return rows
+
+
+def main() -> int:
+    window = 50
+    if "--window" in sys.argv:
+        window = int(sys.argv[sys.argv.index("--window") + 1])
+    reg = registry()
+    rows = driver_rows()
+    report = []
+    for qid, (fn, relpath, deps) in sorted(reg.items()):
+        ts = func_last_change_ts(fn, relpath)
+        for dep in deps:
+            ts = max(ts, file_last_change_ts(_MODULES[dep]))
+        code_rnd = commit_round(ts)
+        row_rnd, green = rows.get(qid, (None, None))
+        status = (
+            "NEVER"
+            if row_rnd is None
+            else "RED"
+            if not green
+            else "STALE"
+            if row_rnd < code_rnd
+            else "ok"
+        )
+        report.append((qid, row_rnd, code_rnd, status))
+
+    bad = [r for r in report if r[3] != "ok"]
+    print(f"{len(report)} ids; {len(bad)} need attention")
+    print(f"{'id':38} {'row':>4} {'code':>4} status")
+    for qid, row_rnd, code_rnd, status in report:
+        if status != "ok":
+            print(f"{qid:38} {str(row_rnd):>4} {code_rnd:>4} {status}")
+    # Suggested window: never/red/stale first (by row age), then oldest rows.
+    prio = {"NEVER": 0, "RED": 1, "STALE": 2, "ok": 3}
+    ordered = sorted(
+        report, key=lambda r: (prio[r[3]], r[1] if r[1] is not None else -1)
+    )
+    print("\nsuggested window head:")
+    print(json.dumps([r[0] for r in ordered[:window]], indent=1))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
