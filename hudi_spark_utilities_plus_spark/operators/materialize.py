@@ -19,10 +19,22 @@ intermediate that a RETURNED DataFrame still references:
 ``checkpoint(eager=True)`` (reliable form when the session has a
 checkpoint directory — survives executor loss, the cluster posture) or
 ``localCheckpoint(eager=True)`` (MEMORY_AND_DISK blocks on the
-executors) replaces the plan with a scan of the materialized RDD, and
-the ContextCleaner frees the blocks once the last reference goes out of
-scope — no leak, no plan growth. The interleaved A/B (BASELINE.md,
-round 9) measured checkpoint ≈ persist on the global-window operators.
+executors) replaces the plan with a scan of the materialized RDD.
+The interleaved A/B (BASELINE.md, round 9) measured checkpoint ≈
+persist on the global-window operators.
+
+Reclamation differs by form, so the reliable branch is CONDITIONAL:
+``localCheckpoint`` blocks are freed by the ContextCleaner once the
+last RDD reference is GC'd — no leak, no conf needed. Reliable
+checkpoint FILES, however, are only deleted by the cleaner when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+false — Spark core's ``ReliableRDDCheckpointData.cleanCheckpoint``
+path); with the default, every operator call would strand a full
+materialized corpus copy under the checkpoint dir for the session's
+lifetime. So a set checkpoint dir opts IN to reliable materialization
+only when that conf is also enabled; otherwise localCheckpoint is used
+and the checkpoint dir is left to explicitly-managed checkpoints
+(iterative drivers that clean up after themselves).
 
 Use for: (a) nondeterministic intermediates whose single evaluation is a
 CORRECTNESS requirement (monotonic ids, sampled range boundaries —
@@ -36,10 +48,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _reliable_cleanup_enabled(sc) -> bool:
+    """Whether the ContextCleaner will actually delete reliable-checkpoint
+    files. Read from the STARTUP SparkConf, not the runtime session conf:
+    spark.cleaner.* is a core conf the cleaner captures at context start
+    (Spark 4 rejects runtime modification with CANNOT_MODIFY_CONFIG), so
+    the startup value is the only one that governs reclamation."""
+    return (
+        sc.getConf()
+        .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+        .lower()
+        == "true"
+    )
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize ``df`` NOW and return a frame whose plan is a scan of
-    the materialized blocks (lineage cut, no CacheManager entry)."""
+    the materialized blocks (lineage cut, no CacheManager entry, no
+    unreclaimed checkpoint files — module note on the conf gate)."""
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
+    if sc.getCheckpointDir() is not None and _reliable_cleanup_enabled(sc):
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -2265,3 +2265,43 @@ def test_ntile_expr_rejects_nonpositive_tiles(spark):
         ntile_expr(F.lit(1), 10, 0)
     with pytest.raises(ValueError, match="tiles"):
         ntile_expr(F.lit(1), 10, -3)
+
+
+def test_materialize_gates_reliable_checkpoint_on_cleaner_conf(
+    spark, tmp_path, monkeypatch
+):
+    """A set checkpoint dir alone must NOT route materialize() through
+    reliable checkpoints: with the default
+    spark.cleaner.referenceTracking.cleanCheckpoints=false the cleaner
+    never deletes the files, so every dedup/similarity call would strand
+    a corpus copy on disk for the session lifetime. Reliable form is
+    opt-in via the startup conf (Spark 4 forbids setting it at runtime —
+    CANNOT_MODIFY_CONFIG — so the enabled branch is driven through the
+    module predicate)."""
+    import os
+
+    from hudi_spark_utilities_plus_spark.operators import materialize as mat
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    try:
+        sc.setCheckpointDir(ckpt)
+        # default (conf off at startup): local checkpoint — ckpt stays empty
+        assert mat._reliable_cleanup_enabled(sc) is False
+        out = mat.materialize(df)
+        assert out.count() == 100
+        files = [
+            os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert files == [], f"reliable checkpoint written with cleaner off: {files}"
+        # cleaner on: reliable checkpoint files appear under the dir
+        monkeypatch.setattr(mat, "_reliable_cleanup_enabled", lambda sc: True)
+        out2 = mat.materialize(df)
+        assert out2.count() == 100
+        files2 = [f for _, _, fs in os.walk(ckpt) for f in fs]
+        assert files2, "cleaner on but no reliable checkpoint data written"
+    finally:
+        # restore "no checkpoint dir" so later tests keep the local path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
