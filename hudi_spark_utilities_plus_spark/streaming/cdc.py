@@ -20,10 +20,14 @@ idempotent apply ⇒ exactly-once table state).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lake import HudiTable
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "CDC_SCHEMA",
@@ -241,7 +245,8 @@ def apply_cdc_batch(
     that twice; COW remains correct (and fine for low-rate streams or
     bounded backfills) but is not the scale path here.
 
-    Malformed events are skipped BEFORE compaction (the demux route's
+    Malformed events are skipped BEFORE compaction — and LOGGED with a
+    per-op breakdown, so the drop is observable (the demux route's
     precedent for NULL db/table): NULL record keys (which would
     collapse into one window partition and upsert an arbitrary survivor
     as a phantom NULL-key record), NULL ``op``, and ops OUTSIDE the
@@ -258,11 +263,32 @@ def apply_cdc_batch(
     # regexp, not F.trim: Spark's trim strips only SPACE characters,
     # while the sloppy-producer case is a trailing newline/tab
     op_n = F.regexp_replace(F.lower(F.col("op")), r"^\s+|\s+$", "")
+    keep = op_n.isin("insert", "update", "delete") & F.col(
+        table.record_key
+    ).isNotNull()
+    # The skip must be OBSERVABLE: an upstream emitting 'truncate' or
+    # corrupt keys would otherwise lose events with no trace. One extra
+    # column-pruned aggregate job per micro-batch (op + key columns
+    # only) buys the per-op breakdown; ``keep IS NOT TRUE`` — not
+    # ``~keep`` — so NULL-op rows land in the complement instead of
+    # vanishing from both sides.
+    dropped = (
+        batch_df.filter(~F.coalesce(keep, F.lit(False)))
+        .groupBy(F.coalesce(op_n, F.lit("<null op>")).alias("op"))
+        .count()
+        .collect()
+    )
+    if dropped:
+        _LOG.warning(
+            "apply_cdc_batch(%s): skipped %d malformed event(s) "
+            "(NULL %s key, NULL op, or op outside insert|update|delete): %s",
+            table.table_name,
+            sum(r["count"] for r in dropped),
+            table.record_key,
+            {r["op"]: r["count"] for r in dropped},
+        )
     compacted = compact_batch(
-        batch_df.filter(
-            op_n.isin("insert", "update", "delete")
-            & F.col(table.record_key).isNotNull()
-        ),
+        batch_df.filter(keep),
         table.record_key,
         table.precombine,
         binlog_name_prefix=binlog_name_prefix,

@@ -101,9 +101,21 @@ def resolve_table_config(
 
 
 def demux_batch(
-    spark: SparkSession, batch_df: DataFrame, props: dict[str, str]
+    spark: SparkSession,
+    batch_df: DataFrame,
+    props: dict[str, str],
+    table_cache: dict[tuple[str, str], HudiTable] | None = None,
 ) -> None:
     """Route one micro-batch to per-(db, table) keyed lake tables.
+
+    ``table_cache`` (keyed ``(db, table)``, owned by the streaming query
+    that calls per batch) reuses resolved HudiTable instances ACROSS
+    micro-batches: resolution is deterministic in ``props`` (fixed for
+    the query's lifetime), and the instance carries the partition-dtype
+    memo — without the cache that read-plan probe and its once-only
+    fallback WARNING re-ran every batch per table, exactly on the hot
+    path the memo exists for. Passing None (ad-hoc/batch callers)
+    resolves fresh.
 
     Per-table applies run CONCURRENTLY on a driver thread pool (Spark job
     submission is thread-safe per session): each apply is a blocking
@@ -133,7 +145,14 @@ def demux_batch(
                 "spark.scheduler.pool", f"demux-{db}.{table}"
             )
             try:
-                target = resolve_table_config(props, db, table)
+                # distinct (db, table) per worker thread → no two threads
+                # write the same key; dict ops are GIL-atomic.
+                if table_cache is not None and (db, table) in table_cache:
+                    target = table_cache[(db, table)]
+                else:
+                    target = resolve_table_config(props, db, table)
+                    if table_cache is not None:
+                        table_cache[(db, table)] = target
                 part = batch_df.filter(
                     (batch_df["db"] == db) & (batch_df["table"] == table)
                 )
@@ -205,9 +224,11 @@ def start_binlog_streamer(
 ) -> StreamingQuery:
     """writeStream: append mode + processing-time trigger + mandatory
     checkpoint, demuxing via foreachBatch (A12/C1-C5)."""
+    # per-query resolved-table cache, shared across micro-batches
+    table_cache: dict[tuple[str, str], HudiTable] = {}
 
     def _on_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        demux_batch(spark, batch_df, props)
+        demux_batch(spark, batch_df, props, table_cache)
 
     return (
         source.writeStream.outputMode("append")

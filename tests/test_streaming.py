@@ -289,11 +289,14 @@ def test_cdc_other_series_and_unparseable_names_kept(spark, tmp_path):
         q.stop()
 
 
-def test_apply_cdc_batch_op_totality_and_null_key_skip(spark, tmp_path):
+def test_apply_cdc_batch_op_totality_and_null_key_skip(spark, tmp_path, caplog):
     """op routes case-insensitively (an emitter shouting DELETE must not
     have its tombstone applied as an upsert), and malformed events (NULL
     op, NULL record key) are skipped before compaction instead of
-    landing a phantom NULL-key row or vanishing into the op filters."""
+    landing a phantom NULL-key row or vanishing into the op filters —
+    and the skip is LOGGED with a per-op count, so silent data drop is
+    observable per micro-batch."""
+    import logging
     from hudi_spark_utilities_plus_spark.lake import HudiTable
     from hudi_spark_utilities_plus_spark.streaming.cdc import apply_cdc_batch
 
@@ -319,9 +322,16 @@ def test_apply_cdc_batch_op_totality_and_null_key_skip(spark, tmp_path):
         ],
         "op string, db string, `table` string, id long, data string, ts long",
     )
-    apply_cdc_batch(t, batch, spark)
+    with caplog.at_level(
+        logging.WARNING, logger="hudi_spark_utilities_plus_spark.streaming.cdc"
+    ):
+        apply_cdc_batch(t, batch, spark)
     state = {r["id"]: r["data"] for r in t.read(spark).collect()}
     assert state == {2: "b", 3: "c"}, state
+    drops = [r for r in caplog.records if "skipped 3 malformed" in r.getMessage()]
+    assert drops, [r.getMessage() for r in caplog.records]
+    msg = drops[0].getMessage()
+    assert "'<null op>': 1" in msg and "'truncate': 1" in msg and "'insert': 1" in msg
 
 
 @pytest.mark.streaming
@@ -341,8 +351,18 @@ def test_demux_many_tables_parallel_apply(spark, tmp_path):
     batch = spark.createDataFrame(
         rows, "op string, db string, `table` string, id long, data string, ts string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    demux_batch(spark, batch, props)
-    demux_batch(spark, batch, props)  # replay: idempotent
+    # the streaming sink hands the same cache to every micro-batch, so
+    # HudiTable resolution (and its partition-dtype probe) runs ONCE per
+    # table for the query's lifetime, not once per batch
+    cache = {}
+    demux_batch(spark, batch, props, cache)
+    assert set(cache) == {
+        ("db1", "person"), ("db1", "order"), ("db2", "student"), ("db2", "course")
+    }
+    resolved_first = dict(cache)
+    demux_batch(spark, batch, props, cache)  # replay: idempotent
+    for key, inst in cache.items():
+        assert inst is resolved_first[key], f"{key} re-resolved across batches"
     for i, (db, tbl) in enumerate(
         [("db1", "person"), ("db1", "order"), ("db2", "student"), ("db2", "course")]
     ):
