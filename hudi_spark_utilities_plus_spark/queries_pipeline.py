@@ -768,6 +768,158 @@ def stream_demux_transform(spark, sf_dir):
 
 
 @query(
+    "stream_demux_recovery",
+    oracle="""
+    SELECT event_type AS tbl,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+           COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+           CAST(SUM(CASE WHEN event_id % 3 = 0
+                          AND EXTRACT(HOUR FROM ts) <= 22
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_demux_recovery(spark, sf_dir):
+    """C3+A12/C4+A1: checkpoint recovery of the FULL demux pipeline —
+    per-table SQL transform + partitioned tables — the one streaming
+    combination stream_recovery (plain parquet sink) never exercised
+    (VERDICT r9 item 6; reference checkpoint contract:
+    HoodieBinlogDeltaStreamer.scala:91-101).
+
+    Two-phase drive: phase 1 streams every event as an INSERT envelope
+    through ``start_binlog_streamer`` (transformer derives the dt
+    partition, tables land hive-partitioned), then the query is STOPPED
+    — offsets committed. Phase 2 appends a second source file that
+    RE-DELIVERS all phase-1 envelopes (at-least-once semantics) plus
+    same-day UPDATE envelopes (ts+1h, hour≤22 so dt cannot move; data
+    marked ``u:``) for every ``event_id % 3 = 0``, and RESTARTS the
+    streamer from the same checkpoint. Recovery must skip the processed
+    file, apply the new one, and let precombine resolve the redelivered
+    duplicates — a replayed phase-1 batch double-applies nothing
+    (idempotent upsert), a lost phase-2 batch drops n_updated, a
+    restart-from-zero doubles n; all flip the oracle hash.
+
+    Scale: identical plan shapes to stream_demux_transform — recovery
+    adds only the checkpoint's file-source ledger lookup at restart."""
+    import os
+    import tempfile
+
+    from .lake import HudiTable
+    from .operators.transform import TRANSFORMER_SQL_KEY
+    from .streaming.cdc import read_binlog_stream
+    from .streaming.demux import start_binlog_streamer
+
+    e = _t(spark, sf_dir, "events")["events"]
+    envelope = e.select(
+        F.lit("shop").alias("db"),
+        F.col("event_type").alias("table"),
+        F.col("event_id").alias("id"),
+        F.col("ts"),
+    )
+    inserts = envelope.select(
+        F.lit("insert").alias("op"),
+        "db",
+        "table",
+        "id",
+        F.col("id").cast("string").alias("data"),
+        "ts",
+    )
+    updates = (
+        envelope.filter((F.col("id") % 3 == 0) & (F.hour("ts") <= 22))
+        .select(
+            F.lit("update").alias("op"),
+            "db",
+            "table",
+            "id",
+            F.concat(F.lit("u:"), F.col("id").cast("string")).alias("data"),
+            # +1h with hour≤22 keeps the derived dt in the same day, so
+            # the update competes in-place by precombine instead of
+            # landing in a different partition
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        )
+    )
+    tables = sorted(
+        r["table"] for r in envelope.select("table").distinct().collect()
+    )
+    n_phase1 = inserts.count()
+    n_phase2 = n_phase1 + updates.count()
+
+    root = tempfile.mkdtemp(prefix="stream_demux_rec_")
+    src_dir, lake_root = os.path.join(root, "src"), os.path.join(root, "lake")
+    ckpt = os.path.join(root, "ckpt")
+    props = {
+        "option.hoodie.path": lake_root + "/{db}/ods_{db}_{table}",
+        TRANSFORMER_SQL_KEY: (
+            "SELECT *, nvl(cast(to_date(ts) as string), '1970-01-01') AS dt "
+            "FROM <SRC>"
+        ),
+    }
+    for t in tables:
+        props[f"shop.{t}.hoodie.datasource.write.partitionpath.field"] = "dt"
+
+    def _run(expected_total: int) -> None:
+        q = start_binlog_streamer(
+            spark,
+            read_binlog_stream(spark, src_dir, database_pattern="shop"),
+            props,
+            checkpoint_location=ckpt,
+            trigger_seconds=1,
+        )
+        try:
+            _await_stream_rows(q, expected_total, 180)
+        finally:
+            q.stop()
+
+    def _stage(df, seq: int) -> None:
+        # the binlog contract: file names MONOTONIC in arrival order
+        # (sources/standin._binlog_files) — a raw write.json part file
+        # carries a random uuid that can sort BEFORE already-consumed
+        # files and fall behind the source's name high-water mark
+        import glob as _glob
+        import shutil
+
+        staging = os.path.join(root, f"staging{seq}")
+        df.coalesce(1).write.json(staging)
+        os.makedirs(src_dir, exist_ok=True)
+        (part,) = _glob.glob(os.path.join(staging, "part-*.json"))
+        shutil.move(part, os.path.join(src_dir, f"binlog.{seq:06d}.json"))
+
+    _stage(inserts, 1)
+    _run(n_phase1)  # phase 1: inserts land, offsets commit, query dies
+    # phase 2: redelivered phase-1 envelopes + the updates, one new file
+    _stage(inserts.unionByName(updates), 2)
+    _run(n_phase2)  # restart from the same checkpoint
+
+    parts = [
+        HudiTable(
+            path=f"{lake_root}/shop/ods_shop_{t}",
+            record_key="id",
+            precombine="ts",
+            partition_field="dt",
+        )
+        .read(spark)
+        .select(
+            F.lit(t).alias("tbl"),
+            F.col("id").alias("event_id"),
+            F.col("dt").cast("string").alias("dt"),
+            F.col("data"),
+        )
+        for t in tables
+    ]
+    routed = parts[0]
+    for p in parts[1:]:
+        routed = routed.unionByName(p)
+    return routed.groupBy("tbl", "dt").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.when(F.col("data").startswith("u:"), 1).otherwise(0)).alias(
+            "n_updated"
+        ),
+    )
+
+
+@query(
     "binlog_stream_scan",
     oracle="""
     SELECT event_type AS tbl, COUNT(*) AS n,

@@ -209,6 +209,11 @@ from ..streaming.cdc import CDC_SCHEMA as _BINLOG_SCHEMA  # noqa: E402
 
 
 def _binlog_files(path: str) -> list[str]:
+    """Fixture-dir listing, sorted by name. The emulated contract is a
+    binlog directory: file names are MONOTONIC in arrival order
+    (mysql-bin.000001, .000002, …), so sorted order == stream order. A
+    file that lands with a name sorting BEFORE the high-water mark is
+    outside the contract and will not be read (same as a real tailer)."""
     import os
 
     if not path or not os.path.isdir(path):
@@ -218,6 +223,41 @@ def _binlog_files(path: str) -> list[str]:
         for f in os.listdir(path)
         if f.endswith(".json") or f.endswith(".jsonl")
     )
+
+
+def _files_between(files: list[str], start: dict, end: dict | None) -> list[str]:
+    """Offset model: ``{"last": <file name>}`` — the name high-water
+    mark, exclusive at start, inclusive at end. Name-based (not the
+    pre-r10 COUNT of files) so purging consumed binlogs from the front
+    of the directory — MySQL ``PURGE BINARY LOGS``, a routine operation
+    under a live tailer — cannot shift indices and silently skip unread
+    files. Pre-r10 ``{"files": n}`` checkpoints still resolve via the
+    count slice, so an in-flight stream upgrades without replaying."""
+    import os
+
+    if "files" in start:
+        lo = files[int(start["files"]) :]
+    else:
+        last = start.get("last", "")
+        lo = [f for f in files if os.path.basename(f) > last]
+    if end is None:
+        return lo
+    if "files" in end:
+        keep = set(files[: int(end["files"])])
+        return [f for f in lo if f in keep]
+    hi = end.get("last", "")
+    return [f for f in lo if os.path.basename(f) <= hi]
+
+
+def _end_offset(files: list[str], start: dict) -> dict:
+    """The end offset after reading everything currently listed: the max
+    of the newest name and the prior mark (never regresses, even if the
+    newest files were purged between micro-batches)."""
+    import os
+
+    prior = start.get("last", "") if "last" in start else ""
+    newest = os.path.basename(files[-1]) if files else ""
+    return {"last": max(prior, newest)}
 
 
 class _BinlogStreamReader(SimpleDataSourceStreamReader):
@@ -253,7 +293,7 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         self._start_off = int(self._options.get("binlogfileoffset", "4"))
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"last": ""}
 
     def _keep(self, obj) -> bool:
         import re
@@ -334,18 +374,15 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
     # SimpleDataSourceStreamReader contract anyway.
     def read(self, start: dict):
         files = _binlog_files(self._path)
-        n0 = int(start.get("files", 0))
-        return iter(list(self._rows(files[n0:]))), {"files": len(files)}
+        new = _files_between(files, start, None)
+        end = _end_offset(files, start)
+        if "files" in start and not new:
+            end = start  # nothing read: don't rewrite a pre-r10 mark
+        return iter(list(self._rows(new))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _binlog_files(self._path)
-        return iter(
-            list(
-                self._rows(
-                    files[int(start.get("files", 0)) : int(end.get("files", 0))]
-                )
-            )
-        )
+        return iter(list(self._rows(_files_between(files, start, end))))
 
 
 class BinlogStandInSource(DataSource):

@@ -935,3 +935,74 @@ def test_session_seq_matches_python_scan(spark, events, gap):
             want[eid] = (u, seq)
             prev = us
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# binlog stand-in offset model vs a sequential-tail oracle
+# ---------------------------------------------------------------------------
+
+# an action per step: arrive a new (monotonic-named) file, purge the
+# oldest unpurged file, or restart the reader (offset round-trips the
+# checkpoint as JSON, which is what a real stop/start does)
+_tail_actions = st.lists(
+    st.sampled_from(["arrive", "arrive", "purge", "restart", "tick"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP
+@given(actions=_tail_actions)
+def test_binlog_offset_model_tails_like_sequential_reader(actions):
+    """Whatever interleaving of file arrivals, front-purges (MySQL
+    PURGE BINARY LOGS), reader restarts, and idle ticks occurs, the
+    name-mark offset model must deliver every arrived file EXACTLY once
+    and never regress the mark — the invariant a count-based offset
+    breaks the moment a consumed file is purged. Pure driver-side
+    functions, so the differential runs without Spark."""
+    import json as _json
+    import os as _os
+
+    from hudi_spark_utilities_plus_spark.sources.standin import (
+        _end_offset,
+        _files_between,
+    )
+
+    live: list[str] = []  # directory listing, arrival order == sorted order
+    n_arrived = 0
+    delivered: list[str] = []
+    offset = {"last": ""}
+    for act in actions:
+        if act == "arrive":
+            n_arrived += 1
+            live.append(f"/d/binlog.{n_arrived:06d}.json")
+        elif act == "purge" and live:
+            live.pop(0)
+        elif act == "restart":
+            offset = _json.loads(_json.dumps(offset))  # checkpoint trip
+        # every step behaves like one micro-batch read()
+        files = sorted(live)
+        new = _files_between(files, offset, None)
+        end = _end_offset(files, offset)
+        delivered.extend(new)
+        # mark never regresses
+        assert end["last"] >= offset["last"]
+        offset = end
+        # replaying the same batch between the same offsets is stable
+        assert _files_between(files, {"last": offset["last"]}, offset) == []
+    # exactly-once: every file that was ever visible while unconsumed
+    # arrived in name order with no duplicates
+    assert delivered == sorted(set(delivered))
+    # nothing was delivered twice and nothing visible was skipped: any
+    # file still live and above the mark would be delivered next tick
+    files = sorted(live)
+    assert _files_between(files, offset, None) == []
+    # a purge can drop a never-read file (the tailer was down — that is
+    # data loss by PURGE, not by the offset model); everything else must
+    # have been delivered: check all arrived files that were never
+    # purged-before-read are in `delivered`
+    never_seen = {
+        _os.path.basename(f) for f in delivered
+    }
+    for f in files:  # still live => must have been read by now
+        assert _os.path.basename(f) in never_seen

@@ -287,3 +287,49 @@ def test_binlog_streaming_standin_checkpoint_replay(spark, tmp_path):
     got = _run_binlog_stream(spark, src, out, ckpt, expected=3)
     ids = sorted(r["id"] for r in got.collect())
     assert ids == [0, 1, 2, 3, 100, 101, 102], ids
+
+
+def test_binlog_standin_survives_purged_files(spark, tmp_path):
+    """MySQL ``PURGE BINARY LOGS`` deletes consumed binlogs out from
+    under a live tailer. The offset is a NAME high-water mark, not a
+    file count: purging b0 after it was consumed must not shift indices
+    and silently swallow the next file (the count-based offset read
+    files[2:] == [] here, losing b2 forever)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_cdc_file(src / "b0.json", [_cdc_row(i) for i in range(4)])
+    _write_cdc_file(src / "b1.json", [_cdc_row(10 + i) for i in range(2)])
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    got = _run_binlog_stream(spark, src, out, ckpt, expected=6)
+    assert got.count() == 6
+    (src / "b0.json").unlink()  # purge the consumed binlog
+    _write_cdc_file(src / "b2.json", [_cdc_row(100 + i) for i in range(3)])
+    got = _run_binlog_stream(spark, src, out, ckpt, expected=3)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [0, 1, 2, 3, 10, 11, 100, 101, 102], ids
+
+
+def test_binlog_offset_model_units(tmp_path):
+    """_files_between/_end_offset: name-mark semantics + pre-r10
+    count-offset checkpoints keep resolving (no replay on upgrade)."""
+    from hudi_spark_utilities_plus_spark.sources.standin import (
+        _end_offset,
+        _files_between,
+    )
+
+    files = [str(tmp_path / n) for n in ("a.json", "b.json", "c.json")]
+    # fresh stream: everything after the empty mark
+    assert _files_between(files, {"last": ""}, None) == files
+    # mid-stream: strictly-after start, inclusive end
+    assert _files_between(files, {"last": "a.json"}, {"last": "c.json"}) == files[1:]
+    assert _files_between(files, {"last": "b.json"}, None) == files[2:]
+    # pre-r10 count checkpoint: count slice for start, set-prefix for end
+    assert _files_between(files, {"files": 1}, None) == files[1:]
+    assert _files_between(files, {"files": 1}, {"files": 2}) == files[1:2]
+    # transition batch: old start, new end
+    assert _files_between(files, {"files": 2}, {"last": "c.json"}) == files[2:]
+    # end offset never regresses, even when the newest files were purged
+    assert _end_offset(files, {"last": ""}) == {"last": "c.json"}
+    assert _end_offset(files[:1], {"last": "c.json"}) == {"last": "c.json"}
+    assert _end_offset([], {"last": "b.json"}) == {"last": "b.json"}
+    assert _end_offset([], {"files": 3}) == {"last": ""}
