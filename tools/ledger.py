@@ -95,15 +95,23 @@ def file_last_change_ts(relpath: str) -> int:
 
 
 @lru_cache(maxsize=None)
-def func_last_change_ts(funcname: str, relpath: str) -> int:
-    """Last commit touching the function's lines (git log -L)."""
-    out = _git(
-        "log", f"-L:^def {funcname}\\b:{relpath}", "--format=%ct", "-s"
-    )
+def func_last_change_ts(span: tuple[int, int], relpath: str) -> int:
+    """Last commit touching the function's lines (git log -L).
+
+    Uses the AST-exact line span (first decorator through end of body),
+    NOT -L's ``:funcname:`` form: git's python funcname regex matches
+    only ``def``/``class`` headers, so a region runs from one def to the
+    next and swallows the NEXT function's decorators — a commit that
+    merely appended a new @query block after this one would stain it
+    (observed: stream_tumbling flagged by the commit that added
+    hudi_restore_read below it). Decorators stay in the span because
+    the oracle SQL lives there."""
+    lo, hi = span
+    out = _git("log", f"-L{lo},{hi}:{relpath}", "--format=%ct", "-s")
     for line in out.splitlines():
         if line.strip().isdigit():
             return int(line.strip())
-    # -L failed (e.g. decorator-renamed function): fall back to the file.
+    # -L failed: fall back to the file.
     return file_last_change_ts(relpath)
 
 
@@ -165,9 +173,9 @@ def _closure(mods: set[str]) -> set[str]:
     return seen
 
 
-def registry() -> dict[str, tuple[str, str, set[str]]]:
-    """id -> (funcname, defining relpath, dep package modules)."""
-    reg: dict[str, tuple[str, str, set[str]]] = {}
+def registry() -> dict[str, tuple[str, str, set[str], tuple[int, int]]]:
+    """id -> (funcname, defining relpath, dep modules, line span)."""
+    reg: dict[str, tuple[str, str, set[str], tuple[int, int]]] = {}
     for mod, tree in _AST.items():
         if os.path.basename(_MODULES[mod]) not in REGISTRY_MODULES:
             continue
@@ -210,7 +218,13 @@ def registry() -> dict[str, tuple[str, str, set[str]]]:
                         if alias.name.startswith(PKG):
                             deps.add(alias.name)
             deps = {d for d in deps if d in _MODULES}
-            reg[qid] = (node.name, _MODULES[mod], _closure(deps))
+            span = (
+                min(
+                    [d.lineno for d in node.decorator_list] + [node.lineno]
+                ),
+                node.end_lineno,
+            )
+            reg[qid] = (node.name, _MODULES[mod], _closure(deps), span)
     return reg
 
 
@@ -233,15 +247,40 @@ def driver_rows() -> dict[str, tuple[int, bool]]:
     return rows
 
 
+def _explain(qid: str) -> None:
+    """Print the commits that set the id's code round — which change a
+    stale flag traces to, so postponement decisions are evidence-based."""
+    reg = registry()
+    if qid not in reg:
+        print(f"unknown id {qid}")
+        return
+    fn, relpath, deps, span = reg[qid]
+    out = _git(
+        "log", "-1", f"-L{span[0]},{span[1]}:{relpath}",
+        "--format=%h %ad %s", "-s", "--date=short",
+    )
+    own = next((ln for ln in out.splitlines() if ln.strip()), "?")
+    print(f"{qid}: function {fn} @ {relpath}:{span[0]}-{span[1]}")
+    print(f"  func  r{commit_round(func_last_change_ts(span, relpath))}: {own}")
+    for dep in sorted(deps):
+        rel = _MODULES[dep]
+        line = _git("log", "-1", "--format=%h %ad %s", "--date=short", "--", rel).strip()
+        print(f"  dep   r{commit_round(file_last_change_ts(rel))}: {rel}: {line}")
+
+
 def main() -> int:
     window = 50
+    if "--explain" in sys.argv:
+        for qid in sys.argv[sys.argv.index("--explain") + 1 :]:
+            _explain(qid)
+        return 0
     if "--window" in sys.argv:
         window = int(sys.argv[sys.argv.index("--window") + 1])
     reg = registry()
     rows = driver_rows()
     report = []
-    for qid, (fn, relpath, deps) in sorted(reg.items()):
-        ts = func_last_change_ts(fn, relpath)
+    for qid, (fn, relpath, deps, span) in sorted(reg.items()):
+        ts = func_last_change_ts(span, relpath)
         for dep in deps:
             ts = max(ts, file_last_change_ts(_MODULES[dep]))
         code_rnd = commit_round(ts)
@@ -263,6 +302,26 @@ def main() -> int:
     for qid, row_rnd, code_rnd, status in report:
         if status != "ok":
             print(f"{qid:38} {str(row_rnd):>4} {code_rnd:>4} {status}")
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "head": _git("rev-parse", "HEAD").strip(),
+                    "ids": {
+                        qid: {"row": r, "code": c, "status": s}
+                        for qid, r, c, s in report
+                    },
+                    "summary": {
+                        "total": len(report),
+                        "stale": sum(1 for r in report if r[3] == "STALE"),
+                        "never": sum(1 for r in report if r[3] == "NEVER"),
+                        "red": sum(1 for r in report if r[3] == "RED"),
+                    },
+                },
+                fh,
+                indent=1,
+            )
     # Suggested window: never/red/stale first (by row age), then oldest rows.
     prio = {"NEVER": 0, "RED": 1, "STALE": 2, "ok": 3}
     ordered = sorted(
