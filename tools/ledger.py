@@ -126,9 +126,12 @@ def _module_files() -> dict[str, str]:
 
 
 def _package_imports(tree: ast.Module, this_mod: str) -> dict[str, str]:
-    """imported-name -> package module (dotted), module-level only."""
+    """imported-name -> package module (dotted). Walks the WHOLE module,
+    not just top-level statements: operator modules lazy-import inside
+    functions too (global_windows._materialize imports materialize), and
+    a closure that missed those would under-stain their consumers."""
     out: dict[str, str] = {}
-    for node in tree.body:
+    for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom):
             if node.level:  # relative import
                 base = this_mod.rsplit(".", node.level)[0]
@@ -173,16 +176,56 @@ def _closure(mods: set[str]) -> set[str]:
     return seen
 
 
-def registry() -> dict[str, tuple[str, str, set[str], tuple[int, int]]]:
-    """id -> (funcname, defining relpath, dep modules, line span)."""
-    reg: dict[str, tuple[str, str, set[str], tuple[int, int]]] = {}
+def _direct_deps(node: ast.AST, mod: str, imports: dict[str, str]) -> set[str]:
+    """Package modules a function body references — via the module-level
+    import map or via function-local lazy imports (excel_scan-style)."""
+    used = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+    deps = {imports[n] for n in used if n in imports}
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.ImportFrom) and (
+            sub.level or (sub.module or "").startswith(PKG)
+        ):
+            if sub.level:
+                base = mod.rsplit(".", sub.level)[0]
+                m2 = f"{base}.{sub.module}" if sub.module else base
+            else:
+                m2 = sub.module
+            for alias in sub.names:
+                cand = f"{m2}.{alias.name}"
+                deps.add(cand if cand in _MODULES else m2)
+        elif isinstance(sub, ast.Import):
+            for alias in sub.names:
+                if alias.name.startswith(PKG):
+                    deps.add(alias.name)
+    return {d for d in deps if d in _MODULES}
+
+
+def _span(node: ast.FunctionDef) -> tuple[int, int]:
+    return (
+        min([d.lineno for d in node.decorator_list] + [node.lineno]),
+        node.end_lineno,
+    )
+
+
+def registry() -> dict[str, tuple[str, str, set[str], list[tuple[int, int]]]]:
+    """id -> (funcname, defining relpath, dep modules, line spans).
+
+    Spans cover the query function PLUS every same-module helper it
+    (transitively) calls — stream_demux reaches streaming/demux.py only
+    through the shared _drive_demux_stream helper, and a change to that
+    helper (or the modules it imports) must stain its callers. Helpers
+    imported from OTHER registry modules (e.g. dsum) stay untracked —
+    documented gap, they are small and stable."""
+    reg: dict[str, tuple[str, str, set[str], list[tuple[int, int]]]] = {}
     for mod, tree in _AST.items():
         if os.path.basename(_MODULES[mod]) not in REGISTRY_MODULES:
             continue
         imports = _IMPORTS[mod]
-        for node in ast.walk(tree):
-            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                continue
+        module_funcs = {
+            n.name: n for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        for node in module_funcs.values():
             qid = None
             for dec in node.decorator_list:
                 if (
@@ -195,36 +238,26 @@ def registry() -> dict[str, tuple[str, str, set[str], tuple[int, int]]]:
                     qid = dec.args[0].value
             if qid is None:
                 continue
-            used = {
-                n.id for n in ast.walk(node) if isinstance(n, ast.Name)
-            }
-            deps = {imports[n] for n in used if n in imports}
-            # function-local package imports (queries that lazy-import a
-            # source/operator inside the body — excel_scan, demux tests)
-            for sub in ast.walk(node):
-                if isinstance(sub, ast.ImportFrom) and (
-                    sub.level or (sub.module or "").startswith(PKG)
-                ):
-                    if sub.level:
-                        base = mod.rsplit(".", sub.level)[0]
-                        m2 = f"{base}.{sub.module}" if sub.module else base
-                    else:
-                        m2 = sub.module
-                    for alias in sub.names:
-                        cand = f"{m2}.{alias.name}"
-                        deps.add(cand if cand in _MODULES else m2)
-                elif isinstance(sub, ast.Import):
-                    for alias in sub.names:
-                        if alias.name.startswith(PKG):
-                            deps.add(alias.name)
-            deps = {d for d in deps if d in _MODULES}
-            span = (
-                min(
-                    [d.lineno for d in node.decorator_list] + [node.lineno]
-                ),
-                node.end_lineno,
-            )
-            reg[qid] = (node.name, _MODULES[mod], _closure(deps), span)
+            # BFS through same-module helper calls
+            deps: set[str] = set()
+            spans: list[tuple[int, int]] = []
+            seen: set[str] = set()
+            todo = [node]
+            while todo:
+                cur = todo.pop()
+                if cur.name in seen:
+                    continue
+                seen.add(cur.name)
+                spans.append(_span(cur))
+                deps |= _direct_deps(cur, mod, imports)
+                for n in ast.walk(cur):
+                    if (
+                        isinstance(n, ast.Name)
+                        and n.id in module_funcs
+                        and n.id not in seen
+                    ):
+                        todo.append(module_funcs[n.id])
+            reg[qid] = (node.name, _MODULES[mod], _closure(deps), spans)
     return reg
 
 
@@ -254,14 +287,16 @@ def _explain(qid: str) -> None:
     if qid not in reg:
         print(f"unknown id {qid}")
         return
-    fn, relpath, deps, span = reg[qid]
-    out = _git(
-        "log", "-1", f"-L{span[0]},{span[1]}:{relpath}",
-        "--format=%h %ad %s", "-s", "--date=short",
-    )
-    own = next((ln for ln in out.splitlines() if ln.strip()), "?")
-    print(f"{qid}: function {fn} @ {relpath}:{span[0]}-{span[1]}")
-    print(f"  func  r{commit_round(func_last_change_ts(span, relpath))}: {own}")
+    fn, relpath, deps, spans = reg[qid]
+    print(f"{qid}: function {fn} @ {relpath}")
+    for span in spans:
+        out = _git(
+            "log", "-1", f"-L{span[0]},{span[1]}:{relpath}",
+            "--format=%h %ad %s", "-s", "--date=short",
+        )
+        own = next((ln for ln in out.splitlines() if ln.strip()), "?")
+        rnd = commit_round(func_last_change_ts(span, relpath))
+        print(f"  span  {span[0]}-{span[1]} r{rnd}: {own}")
     for dep in sorted(deps):
         rel = _MODULES[dep]
         line = _git("log", "-1", "--format=%h %ad %s", "--date=short", "--", rel).strip()
@@ -279,8 +314,8 @@ def main() -> int:
     reg = registry()
     rows = driver_rows()
     report = []
-    for qid, (fn, relpath, deps, span) in sorted(reg.items()):
-        ts = func_last_change_ts(span, relpath)
+    for qid, (fn, relpath, deps, spans) in sorted(reg.items()):
+        ts = max(func_last_change_ts(s, relpath) for s in spans)
         for dep in deps:
             ts = max(ts, file_last_change_ts(_MODULES[dep]))
         code_rnd = commit_round(ts)
