@@ -55,8 +55,11 @@ def asof_join(
     Every column of ``left`` is kept; every non-key column of ``right``
     comes back NULL-filled when no right row with ``right_ts <=
     left_ts`` exists for the key (or the newest candidate is older than
-    ``tolerance_seconds``, when given). A left row with a NULL ``on``
-    key or NULL ``left_ts`` is kept with NULL right columns.
+    the tolerance, when given — SECONDS on temporal columns, the
+    column's OWN UNITS on numeric event times, the pandas
+    ``merge_asof`` convention; the engine cannot know whether a BIGINT
+    is seconds or micros). A left row with a NULL ``on`` key or NULL
+    ``left_ts`` is kept with NULL right columns.
 
     Determinism: if ``right`` has several rows at the same (key, ts),
     the one with the greatest remaining-column tuple wins (the union is
@@ -106,13 +109,22 @@ def asof_join(
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_seconds is not None:
+        # dtype dispatch, pandas merge_asof precedent: temporal columns
+        # take the tolerance as SECONDS (interval arithmetic); numeric
+        # event-time columns (epoch longs, sequence numbers) take it in
+        # the COLUMN'S OWN UNITS — the engine cannot know whether a
+        # BIGINT is seconds, millis, or micros, and BIGINT - INTERVAL
+        # is an AnalysisException anyway (DATATYPE_MISMATCH).
+        ts_type = merged.schema["_ts"].dataType.typeName()
+        if ts_type in ("timestamp", "timestamp_ntz", "date"):
+            lower = F.col("_ts") - F.expr(
+                f"INTERVAL {int(tolerance_seconds)} SECOND"
+            )
+        else:
+            lower = F.col("_ts") - F.lit(tolerance_seconds)
         merged = merged.withColumn(
             "_match",
-            F.when(
-                F.col("_match")[right_ts]
-                >= F.col("_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECOND"),
-                F.col("_match"),
-            ),
+            F.when(F.col("_match")[right_ts] >= lower, F.col("_match")),
         )
     out = merged.select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],

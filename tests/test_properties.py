@@ -68,8 +68,13 @@ _asof_right_nulls = st.lists(
 
 
 @PROP
-@given(left=_asof_left, right=_asof_right, right_nulls=_asof_right_nulls)
-def test_asof_join_matches_duckdb(spark, left, right, right_nulls):
+@given(
+    left=_asof_left,
+    right=_asof_right,
+    right_nulls=_asof_right_nulls,
+    tol=st.one_of(st.none(), st.integers(0, 5)),
+)
+def test_asof_join_matches_duckdb(spark, left, right, right_nulls, tol):
     from hudi_spark_utilities_plus_spark.operators.asof import asof_join
 
     ldf = spark.createDataFrame(
@@ -83,7 +88,9 @@ def test_asof_join_matches_duckdb(spark, left, right, right_nulls):
         rdf = rdf.filter(F.lit(False))
     got = {
         r["lid"]: (r["rts"], r["rv"])
-        for r in asof_join(ldf, rdf, "k", "lts", "rts").collect()
+        for r in asof_join(
+            ldf, rdf, "k", "lts", "rts", tolerance_seconds=tol
+        ).collect()
     }
 
     con = duckdb.connect()
@@ -106,10 +113,15 @@ def test_asof_join_matches_duckdb(spark, left, right, right_nulls):
     # JOIN on ``l.k = r.k AND l.lts >= r.rts`` + per-probe argmax.
     # Right is tie-free on (k, ts) by construction, so arg_max is
     # deterministic; NULL keys/ts on either side fail the ON clause.
+    # tolerance on a NUMERIC event time applies in column units (pandas
+    # merge_asof convention). "Pick latest ≤ lts, then null if older
+    # than lts - tol" ≡ "latest within [lts - tol, lts]" because the
+    # picked candidate is the max rts.
+    bound = "" if tol is None else f" AND r.rts >= l.lts - {tol}"
     if rrows:
         rel = con.execute(
             "SELECT l.lid, max(r.rts) AS rts, arg_max(r.rv, r.rts) AS rv "
-            "FROM l LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts "
+            f"FROM l LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts{bound} "
             "GROUP BY l.lid"
         ).fetchall()
         want = {lid: (rts, rv) for lid, rts, rv in rel}
