@@ -3,10 +3,12 @@
 Reference parity: the reference engine has no as-of operator either; this
 is one of the pipeline extensions (time-aligned feature lookup, "latest
 dimension state at event time", trade/quote alignment) the brief calls
-for. Semantics match DuckDB's ``ASOF LEFT JOIN`` (backward, inclusive)
-for non-NULL timestamps: for each left row, the right row with the
-greatest ``right_ts`` ≤ ``left_ts`` within the same key, or NULLs when
-none exists.
+for. Directions match pandas ``merge_asof``: ``backward`` (default —
+DuckDB ``ASOF LEFT JOIN`` semantics for non-NULL timestamps: for each
+left row, the right row with the greatest ``right_ts`` ≤ ``left_ts``
+within the same key), ``forward`` (smallest ``right_ts`` ≥
+``left_ts``), and ``nearest`` (smaller absolute gap; equal gaps
+resolve backward), or NULLs when no candidate exists.
 
 NULL policy — SQL-predicate semantics, a DELIBERATE divergence from
 DuckDB: a NULL probe timestamp (or NULL key, either side) matches
@@ -48,24 +50,40 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join (DuckDB ``ASOF LEFT JOIN`` parity
-    on non-NULL keys/timestamps; NULL matches nothing — module note).
+    """As-of join with pandas ``merge_asof`` direction parity —
+    ``backward`` (default; DuckDB ``ASOF LEFT JOIN`` parity on non-NULL
+    keys/timestamps), ``forward``, or ``nearest``. NULL matches nothing
+    (module note).
 
     Every column of ``left`` is kept; every non-key column of ``right``
-    comes back NULL-filled when no right row with ``right_ts <=
-    left_ts`` exists for the key (or the newest candidate is older than
-    the tolerance, when given — SECONDS on temporal columns, the
-    column's OWN UNITS on numeric event times, the pandas
-    ``merge_asof`` convention; the engine cannot know whether a BIGINT
-    is seconds or micros). A left row with a NULL ``on`` key or NULL
-    ``left_ts`` is kept with NULL right columns.
+    comes back NULL-filled when no candidate exists for the key —
+    backward: greatest ``right_ts <= left_ts``; forward: smallest
+    ``right_ts >= left_ts``; nearest: smaller absolute gap, EQUAL gaps
+    resolve backward (pinned against pandas 2.2 merge_asof; both bounds
+    inclusive). The tolerance, when given, nulls candidates farther
+    than it in the match direction — SECONDS on temporal columns, the
+    column's OWN UNITS on numeric event times (pandas convention; the
+    engine cannot know whether a BIGINT is seconds or micros). A left
+    row with a NULL ``on`` key or NULL ``left_ts`` is kept with NULL
+    right columns.
 
     Determinism: if ``right`` has several rows at the same (key, ts),
-    the one with the greatest remaining-column tuple wins (the union is
-    ordered by the full payload struct). Pre-aggregate the right side to
-    unique (key, ts) when a specific tie policy is needed.
+    the one with the greatest remaining-column tuple wins in EVERY
+    direction (the union is ordered by the full payload struct).
+    Pre-aggregate the right side to unique (key, ts) when a specific
+    tie policy is needed.
+
+    Plan shape: backward is one hash shuffle on the key + one window
+    pass. forward is the mirror sort. nearest runs BOTH window passes
+    over the SAME exchange — Catalyst plans one hash partitioning and
+    two in-partition sorts, still no pair materialization.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     r_payload = [c for c in right.columns if c != on]
     # a NULL right_ts can never satisfy right_ts <= left_ts, and a NULL
     # right KEY can never equal any left key (SQL equality — DuckDB ASOF
@@ -95,37 +113,77 @@ def asof_join(
             left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
         ).alias("_lrow"),
     )
-    # right rows sort BEFORE left rows at equal ts (inclusive bound);
-    # among equal-ts right rows the payload struct orders them so "last"
-    # is deterministic.
-    w = (
+    u = l_side.unionByName(r_side)
+    # dtype dispatch, pandas merge_asof precedent: temporal columns
+    # take the tolerance as SECONDS (interval arithmetic); numeric
+    # event-time columns (epoch longs, sequence numbers) take it in
+    # the COLUMN'S OWN UNITS — the engine cannot know whether a
+    # BIGINT is seconds, millis, or micros, and BIGINT - INTERVAL
+    # is an AnalysisException anyway (DATATYPE_MISMATCH).
+    ts_type = u.schema["_ts"].dataType.typeName()
+
+    def _delta(amount: int):
+        if ts_type in ("timestamp", "timestamp_ntz", "date"):
+            return F.expr(f"INTERVAL {int(amount)} SECOND")
+        return F.lit(amount)
+
+    # backward: right rows sort BEFORE left rows at equal ts (inclusive
+    # bound); among equal-ts right rows the payload struct orders them
+    # so "last" is deterministic (greatest payload wins). NULL left ts
+    # sorts FIRST (asc default) — no preceding right row, no match.
+    w_back = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_is_left", "_pay")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = (
-        l_side.unionByName(r_side)
-        .withColumn("_match", F.last("_pay", ignorenulls=True).over(w))
-        .filter(F.col("_is_left") == 1)
-    )
-    if tolerance_seconds is not None:
-        # dtype dispatch, pandas merge_asof precedent: temporal columns
-        # take the tolerance as SECONDS (interval arithmetic); numeric
-        # event-time columns (epoch longs, sequence numbers) take it in
-        # the COLUMN'S OWN UNITS — the engine cannot know whether a
-        # BIGINT is seconds, millis, or micros, and BIGINT - INTERVAL
-        # is an AnalysisException anyway (DATATYPE_MISMATCH).
-        ts_type = merged.schema["_ts"].dataType.typeName()
-        if ts_type in ("timestamp", "timestamp_ntz", "date"):
-            lower = F.col("_ts") - F.expr(
-                f"INTERVAL {int(tolerance_seconds)} SECOND"
-            )
-        else:
-            lower = F.col("_ts") - F.lit(tolerance_seconds)
-        merged = merged.withColumn(
-            "_match",
-            F.when(F.col("_match")[right_ts] >= lower, F.col("_match")),
+    # forward mirror: LEFT rows sort before right rows at equal ts
+    # (inclusive bound the other way); _pay desc so "first" is the
+    # greatest payload — the same tie convention as backward. NULL left
+    # ts sorts LAST — nothing follows it but other NULL-ts left rows
+    # (NULL right ts is filtered above), so no match.
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_ts").asc_nulls_last(),
+            F.col("_is_left").desc(),
+            F.col("_pay").desc(),
         )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def _bounded(match, *, is_back: bool):
+        """Null the match beyond the tolerance, direction-sensitively."""
+        if tolerance_seconds is None:
+            return match
+        if is_back:
+            ok = match[right_ts] >= F.col("_ts") - _delta(tolerance_seconds)
+        else:
+            ok = match[right_ts] <= F.col("_ts") + _delta(tolerance_seconds)
+        return F.when(ok, match)
+
+    if direction == "backward":
+        u = u.withColumn("_b", F.last("_pay", ignorenulls=True).over(w_back))
+        match = _bounded(F.col("_b"), is_back=True)
+    elif direction == "forward":
+        u = u.withColumn("_f", F.first("_pay", ignorenulls=True).over(w_fwd))
+        match = _bounded(F.col("_f"), is_back=False)
+    else:  # nearest — both passes over the same exchange, pick closer
+        u = u.withColumn(
+            "_b", F.last("_pay", ignorenulls=True).over(w_back)
+        ).withColumn("_f", F.first("_pay", ignorenulls=True).over(w_fwd))
+        b = _bounded(F.col("_b"), is_back=True)
+        f = _bounded(F.col("_f"), is_back=False)
+        # equal gaps resolve BACKWARD (<=) — the pandas tie rule
+        match = (
+            F.when(f.isNull(), b)
+            .when(b.isNull(), f)
+            .when(
+                (F.col("_ts") - b[right_ts]) <= (f[right_ts] - F.col("_ts")),
+                b,
+            )
+            .otherwise(f)
+        )
+    merged = u.filter(F.col("_is_left") == 1).withColumn("_match", match)
     out = merged.select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
         *[F.col("_match")[c].alias(c) for c in r_payload],

@@ -439,6 +439,54 @@ def test_asof_join_semantics(spark):
     assert tol == {"p1": "c_at", "p2": None, "p3": None}
 
 
+def test_asof_join_directions(spark):
+    """forward/nearest (pandas merge_asof parity): inclusive bounds both
+    ways, nearest ties resolve backward, direction-sensitive tolerance,
+    and the nearest plan reuses ONE key exchange for both window passes."""
+    import re
+
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 7), (3, 0, 30), (4, 1, 5)],
+        "lid long, k long, lts long",
+    )
+    r = spark.createDataFrame(
+        [(0, 8, 100), (0, 12, 200), (1, 5, 300)], "k long, rts long, rv long"
+    )
+
+    def run(**kw):
+        return {
+            x["lid"]: x["rv"]
+            for x in asof_join(l, r, "k", "lts", "rts", **kw).collect()
+        }
+
+    # forward: smallest rts >= lts, inclusive (lid 4 at equal ts)
+    assert run(direction="forward") == {1: 200, 2: 100, 3: None, 4: 300}
+    # nearest: lid 1 gap 2 both ways -> tie resolves BACKWARD (rv 100)
+    assert run(direction="nearest") == {1: 100, 2: 100, 3: 200, 4: 300}
+    # nearest + tolerance in column units: lid 3's closest (12) is 18
+    # away -> nulled; lid 1's tie still resolves backward
+    assert run(direction="nearest", tolerance_seconds=5) == {
+        1: 100, 2: 100, 3: None, 4: 300,
+    }
+    # forward + tolerance: lid 2's candidate (8) is 1 ahead, inside
+    assert run(direction="forward", tolerance_seconds=1) == {
+        1: None, 2: 100, 3: None, 4: 300,
+    }
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, "k", "lts", "rts", direction="sideways")
+    # one hash exchange feeds both window passes — no second shuffle
+    plan = (
+        asof_join(l, r, "k", "lts", "rts", direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bWindow ", plan)) == 2
+
+
 def test_pack_token_budget_boundaries(spark):
     """A doc starting exactly at a pack boundary opens the next pack;
     a doc straddling the boundary stays in the pack of its first token."""

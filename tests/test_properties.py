@@ -130,6 +130,70 @@ def test_asof_join_matches_duckdb(spark, left, right, right_nulls, tol):
     assert got == want
 
 
+@PROP
+@given(
+    left=_asof_left,
+    right=_asof_right,
+    right_nulls=_asof_right_nulls,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.one_of(st.none(), st.integers(0, 5)),
+)
+def test_asof_directions_match_pandas(
+    spark, left, right, right_nulls, direction, tol
+):
+    """All three directions against pandas merge_asof itself (the
+    semantics donor): inclusivity at equal ts both ways, the
+    nearest-tie-resolves-backward rule, and direction-sensitive
+    tolerance. pandas rejects NULL merge keys, so the oracle drops
+    NULL-key/ts rows first — exactly the rows asof_join's predicate
+    semantics guarantee match nothing."""
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid long, k long, lts long"
+    )
+    rrows = [(k, ts, v) for (k, ts), v in right.items()] + right_nulls
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "k long, rts long, rv long"
+    )
+    if not rrows:
+        rdf = rdf.filter(F.lit(False))
+    got = {
+        r["lid"]: (r["rts"], r["rv"])
+        for r in asof_join(
+            ldf, rdf, "k", "lts", "rts",
+            tolerance_seconds=tol, direction=direction,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        columns=["lid", "k", "lts"],
+    )
+    good = lpd.dropna().astype("int64").sort_values(["lts", "lid"])
+    rpd = (
+        pd.DataFrame(
+            [t for t in rrows if t[0] is not None and t[1] is not None],
+            columns=["k", "rts", "rv"],
+        )
+        .astype("int64")
+        .sort_values("rts")
+    )
+    want = {int(i): (None, None) for i in lpd["lid"]}
+    if len(good):
+        m = pd.merge_asof(
+            good, rpd, by="k", left_on="lts", right_on="rts",
+            direction=direction,
+            **({} if tol is None else {"tolerance": tol}),
+        )
+        for _, row in m.iterrows():
+            want[int(row["lid"])] = (
+                None if pd.isna(row["rts"]) else int(row["rts"]),
+                None if pd.isna(row["rv"]) else int(row["rv"]),
+            )
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # global running sum vs DuckDB window
 # ---------------------------------------------------------------------------
