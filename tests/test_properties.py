@@ -1082,3 +1082,71 @@ def test_binlog_offset_model_tails_like_sequential_reader(actions):
     }
     for f in files:  # still live => must have been read by now
         assert _os.path.basename(f) in never_seen
+
+
+# ---------------------------------------------------------------------------
+# Excel reader round-trip fuzz (SpreadsheetML escaping / ragged grids)
+# ---------------------------------------------------------------------------
+
+# XML-hostile but XML-1.0-legal text: entities, quotes, whitespace,
+# unicode. \r is excluded because the XML spec normalizes it to \n in
+# ANY compliant parser — a writer that wants literal CR must emit
+# &#13;, which the test fixture writer (stdlib SpreadsheetML) does not.
+_xl_text = st.one_of(
+    st.sampled_from(
+        ["<&>", "a&amp;b", '"quoted"', "it's", " lead", "trail ",
+         "line\nbreak", "\ttab", "naïve café 日本語", "0", "1.5", "TRUE",
+         # ']]>' in character data is not well-formed XML unless the
+         # '>' is escaped — found by this fuzz in the fixture writer
+         "]]>", "<!--x-->", "&#60;"]
+    ),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), blacklist_characters="\r"
+        ),
+        max_size=12,
+    ),
+)
+_xl_grid = st.lists(
+    st.lists(st.one_of(st.none(), _xl_text), min_size=1, max_size=5),
+    min_size=1,
+    max_size=6,
+)
+
+
+@PROP
+@given(grid=_xl_grid)
+def test_excel_roundtrip_matches_written_grid(spark, grid, tmp_path_factory):
+    """Whatever text lands in a workbook (entities, quotes, newlines,
+    unicode, ragged/absent cells) must come back cell-exact through
+    read_excel. Grid width is the widest row that has any written cell
+    — a cell is written for every non-None value, including '' (which
+    reads back NULL under the default treatEmptyValuesAsNulls)."""
+    from hudi_spark_utilities_plus_spark.sources.excel import read_excel
+    from tests.xlsx_util import write_xlsx
+
+    # the sheet must contain at least one cell or there is no grid
+    if all(v is None for row in grid for v in row):
+        grid = [["x"]] + grid
+    width = max(
+        (i + 1 for row in grid for i, v in enumerate(row) if v is not None),
+        default=0,
+    )
+    p = str(tmp_path_factory.mktemp("xlroundtrip") / "g.xlsx")
+    write_xlsx(p, grid)
+    df = read_excel(spark, p, {"header": "false"})
+    assert len(df.columns) == width
+    got = [
+        [r[c] for c in df.columns]
+        for r in df.orderBy(F.monotonically_increasing_id()).collect()
+    ]
+    # rows with no written cell at all are still sheet rows (the writer
+    # emits an empty <row/>), so expected keeps every row
+    want = [
+        [
+            (None if (v is None or v == "") else v)
+            for v in (list(row) + [None] * width)[:width]
+        ]
+        for row in grid
+    ]
+    assert got == want

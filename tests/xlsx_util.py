@@ -29,7 +29,15 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}" s="1"><v>{int(_serial(value))}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value}</v></c>'
-    text = str(value).replace("&", "&amp;").replace("<", "&lt;")
+    # '>' must be escaped too: a literal ']]>' in character data is not
+    # well-formed XML (found by the round-trip fuzz — the reader's
+    # parser rightly rejects it; real Excel writers escape '>')
+    text = (
+        str(value)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 
 
