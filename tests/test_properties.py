@@ -1150,3 +1150,60 @@ def test_excel_roundtrip_matches_written_grid(spark, grid, tmp_path_factory):
         for row in grid
     ]
     assert got == want
+
+
+# BIFF8 (.xls) round-trip: the SST string table's compressed-8-bit vs
+# UTF-16 encodings, interior row gaps (materialized as all-NULL rows),
+# and long strings. TRAILING all-None rows are trimmed from the
+# expectation: a BIFF row with no cell records is physically absent
+# from the file (Excel used-range semantics) — unlike the xlsx writer,
+# which emits an empty <row/> element.
+_xls_text = st.one_of(
+    st.sampled_from(
+        # 𐀀 (U+10000) is a surrogate PAIR in UTF-16: BIFF cch counts
+        # code units, not characters — fuzz-found in the fixture writer
+        ["plain", "naïve", "日本語テキスト", "mixé日本", " ", "a" * 300,
+         "𐀀", "x𐀀y"]
+    ),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=20,
+    ),
+)
+_xls_grid = st.lists(
+    st.lists(st.one_of(st.none(), _xls_text), min_size=1, max_size=4),
+    min_size=1,
+    max_size=5,
+)
+
+
+@PROP
+@given(grid=_xls_grid)
+def test_xls_biff_roundtrip_matches_written_grid(spark, grid, tmp_path_factory):
+    from hudi_spark_utilities_plus_spark.sources.excel import read_excel
+    from tests.xls_util import write_xls
+
+    if all(v is None for row in grid for v in row):
+        grid = [["x"]] + grid
+    while grid and all(v is None for v in grid[-1]):
+        grid = grid[:-1]  # trailing unrecorded rows are absent in BIFF
+    width = max(
+        (i + 1 for row in grid for i, v in enumerate(row) if v is not None),
+        default=0,
+    )
+    p = str(tmp_path_factory.mktemp("xlsroundtrip") / "g.xls")
+    write_xls(p, grid)
+    df = read_excel(spark, p, {"header": "false"})
+    assert len(df.columns) == width
+    got = [
+        [r[c] for c in df.columns]
+        for r in df.orderBy(F.monotonically_increasing_id()).collect()
+    ]
+    want = [
+        [
+            (None if (v is None or v == "") else v)
+            for v in (list(row) + [None] * width)[:width]
+        ]
+        for row in grid
+    ]
+    assert got == want

@@ -39,8 +39,19 @@ def fmt(ifmt: int, code: str) -> bytes:
 def sst(strings: list[str]) -> bytes:
     body = struct.pack("<II", len(strings), len(strings))
     for s in strings:
-        b = s.encode("latin-1")
-        body += struct.pack("<HB", len(b), 0) + b
+        # XLUnicodeRichExtendedString: compressed 8-bit when every char
+        # fits latin-1, else UTF-16LE with the fHighByte flag set — the
+        # same dispatch real Excel writes, so the reader's both-encoding
+        # SST decode path gets exercised by unicode fixtures
+        try:
+            b = s.encode("latin-1")
+            body += struct.pack("<HB", len(s), 0) + b
+        except UnicodeEncodeError:
+            b = s.encode("utf-16-le")
+            # cch counts UTF-16 CODE UNITS, not python characters — a
+            # non-BMP char (surrogate pair) is two units (fuzz-found:
+            # len(s) undercounts and truncates the read)
+            body += struct.pack("<HB", len(b) // 2, 1) + b
     return rec(0x00FC, body)
 
 
