@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     tolerance_seconds: int | None = None,
@@ -84,7 +84,11 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    r_payload = [c for c in right.columns if c != on]
+    # composite keys (pandas merge_asof ``by=[...]`` parity): every key
+    # column shuffles/partitions together; a NULL in ANY key column
+    # matches nothing (conjunctive SQL equality)
+    keys = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in right.columns if c not in keys]
     # a NULL right_ts can never satisfy right_ts <= left_ts, and a NULL
     # right KEY can never equal any left key (SQL equality — DuckDB ASOF
     # parity). Without the filters NULL-ts rows sort first in the window
@@ -92,11 +96,14 @@ def asof_join(
     # worse — partitionBy groups the NULL keys of BOTH sides into one
     # partition, silently matching NULL-key left rows to NULL-key right
     # rows where the SQL join predicate matches nothing.
-    right = right.filter(
-        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
-    )
+    keys_ok = F.col(right_ts).isNotNull()
+    for k in keys:
+        keys_ok = keys_ok & F.col(k).isNotNull()
+    right = right.filter(keys_ok)
+    key_cols = [F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)]
+    part_cols = [f"_k{i}" for i in range(len(keys))]
     l_side = left.select(
-        F.col(on).alias("_k"),
+        *key_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.lit(None).cast(
@@ -105,7 +112,7 @@ def asof_join(
         F.struct(*left.columns).alias("_lrow"),
     )
     r_side = right.select(
-        F.col(on).alias("_k"),
+        *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.struct(*r_payload).alias("_pay"),
@@ -132,7 +139,7 @@ def asof_join(
     # so "last" is deterministic (greatest payload wins). NULL left ts
     # sorts FIRST (asc default) — no preceding right row, no match.
     w_back = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*part_cols)
         .orderBy("_ts", "_is_left", "_pay")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -142,7 +149,7 @@ def asof_join(
     # ts sorts LAST — nothing follows it but other NULL-ts left rows
     # (NULL right ts is filtered above), so no match.
     w_fwd = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*part_cols)
         .orderBy(
             F.col("_ts").asc_nulls_last(),
             F.col("_is_left").desc(),

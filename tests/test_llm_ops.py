@@ -476,6 +476,21 @@ def test_asof_join_directions(spark):
     }
     with pytest.raises(ValueError, match="direction"):
         asof_join(l, r, "k", "lts", "rts", direction="sideways")
+    # composite keys (pandas by=[...] parity): both columns must match;
+    # a NULL in EITHER key column matches nothing
+    l2 = spark.createDataFrame(
+        [(1, 0, "a", 10), (2, 0, "b", 10), (3, None, "a", 10)],
+        "lid long, k1 long, k2 string, lts long",
+    )
+    r2 = spark.createDataFrame(
+        [(0, "a", 8, 100), (0, "b", 9, 200), (0, None, 7, 300)],
+        "k1 long, k2 string, rts long, rv long",
+    )
+    got = {
+        x["lid"]: x["rv"]
+        for x in asof_join(l2, r2, ["k1", "k2"], "lts", "rts").collect()
+    }
+    assert got == {1: 100, 2: 200, 3: None}
     # one hash exchange feeds both window passes — no second shuffle
     plan = (
         asof_join(l, r, "k", "lts", "rts", direction="nearest")
