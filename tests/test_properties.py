@@ -418,9 +418,11 @@ _hudi_ops = st.lists(
 
 
 @PROP
-@given(ops=_hudi_ops, compact_at_end=st.booleans())
+@given(ops=_hudi_ops, compact_at_end=st.booleans(), inline=st.booleans())
 @pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
-def test_hudi_table_matches_dict_replay(spark, table_type, ops, compact_at_end):
+def test_hudi_table_matches_dict_replay(
+    spark, table_type, ops, compact_at_end, inline
+):
     import tempfile
 
     from hudi_spark_utilities_plus_spark.lake import HudiTable
@@ -431,6 +433,18 @@ def test_hudi_table_matches_dict_replay(spark, table_type, ops, compact_at_end):
             record_key="id",
             precombine="ts",
             table_type=table_type,
+            # inline compaction INTERLEAVED with the op sequence (fires
+            # mid-replay every 3 delta commits on MOR): the seqbase
+            # watermark, stale/NULL delete markers, and compaction must
+            # commute with the dict model, not just compact-at-end
+            options=(
+                {
+                    "hoodie.compact.inline": "true",
+                    "hoodie.compact.inline.max.delta.commits": "3",
+                }
+                if inline
+                else {}
+            ),
         )
         model: dict[int, tuple[int, str]] = {}
         ts = 0
