@@ -454,12 +454,62 @@ class HudiTable:
                 return int(fh.read().strip() or 0)
         return 0
 
+    def _seqmax_path(self) -> str:
+        return f"{self._local_fs_path().rstrip('/')}__hudi_seqmax"
+
+    def _read_seqmax(self) -> int | None:
+        """Highest commit seq ever ALLOCATED, from the sidecar; None =
+        sidecar absent (pre-sidecar table, post-restore, or non-local
+        filesystem) — callers fall back to the log scan."""
+        try:
+            p = self._seqmax_path()
+        except NotImplementedError:
+            return None
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            txt = fh.read().strip()
+        return int(txt) if txt else None
+
+    def _write_seqmax(self, seq: int) -> None:
+        try:
+            p = self._seqmax_path()
+        except NotImplementedError:
+            return
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(seq))
+        os.replace(tmp, p)
+
+    def _drop_seqmax(self) -> None:
+        """Invalidate the allocation sidecar. Called by every path that
+        REMOVES log entries (compact, restore) — the next _next_seq
+        falls back to the log scan / seqbase watermark, and the next
+        append re-establishes the sidecar."""
+        try:
+            p = self._seqmax_path()
+        except NotImplementedError:
+            return
+        if os.path.exists(p):
+            os.remove(p)
+
     def _next_seq(self, spark: SparkSession) -> int:
-        """Monotonic commit sequence for log records (1-row agg over the
-        log's seq column — metadata-scale), floored by the post-
-        compaction watermark."""
+        """Monotonic commit sequence for log records, floored by the
+        post-compaction watermark.
+
+        O(1) via the ``__hudi_seqmax`` sidecar (the highest seq ever
+        allocated — _append_log pre-writes it before the parquet append,
+        so a crash between the two leaves a harmless seq GAP, never a
+        duplicate). Without the sidecar this was a full delta-log scan
+        per append — O(log-since-compaction) on the MOR write hot path,
+        measured at 1.94 s/commit by commit 120 with compaction off.
+        Fallback (pre-sidecar tables, non-local filesystems): the 1-row
+        max agg over the log's seq column."""
         if not self._has_log(spark):
             return self._seq_base()
+        cached = self._read_seqmax()
+        if cached is not None:
+            return max(cached + 1, self._seq_base())
         row = (
             spark.read.option("mergeSchema", "true").parquet(self._log_path)
             .agg(F.max("__hudi_seq").alias("m"))
@@ -472,6 +522,11 @@ class HudiTable:
         no base files are opened, the write cost is O(batch), and the
         merge is deferred to read()/compact()."""
         seq = self._next_seq(spark)
+        # allocate-before-append: persisting the seq BEFORE the parquet
+        # write means a crash between the two wastes a seq (gap — the
+        # read merge and cursors don't care) instead of re-issuing one
+        # (two commits sharing a seq would merge as one)
+        self._write_seqmax(seq)
         # materialize, don't guard: on a partitioned table a log entry
         # missing the partition column (typically a key-only delete
         # marker) used to append at the log ROOT while sibling entries
@@ -526,6 +581,10 @@ class HudiTable:
         # empty) across compaction
         with open(f"{self._local_fs_path().rstrip('/')}__hudi_seqbase", "w") as fh:
             fh.write(str(next_seq))
+        # the log is gone: invalidate the allocation sidecar so the
+        # seqbase watermark is the single source of truth until the
+        # next append re-establishes it
+        self._drop_seqmax()
         # base == snapshot again: re-sync so the snapshot name returns
         self._maybe_sync_catalog(spark)
 
@@ -632,6 +691,7 @@ class HudiTable:
         )
         if kept.limit(1).count() == 0:
             shutil.rmtree(log_local)
+            self._drop_seqmax()
             self._maybe_sync_catalog(spark)
             return
         # materialize the surviving log BEFORE dropping the source dir
@@ -639,6 +699,10 @@ class HudiTable:
         self._writer(kept, "overwrite").parquet(tmp)
         shutil.rmtree(log_local)
         os.rename(tmp, log_local)
+        # the sidecar tracks seqs that restore just discarded — drop it
+        # so the next _next_seq rescans the SURVIVING log and the
+        # timeline continues from the savepoint, not past the gap
+        self._drop_seqmax()
         self._maybe_sync_catalog(spark)
 
     def cluster(

@@ -2305,3 +2305,97 @@ def test_materialize_gates_reliable_checkpoint_on_cleaner_conf(
         # restore "no checkpoint dir" so later tests keep the local path
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
+
+
+# ---------------------------------------------------------------------------
+# MOR seq-allocation sidecar (__hudi_seqmax) — O(1) _next_seq on the
+# write hot path (r10 probe: the log-scan form cost 1.94 s/commit by
+# commit 120 with compaction off)
+# ---------------------------------------------------------------------------
+
+
+def _mor(tmp_path, name="sx", **options):
+    return HudiTable(
+        path=str(tmp_path / name),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+        options=options,
+    )
+
+
+def test_seqmax_sidecar_tracks_allocation_and_matches_log_scan(spark, tmp_path):
+    """Each MOR append pre-writes the allocation sidecar; the O(1) answer
+    must equal the log-scan fallback's at every step."""
+    t = _mor(tmp_path)
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    side = t.path + "__hudi_seqmax"
+    assert not os.path.exists(side), "genesis load must not allocate a log seq"
+    for i in range(4):
+        t.upsert(
+            spark.createDataFrame([(1, 2 + i, f"v{i}")], "id int, ver int, v string")
+        )
+        with open(side) as fh:
+            assert int(fh.read()) == i
+        fast = t.latest_commit_seq(spark)
+        os.remove(side)  # force the log-scan fallback
+        assert t.latest_commit_seq(spark) == fast == i
+        # fallback path must not resurrect the sidecar (read-only)
+        assert not os.path.exists(side)
+    # pre-sidecar table: next append re-establishes it past the scan max
+    t.upsert(spark.createDataFrame([(9, 1, "z")], "id int, ver int, v string"))
+    with open(side) as fh:
+        assert int(fh.read()) == 4
+
+
+def test_seqmax_crash_gap_never_duplicates_a_seq(spark, tmp_path):
+    """Allocate-before-append: a crash after the sidecar write but
+    before the parquet append must leave a GAP, not re-issue the seq
+    (two commits sharing a seq would merge as one)."""
+    t = _mor(tmp_path)
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(1, 2, "b")], "id int, ver int, v string"))
+    # simulate the crash window: seq 1 allocated, append never landed
+    with open(t.path + "__hudi_seqmax", "w") as fh:
+        fh.write("1")
+    t.upsert(spark.createDataFrame([(1, 3, "c")], "id int, ver int, v string"))
+    seqs = sorted(
+        r["__hudi_seq"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(t.path + "__hudi_log")
+        .select("__hudi_seq")
+        .distinct()
+        .collect()
+    )
+    assert seqs == [0, 2], f"expected a gap at seq 1, got {seqs}"
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "c"}
+
+
+def test_seqmax_dropped_on_compact_and_restore(spark, tmp_path):
+    """compact()/restore() remove log entries, so both must invalidate
+    the sidecar: after compaction the seqbase watermark rules; after
+    restore the timeline continues from the SAVEPOINT, not past the
+    discarded seqs."""
+    t = _mor(tmp_path)
+    side = t.path + "__hudi_seqmax"
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    for i in range(3):
+        t.upsert(
+            spark.createDataFrame([(1, 2 + i, f"v{i}")], "id int, ver int, v string")
+        )
+    sp = t.savepoint(spark)  # seq 2
+    assert sp == 2
+    t.upsert(spark.createDataFrame([(1, 9, "doomed")], "id int, ver int, v string"))
+    t.restore(spark, to_seq=sp)
+    assert not os.path.exists(side), "restore left a stale allocation sidecar"
+    assert t.latest_commit_seq(spark) == sp
+    assert {r["v"] for r in t.read(spark).collect()} == {"v2"}
+    # timeline continues from the savepoint: next commit takes seq 3
+    t.upsert(spark.createDataFrame([(1, 10, "new")], "id int, ver int, v string"))
+    assert t.latest_commit_seq(spark) == 3
+    t.compact(spark)
+    assert not os.path.exists(side), "compact left a stale allocation sidecar"
+    assert t.latest_commit_seq(spark) == 3  # watermark continues the timeline
+    t.upsert(spark.createDataFrame([(1, 11, "post")], "id int, ver int, v string"))
+    assert t.latest_commit_seq(spark) == 4
+    assert {r["v"] for r in t.read(spark).collect()} == {"post"}
