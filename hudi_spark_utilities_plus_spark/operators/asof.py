@@ -51,6 +51,8 @@ def asof_join(
     right_ts: str,
     tolerance_seconds: int | None = None,
     direction: str = "backward",
+    *,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join with pandas ``merge_asof`` direction parity —
     ``backward`` (default; DuckDB ``ASOF LEFT JOIN`` parity on non-NULL
@@ -65,9 +67,15 @@ def asof_join(
     inclusive). The tolerance, when given, nulls candidates farther
     than it in the match direction — SECONDS on temporal columns, the
     column's OWN UNITS on numeric event times (pandas convention; the
-    engine cannot know whether a BIGINT is seconds or micros). A left
-    row with a NULL ``on`` key or NULL ``left_ts`` is kept with NULL
-    right columns.
+    engine cannot know whether a BIGINT is seconds or micros). Because
+    the unit is dtype-dependent, ``tolerance`` is the preferred spelling
+    for numeric event times; ``tolerance_seconds`` remains as the
+    back-compatible alias (they are the same parameter — passing both
+    raises). ``left_ts`` and ``right_ts`` must resolve to the SAME data
+    type: the internal union would otherwise coerce one side, silently
+    changing which tolerance-unit branch applies — cast explicitly
+    first. A left row with a NULL ``on`` key or NULL ``left_ts`` is
+    kept with NULL right columns.
 
     Determinism: if ``right`` has several rows at the same (key, ts),
     the one with the greatest remaining-column tuple wins in EVERY
@@ -83,6 +91,26 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if tolerance is not None:
+        if tolerance_seconds is not None:
+            raise ValueError(
+                "pass tolerance OR tolerance_seconds, not both — they "
+                "are the same parameter (tolerance_seconds is the "
+                "back-compatible alias)"
+            )
+        tolerance_seconds = tolerance
+    lt_type = left.schema[left_ts].dataType
+    rt_type = right.schema[right_ts].dataType
+    if lt_type != rt_type:
+        raise TypeError(
+            f"left_ts {left_ts!r} ({lt_type.simpleString()}) and "
+            f"right_ts {right_ts!r} ({rt_type.simpleString()}) must "
+            "resolve to the same data type: the as-of merge unions both "
+            "timestamp columns, and the union's implicit coercion would "
+            "silently decide which tolerance-unit branch (interval "
+            "seconds vs column units) applies — cast one side "
+            "explicitly first"
         )
     # composite keys (pandas merge_asof ``by=[...]`` parity): every key
     # column shuffles/partitions together; a NULL in ANY key column

@@ -45,7 +45,16 @@ tables feeding both a candidate join and a verify join).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
+
+# app-ids already warned about the localCheckpoint downgrade — the
+# session sets a checkpoint dir ONCE, so one notice per context is
+# signal and one per operator call is noise
+_WARNED_APPS: set[str] = set()
 
 
 def _reliable_cleanup_enabled(sc) -> bool:
@@ -67,6 +76,23 @@ def materialize(df: DataFrame) -> DataFrame:
     the materialized blocks (lineage cut, no CacheManager entry, no
     unreclaimed checkpoint files — module note on the conf gate)."""
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None and _reliable_cleanup_enabled(sc):
-        return df.checkpoint(eager=True)
+    if sc.getCheckpointDir() is not None:
+        if _reliable_cleanup_enabled(sc):
+            return df.checkpoint(eager=True)
+        # a caller who set a checkpoint dir for executor-loss resilience
+        # is being silently downgraded (localCheckpoint blocks die with
+        # their executors) — say why, once per context, so the fix
+        # (enable the cleaner conf at startup) is discoverable
+        app_id = sc.applicationId
+        if app_id not in _WARNED_APPS:
+            _WARNED_APPS.add(app_id)
+            _LOG.warning(
+                "materialize(): a checkpoint dir is set but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is "
+                "false, so reliable checkpoints would strand files "
+                "there for the session lifetime — falling back to "
+                "localCheckpoint (blocks do NOT survive executor "
+                "loss). Set the cleaner conf at context startup to "
+                "opt in to reliable materialization."
+            )
     return df.localCheckpoint(eager=True)

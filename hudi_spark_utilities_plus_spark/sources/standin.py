@@ -232,7 +232,19 @@ def _files_between(files: list[str], start: dict, end: dict | None) -> list[str]
     of the directory — MySQL ``PURGE BINARY LOGS``, a routine operation
     under a live tailer — cannot shift indices and silently skip unread
     files. Pre-r10 ``{"files": n}`` checkpoints still resolve via the
-    count slice, so an in-flight stream upgrades without replaying."""
+    count slice, so an in-flight stream upgrades without replaying.
+
+    Upgrade-window caveat: the count slice indexes the CURRENT listing,
+    so it is only purge-safe once the first post-upgrade micro-batch
+    commits a name mark — a purge landing between the upgrade and that
+    first commit shifts the slice and can skip or redeliver files for
+    that one transition batch. Accepted as a documented edge of the
+    compatibility path (not the steady state); retirement criterion:
+    the count branch can be deleted once no deployment carries a
+    pre-r10 checkpoint — operationally, after every long-lived stream
+    has committed at least one post-upgrade batch (each commit rewrites
+    the offset as ``{"last": …}``, so the count format ages out of
+    checkpoints on first contact)."""
     import os
 
     if "files" in start:

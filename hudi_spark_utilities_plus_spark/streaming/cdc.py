@@ -267,28 +267,19 @@ def apply_cdc_batch(
         table.record_key
     ).isNotNull()
     # The skip must be OBSERVABLE: an upstream emitting 'truncate' or
-    # corrupt keys would otherwise lose events with no trace. One extra
-    # column-pruned aggregate job per micro-batch (op + key columns
-    # only) buys the per-op breakdown; ``keep IS NOT TRUE`` — not
-    # ``~keep`` — so NULL-op rows land in the complement instead of
-    # vanishing from both sides.
-    dropped = (
-        batch_df.filter(~F.coalesce(keep, F.lit(False)))
-        .groupBy(F.coalesce(op_n, F.lit("<null op>")).alias("op"))
-        .count()
-        .collect()
-    )
-    if dropped:
-        _LOG.warning(
-            "apply_cdc_batch(%s): skipped %d malformed event(s) "
-            "(NULL %s key, NULL op, or op outside insert|update|delete): %s",
-            table.table_name,
-            sum(r["count"] for r in dropped),
-            table.record_key,
-            {r["op"]: r["count"] for r in dropped},
-        )
+    # corrupt keys would otherwise lose events with no trace — but the
+    # audit must not re-read the batch SOURCE every trigger (the r10
+    # shape ran an unconditional filter+groupBy straight against it).
+    # The batch is tagged with the keep flag and persisted, so the
+    # source is scanned ONCE; the audit breakdown and the compaction
+    # both run over the cache. ``coalesce(keep, false)`` — not ``keep``
+    # alone — so NULL-op rows land in the complement instead of
+    # vanishing from both sides of the tag.
+    tagged = batch_df.withColumn(
+        "__cdc_keep", F.coalesce(keep, F.lit(False))
+    ).persist()
     compacted = compact_batch(
-        batch_df.filter(keep),
+        tagged.filter(F.col("__cdc_keep")).drop("__cdc_keep"),
         table.record_key,
         table.precombine,
         binlog_name_prefix=binlog_name_prefix,
@@ -301,9 +292,38 @@ def apply_cdc_batch(
         deletes = compacted.filter(op_n == "delete").select(
             table.record_key, table.precombine
         )
-        if not upserts.isEmpty():
+        # first action: a FULL aggregate (not isEmpty — its limit-1
+        # short-circuit would only part-fill the cache), materializing
+        # both caches and yielding the per-route counts the write gates
+        # below need. The write gates use COMPACTED counts, not the raw
+        # batch's: a key whose delete lost to a newer upsert leaves the
+        # delete route empty, and gating on the raw count would commit
+        # an empty (seq-allocating) delete entry to the MOR log.
+        routes = {
+            bool(r["is_del"]): r["n"]
+            for r in compacted.groupBy((op_n == "delete").alias("is_del"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        dropped = (
+            tagged.filter(~F.col("__cdc_keep"))
+            .groupBy(F.coalesce(op_n, F.lit("<null op>")).alias("op"))
+            .count()
+            .collect()
+        )
+        if dropped:
+            _LOG.warning(
+                "apply_cdc_batch(%s): skipped %d malformed event(s) "
+                "(NULL %s key, NULL op, or op outside insert|update|delete): %s",
+                table.table_name,
+                sum(r["count"] for r in dropped),
+                table.record_key,
+                {r["op"]: r["count"] for r in dropped},
+            )
+        if routes.get(False, 0):
             table.upsert(upserts, spark)
-        if not deletes.isEmpty():
+        if routes.get(True, 0):
             table.delete(deletes, spark)
     finally:
         compacted.unpersist()
+        tagged.unpersist()

@@ -502,6 +502,66 @@ def test_asof_join_directions(spark):
     assert len(re.findall(r"\bWindow ", plan)) == 2
 
 
+def test_asof_tolerance_alias_and_ts_dtype_guard(spark):
+    """`tolerance` is the preferred alias of `tolerance_seconds` (the
+    unit is dtype-dependent, so the _seconds name misleads on epoch
+    columns); passing both raises, and mismatched left_ts/right_ts
+    dtypes raise instead of letting the union's implicit coercion pick
+    which tolerance-unit branch applies."""
+    from hudi_spark_utilities_plus_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 0, 10)], "lid long, k long, lts long")
+    r = spark.createDataFrame([(0, 8, 100)], "k long, rts long, rv long")
+    alias = asof_join(l, r, "k", "lts", "rts", tolerance=5).collect()
+    legacy = asof_join(l, r, "k", "lts", "rts", tolerance_seconds=5).collect()
+    assert alias == legacy and alias[0]["rv"] == 100
+    with pytest.raises(ValueError, match="not both"):
+        asof_join(l, r, "k", "lts", "rts", tolerance=5, tolerance_seconds=5)
+    r_int = spark.createDataFrame([(0, 8, 100)], "k long, rts int, rv long")
+    with pytest.raises(TypeError, match="same data type"):
+        asof_join(l, r_int, "k", "lts", "rts")
+    with pytest.raises(TypeError, match="same data type"):
+        asof_join(
+            l.withColumn("lts", F.timestamp_seconds("lts")), r, "k", "lts", "rts"
+        )
+
+
+def test_materialize_warns_once_on_checkpoint_dir_downgrade(
+    spark, tmp_path, caplog
+):
+    """A set checkpoint dir with the cleaner conf off silently downgrades
+    to localCheckpoint (executor-loss resilience lost) — materialize()
+    must say why, once per context, not once per call."""
+    import logging
+
+    from hudi_spark_utilities_plus_spark.operators import materialize as mat
+
+    sc = spark.sparkContext
+    mat._WARNED_APPS.discard(sc.applicationId)
+    df = spark.range(10)
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        with caplog.at_level(logging.WARNING, logger=mat.__name__):
+            mat.materialize(df)
+            mat.materialize(df)
+        warns = [
+            r for r in caplog.records if "localCheckpoint" in r.getMessage()
+        ]
+        assert len(warns) == 1, f"expected one downgrade warning, got {warns}"
+        assert "cleanCheckpoints" in warns[0].getMessage()
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+    # no checkpoint dir: no warning at all
+    mat._WARNED_APPS.discard(sc.applicationId)
+    with caplog.at_level(logging.WARNING, logger=mat.__name__):
+        caplog.clear()
+        mat.materialize(df)
+    assert not [
+        r for r in caplog.records if "localCheckpoint" in r.getMessage()
+    ]
+
+
 def test_pack_token_budget_boundaries(spark):
     """A doc starting exactly at a pack boundary opens the next pack;
     a doc straddling the boundary stays in the pack of its first token."""
