@@ -36,83 +36,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order. Round-10 window: COMPUTED by tools/ledger.py (VERDICT r9
-# "Next" 3 — the hand-maintained version of this comment was wrong two
-# rounds running, so the stale set is now derived from git history +
-# the CORRECTNESS_r* union; run `python tools/ledger.py` on a committed
-# tree to reproduce). Composition at the r10 snapshot: 1 never-checked
-# id (stream_demux_recovery, the demux checkpoint-recovery drive VERDICT
-# r9 item 6 earmarked the budget for) + 48 of the 50 computed-stale ids
-# (row round < last code-change round; the big cohorts are the
-# materialize.py conf-gate commit staining every dedup/similarity/
-# global-windows consumer, the binlog offset-model rework staining the
-# source/scan family, and the r9 text.py/dedup.py commits that postdate
-# r6-r8 rows) + join_asof_nearest (NOT computed-stale — its
-# implementation is independent of asof.py, per the ledger's dependency
-# walk — but VERDICT r9 item 1 names it explicitly, and a judge ask
-# beats this script's opinion). The 2 computed-stale ids that didn't
-# fit are mm_features and mm_frame_sample (r9 rows; their ONLY
-# r10-changed dependency is the materialize() cleaner-conf gate, which
-# is behavior-identical in any session without a checkpoint dir — the
-# driver's included; they head the r11 window). The r5/r6 old-but-fresh
-# rows (dedup_latest_wins, filter_eq, the r6 cohort) wait another
-# round: stale-first beats old-first when the window is full.
+# in dict order. Round-11 window: COMPUTED by tools/ledger.py at the
+# committed tree (62 ids need attention: 60 computed-stale + 2
+# never-checked; window holds 50, so 12 spill). Head ordering per
+# VERDICT r10 item 1: the two r10 spills (mm_features, mm_frame_sample)
+# first, then the 13 hudi ids re-stained by the __hudi_seqmax sidecar
+# fix in lake.py, then the two NEW ids (hudi_rectify_sizes,
+# binlog_purge_recovery — VERDICT item 4's earmarked budget), then
+# stream_stateful (the one other r9-row stale id), then the riskiest
+# r10-row stale ids (asof.py API change -> join_asof; streaming/cdc.py
+# audit rework + sources/standin.py -> the demux/binlog/scan family;
+# materialize() call directly inside the loop -> dedup_embedding_semantic,
+# dedup_components), then the rest of the r10-row cohort alphabetically.
+# The 12 spills (pack_token_budget, pii_scrub, quality_model_score,
+# sample_hash_docs, split_train_val, text_quality, text_repetition,
+# tfidf_topterms, token_counts, win_ntile, win_range_between, word_freq)
+# all have exactly ONE r11-changed dependency — the materialize.py
+# commit fdb0a06, which only ADDS a warning log on the
+# checkpoint-dir-downgrade path and cannot change any returned frame —
+# they head the r12 window. join_asof_nearest is not computed-stale
+# (its nearest merge has no asof.py dependency, same as r10).
 _CHECK_ORDER = [
+    # r10's two documented spills — head of window per VERDICT r10
+    "mm_features",
+    "mm_frame_sample",
+    # the 13 hudi ids re-stained by the lake.py _next_seq sidecar fix
+    "hudi_cdc_read",
+    "hudi_cluster_read",
+    "hudi_hive_sync_read",
+    "hudi_incremental_read",
+    "hudi_insert_overwrite",
+    "hudi_manifest_commit",
+    "hudi_mor_read",
+    "hudi_mor_ro_read",
+    "hudi_partitioned_upsert",
+    "hudi_restore_read",
+    "hudi_schema_evolution",
+    "hudi_time_travel",
+    "hudi_upsert",
     # never driver-checked (new this round)
-    "stream_demux_recovery",
-    # computed-stale, oldest driver rows first — r6 rows
-    "es_scan",
+    "hudi_rectify_sizes",
+    "binlog_purge_recovery",
+    # last r9-row stale id
+    "stream_stateful",
+    # riskiest r10-row stale: asof API change; cdc/standin rework path
     "join_asof",
-    "mongo_scan",
-    "sample_hash_docs",
-    "text_repetition",
-    "token_counts",
-    "word_freq",
-    # r7 rows (+ join_asof_nearest, judge-asked)
     "binlog_stream_scan",
-    "dedup_editdistance",
-    "graph_triangle_count",
-    "keyword_extract",
-    "orc_scan",
-    "quality_model_score",
-    "tfidf_topterms",
-    "xml_scan",
-    "join_asof_nearest",
-    # r8 rows
+    "stream_demux",
+    "stream_demux_transform",
+    "stream_demux_recovery",
+    "es_scan",
+    "mongo_scan",
+    "dedup_embedding_semantic",
+    "dedup_components",
+    # remaining r10-row stale cohort, alphabetical
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
     "chunk_documents",
     "contamination_check",
     "corpus_filter_funnel",
-    "dedup_components",
     "dedup_containment",
+    "dedup_editdistance",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "doc_fingerprint",
     "embedding_quantize",
-    "excel_scan",
-    "jdbc_scan",
-    "json_scan",
+    "embedding_similar_pairs",
+    "embedding_similar_pairs_lsh",
+    "graph_triangle_count",
+    "keyword_extract",
+    "lang_id",
     "mixture_interleave",
     "mm_audio_energy",
     "mm_resize",
-    "pii_scrub",
-    "split_train_val",
-    "win_ntile",
-    # r9 rows
-    "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "dedup_embedding_semantic",
-    "doc_fingerprint",
-    "embedding_similar_pairs",
-    "embedding_similar_pairs_lsh",
-    "lang_id",
     "ngram_bigrams",
-    "pack_token_budget",
-    "stream_demux",
-    "stream_demux_transform",
-    "text_quality",
-    "win_range_between",
     # ---- window edge: position 50 ----
     # anything not listed appends in registration order (see _ordered)
 ]
