@@ -191,6 +191,8 @@ class HudiTable:
         spark: SparkSession,
         mode: str = "snapshot",
         as_of_seq: int | None = None,
+        *,
+        _keys: DataFrame | None = None,
     ) -> DataFrame:
         """Current table state. COPY_ON_WRITE: the base files are the
         state. MERGE_ON_READ: merge base + delta log at read time —
@@ -210,6 +212,13 @@ class HudiTable:
         merge simply ignores younger log entries, so the cost is the
         same one key-shuffle. History folded by a compaction is gone
         (same horizon rule as read_incremental); asking for it raises.
+
+        ``_keys`` (internal, read_cdc's delta-pruning hook): a frame of
+        record keys; base and log are BOTH semi-joined to it BEFORE the
+        merge, so the merge's shuffle volume tracks the key set, not
+        the table. Exact because the latest-wins merge is independent
+        per key. Callers own the completeness argument (read_cdc: every
+        commit after a valid cursor still lives in the log).
         """
         if mode not in ("snapshot", "read_optimized"):
             raise ValueError(
@@ -234,6 +243,8 @@ class HudiTable:
             if self._is_manifest
             else spark.read.parquet(self.path)
         )
+        if _keys is not None:
+            base = base.join(_keys, self.record_key, "left_semi")
         if mode == "read_optimized" or not (
             self.is_mor and self._has_log(spark)
         ):
@@ -242,6 +253,8 @@ class HudiTable:
         # entries; without it parquet samples ONE file's schema and
         # upsert rows can lose their data/precombine columns to nulls
         log = spark.read.option("mergeSchema", "true").parquet(self._log_path)
+        if _keys is not None:
+            log = log.join(_keys, self.record_key, "left_semi")
         if as_of_seq is not None:
             log = log.filter(F.col("__hudi_seq") <= as_of_seq)
         tagged_base = base.withColumn("__hudi_op", F.lit("upsert")).withColumn(
@@ -606,11 +619,19 @@ class HudiTable:
         between the two cursors (delete+reinsert inside the window
         collapses to 'u', or to nothing when the payload round-tripped) —
         the form downstream mirrors want; Hudi's per-commit feed is
-        recoverable by walking cursors one commit at a time. This trades
-        a full-table pass
-        for exactness on any log shape; a delta-optimized variant would
-        seq-prune the log first (read_incremental's trick) and only
-        snapshot the touched keys."""
+        recoverable by walking cursors one commit at a time.
+
+        Delta-pruned (the read_incremental trick, extended to the
+        before/after diff): the touched-key set is a seq-pruned log
+        scan, and BOTH as-of snapshots semi-join their base and log
+        inputs to it before the merge windows run — shuffle volume and
+        the full-outer diff track the DELTA, not the table. Exact
+        because (a) the per-key latest-wins merge is independent across
+        keys, and (b) every commit after a VALID cursor still lives in
+        the log: compaction folding any of the range makes the as-of
+        read below raise the horizon error first. Untouched keys are by
+        construction identical in both snapshots and would be dropped
+        by the unchanged-guard anyway."""
         if not self.is_mor:
             # guard here, not via the time-travel read below: its
             # 'time travel requires a MERGE_ON_READ table' message
@@ -619,9 +640,25 @@ class HudiTable:
                 "CDC read requires a MERGE_ON_READ table (COPY_ON_WRITE "
                 "rewrites keep no commit history to diff against)"
             )
-        before = self.read(spark, as_of_seq=since_seq)
-        after = self.read(spark)
         key = self.record_key
+        if self._has_log(spark):
+            touched = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(self._log_path)
+                .filter(F.col("__hudi_seq") > since_seq)
+                .select(key)
+                .distinct()
+            )
+        else:
+            # freshly compacted: no commit can postdate a reachable
+            # cursor — empty key set, PropagateEmptyRelation collapses
+            # the rest of the plan (read_optimized is manifest-aware
+            # and skips the merge)
+            touched = (
+                self.read(spark, mode="read_optimized").select(key).limit(0)
+            )
+        before = self.read(spark, as_of_seq=since_seq, _keys=touched)
+        after = self.read(spark, _keys=touched)
         payload = [c for c in after.columns if c != key]
         b = before.select(
             F.col(key),

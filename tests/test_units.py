@@ -2399,3 +2399,27 @@ def test_seqmax_dropped_on_compact_and_restore(spark, tmp_path):
     t.upsert(spark.createDataFrame([(1, 11, "post")], "id int, ver int, v string"))
     assert t.latest_commit_seq(spark) == 4
     assert {r["v"] for r in t.read(spark).collect()} == {"post"}
+
+
+def test_read_cdc_delta_pruned_plan(spark, tmp_path):
+    """read_cdc must semi-join BOTH as-of snapshots to the seq-pruned
+    touched-key set before the merge windows run (cost tracks the
+    delta, not the table) — and stay exact on i/u/d."""
+    t = _mor(tmp_path, "cdcp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}") for i in range(100)], "id int, ver int, v string"
+        )
+    )
+    cursor = t.latest_commit_seq(spark)
+    t.upsert(spark.createDataFrame([(7, 2, "u7")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(200, 1, "new")], "id int, ver int, v string"))
+    t.delete(spark.createDataFrame([(9, 9)], "id int, ver int"))
+    feed = t.read_cdc(spark, since_seq=cursor)
+    got = {r["id"]: r["op"] for r in feed.collect()}
+    assert got == {7: "u", 200: "i", 9: "d"}
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    # two snapshots x (base + log) = 4 semi-joins keyed on the record
+    # key (>=: AQE's final plan string also echoes the initial plan,
+    # doubling node mentions)
+    assert plan.count("LeftSemi") >= 4, plan
