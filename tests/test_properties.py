@@ -408,6 +408,7 @@ _hudi_ops = st.lists(
                 "del_keyonly",
                 "del_nullts",
                 "del_mixed",
+                "crash_gap",
             ]
         ),
         st.sets(st.integers(0, 4), min_size=1, max_size=3),
@@ -494,6 +495,20 @@ def test_hudi_table_matches_dict_replay(
                 )
                 for k in keys:
                     model.pop(k, None)
+            elif kind == "crash_gap":
+                # the sidecar allocation-crash window: a commit seq was
+                # pre-written to __hudi_seqmax but its parquet append
+                # never landed. Later commits must skip the gap (never
+                # re-issue a seq) and every read/merge/compaction path
+                # must be unaffected — the model ignores it entirely.
+                import os as _os
+
+                side = t.path + "__hudi_seqmax"
+                if _os.path.exists(side):
+                    with open(side) as fh:
+                        cur = int(fh.read().strip() or "0")
+                    with open(side, "w") as fh:
+                        fh.write(str(cur + 1))
             else:  # del_mixed — stale valued + NULL marker, same keys
                 t.delete(
                     spark.createDataFrame(
