@@ -50,10 +50,14 @@ analogue of the reference's Hive-metastore sync.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import re
+import threading
+import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -79,6 +83,19 @@ class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict: another writer committed between
     this batch's read and its write (see HudiTable.upsert
     expected_seq)."""
+
+
+def _locked(fn):
+    """Serialize a mutating table op under the filesystem lock provider
+    (no-op unless ``hoodie.write.lock.provider`` enables it — see
+    HudiTable._commit_lock)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._commit_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 def merge_latest_wins(
@@ -126,6 +143,13 @@ class HudiTable:
     table_name: str | None = None
     table_type: str = "COPY_ON_WRITE"
     options: dict[str, str] = field(default_factory=dict)
+    # per-(instance, thread) reentrancy depth for the commit lock —
+    # compound maintenance ops (cluster -> compact) must not
+    # self-deadlock, while distinct threads sharing one instance (the
+    # demux table cache) still exclude each other
+    _lock_local: threading.local = field(
+        default_factory=threading.local, repr=False, compare=False
+    )
 
     @classmethod
     def from_props(cls, props: dict[str, str]) -> "HudiTable":
@@ -337,6 +361,7 @@ class HudiTable:
             w = w.partitionBy(self.partition_field)
         return w
 
+    @_locked
     def bulk_insert(self, df: DataFrame) -> None:
         """Append without index lookup (``write.operation=bulk_insert``).
 
@@ -451,6 +476,106 @@ class HudiTable:
         if has_null:
             pred = pred | F.col(self.partition_field).isNull()
         return pred
+
+    # -- write lock (Hudi FileSystemBasedLockProvider analog) -----------
+    def _lock_enabled(self) -> bool:
+        """On when ``hoodie.write.lock.provider`` names a filesystem
+        provider (accepts Hudi's full class name
+        ``org.apache.hudi.client.transaction.lock.FileSystemBasedLockProvider``
+        or any value containing 'filesystem')."""
+        prov = str(self.options.get("hoodie.write.lock.provider", ""))
+        return "filesystem" in prov.lower()
+
+    def _lock_file(self) -> str:
+        custom = self.options.get("hoodie.write.lock.filesystem.path")
+        if custom:
+            os.makedirs(custom, exist_ok=True)
+            name = re.sub(r"[^A-Za-z0-9_.-]", "_", self.path.rstrip("/"))
+            return os.path.join(custom, name + ".lock")
+        try:
+            return f"{self._local_fs_path().rstrip('/')}__hudi_lock"
+        except NotImplementedError:
+            raise ValueError(
+                "the filesystem lock provider needs a local table path "
+                "or an explicit hoodie.write.lock.filesystem.path"
+            ) from None
+
+    @contextmanager
+    def _commit_lock(self):
+        """Serialize writers via an exclusive lock file (the analog of
+        Hudi's ``FileSystemBasedLockProvider`` — the provider real Hudi
+        ships for exactly this). With the lock held, the
+        ``expected_seq`` check in upsert() and the commit it guards
+        become an atomic compare-and-commit instead of check-then-write:
+        two writers that both pass the check can no longer both write.
+
+        ``O_CREAT|O_EXCL`` is atomic on the local filesystems the
+        rename-based commit already requires (same trust boundary).
+        Options (public Hudi keys): ``hoodie.write.lock.wait_time_ms``
+        (acquisition timeout, default 60000 — expiring raises
+        ConcurrentWriteError, the retryable class) and
+        ``hoodie.write.lock.filesystem.expire`` (MINUTES; >0 lets a
+        lock whose mtime is older than this be stolen, so a crashed
+        holder does not wedge the table forever — Hudi's own expire
+        semantics; default 0 = never, matching Hudi).
+
+        Reentrant per (instance, thread): compound ops (cluster →
+        compact, upsert → inline compact) take it once."""
+        if not self._lock_enabled():
+            yield
+            return
+        held = getattr(self._lock_local, "held", 0)
+        if held:
+            self._lock_local.held = held + 1
+            try:
+                yield
+            finally:
+                self._lock_local.held -= 1
+            return
+        path = self._lock_file()
+        wait_ms = int(
+            self.options.get("hoodie.write.lock.wait_time_ms", 60000)
+        )
+        expire_min = float(
+            self.options.get("hoodie.write.lock.filesystem.expire", 0)
+        )
+        deadline = time.monotonic() + wait_ms / 1000.0
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                if expire_min > 0:
+                    try:
+                        age = time.time() - os.path.getmtime(path)
+                    except OSError:
+                        continue  # holder released between probe and stat
+                    if age > expire_min * 60:
+                        try:
+                            os.remove(path)  # crashed holder — steal
+                        except FileNotFoundError:
+                            pass
+                        continue
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriteError(
+                        f"could not acquire commit lock {path} within "
+                        f"{wait_ms} ms — another writer holds it (or a "
+                        "crashed writer left it behind: set "
+                        "hoodie.write.lock.filesystem.expire to let "
+                        "stale locks expire, or remove the file)"
+                    )
+                time.sleep(0.05)
+        self._lock_local.held = 1
+        try:
+            yield
+        finally:
+            self._lock_local.held = 0
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
 
     # -- MOR delta log --------------------------------------------------
     def _seq_base(self) -> int:
@@ -575,6 +700,7 @@ class HudiTable:
         if self._next_seq(spark) - self._seq_base() >= max_commits:
             self.compact(spark)
 
+    @_locked
     def compact(self, spark: SparkSession) -> None:
         """Fold the MOR delta log into the base files (Hudi compaction):
         materialize the merged state, rewrite the base, drop the log.
@@ -694,6 +820,7 @@ class HudiTable:
         fence the caller keeps."""
         return self.latest_commit_seq(spark)
 
+    @_locked
     def restore(self, spark: SparkSession, to_seq: int) -> None:
         """Hudi restore-to-savepoint: physically DISCARD every delta
         commit with seq > ``to_seq`` — unlike time travel (a read-side
@@ -742,6 +869,7 @@ class HudiTable:
         self._drop_seqmax()
         self._maybe_sync_catalog(spark)
 
+    @_locked
     def cluster(
         self,
         spark: SparkSession,
@@ -809,6 +937,7 @@ class HudiTable:
             self._atomic_rewrite(clustered, spark)
         self._maybe_sync_catalog(spark)
 
+    @_locked
     def rectify_file_sizes(
         self,
         spark: SparkSession,
@@ -940,6 +1069,7 @@ class HudiTable:
         ]
         return reduce(lambda a, p: a.bitwiseOR(p), planes)
 
+    @_locked
     def upsert(
         self,
         df: DataFrame,
@@ -970,11 +1100,16 @@ class HudiTable:
         The check only works on table types whose commits ADVANCE a
         sequence; plain directory-rename COPY_ON_WRITE commits leave no
         counter behind, so passing ``expected_seq`` there raises
-        ``ValueError`` rather than silently never tripping. It is also a
-        check-then-write, not an atomic compare-and-swap: two writers
-        that both pass the check before either commits will both write
-        (real Hudi closes this window with a lock provider; single-lake
-        deployments should serialize writers externally)."""
+        ``ValueError`` rather than silently never tripping.
+
+        Without a lock provider the check is check-then-write: two
+        writers that both pass it before either commits will both
+        write. Enabling the filesystem lock provider
+        (``hoodie.write.lock.provider`` naming
+        ``FileSystemBasedLockProvider`` — real Hudi's own answer here)
+        serializes every mutating entry point on the table's lock
+        file, making the check + commit an atomic compare-and-commit
+        (see _commit_lock for the wait/expiry options)."""
         spark = spark or df.sparkSession
         df = self._with_partition_col(df, spark)
         if expected_seq is not None:
@@ -1033,6 +1168,7 @@ class HudiTable:
             self._atomic_rewrite(result, spark)
         self._maybe_sync_catalog(spark)
 
+    @_locked
     def delete(self, keys_df: DataFrame, spark: SparkSession | None = None) -> None:
         """Remove rows whose record key appears in ``keys_df``.
 
@@ -1152,6 +1288,7 @@ class HudiTable:
                 "without it."
             ) from e
 
+    @_locked
     def insert_overwrite(self, df: DataFrame, spark: SparkSession | None = None) -> None:
         """Hudi's ``insert_overwrite`` operation: REPLACE the partitions
         the batch touches with the batch's rows (after the standard

@@ -2423,3 +2423,107 @@ def test_read_cdc_delta_pruned_plan(spark, tmp_path):
     # key (>=: AQE's final plan string also echoes the initial plan,
     # doubling node mentions)
     assert plan.count("LeftSemi") >= 4, plan
+
+
+# ---------------------------------------------------------------------------
+# filesystem lock provider (Hudi FileSystemBasedLockProvider analog)
+# ---------------------------------------------------------------------------
+
+_LOCK_OPTS = {
+    "hoodie.write.lock.provider": (
+        "org.apache.hudi.client.transaction.lock.FileSystemBasedLockProvider"
+    )
+}
+
+
+def test_lock_provider_makes_occ_an_atomic_cas(spark, tmp_path):
+    """Two writers that both observed the same head and race their
+    expected_seq upserts: with the lock provider ON, exactly one
+    commits and the other gets ConcurrentWriteError — the
+    check-then-write window the docstring used to disclaim is closed."""
+    import threading as th
+
+    from hudi_spark_utilities_plus_spark.lake import ConcurrentWriteError
+
+    t = _mor(tmp_path, "cas", **_LOCK_OPTS)
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(1, 2, "b")], "id int, ver int, v string"))
+    head = t.latest_commit_seq(spark)
+    barrier, results = th.Barrier(2), {}
+
+    def writer(tag: str, ver: int) -> None:
+        df = spark.createDataFrame(
+            [(1, ver, tag)], "id int, ver int, v string"
+        )
+        barrier.wait()
+        try:
+            t.upsert(df, spark, expected_seq=head)
+            results[tag] = "ok"
+        except ConcurrentWriteError:
+            results[tag] = "conflict"
+
+    threads = [
+        th.Thread(target=writer, args=(tag, ver))
+        for tag, ver in (("w1", 10), ("w2", 11))
+    ]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join(timeout=120)
+    assert sorted(results.values()) == ["conflict", "ok"], results
+    # exactly one committed: head advanced by exactly one seq
+    assert t.latest_commit_seq(spark) == head + 1
+    assert not os.path.exists(t.path + "__hudi_lock"), "lock leaked"
+
+
+def test_lock_provider_reentrant_timeout_and_expiry(spark, tmp_path):
+    """Compound ops (upsert -> inline compact) take the lock once; a
+    held lock times out with the retryable error; a STALE lock older
+    than hoodie.write.lock.filesystem.expire minutes is stolen."""
+    from hudi_spark_utilities_plus_spark.lake import ConcurrentWriteError
+
+    t = _mor(
+        tmp_path,
+        "reent",
+        **_LOCK_OPTS,
+        **{
+            "hoodie.compact.inline": "true",
+            "hoodie.compact.inline.max.delta.commits": "2",
+        },
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    for i in range(3):  # crosses the inline-compaction threshold under lock
+        t.upsert(
+            spark.createDataFrame([(1, 2 + i, "x")], "id int, ver int, v string")
+        )
+    assert {r["v"] for r in t.read(spark).collect()} == {"x"}
+    lock = t.path + "__hudi_lock"
+    assert not os.path.exists(lock)
+
+    # foreign holder -> acquisition times out with the retryable class
+    t2 = _mor(
+        tmp_path,
+        "reent",
+        **_LOCK_OPTS,
+        **{"hoodie.write.lock.wait_time_ms": "200"},
+    )
+    with open(lock, "w") as fh:
+        fh.write("999999")
+    with pytest.raises(ConcurrentWriteError, match="commit lock"):
+        t2.upsert(
+            spark.createDataFrame([(1, 9, "y")], "id int, ver int, v string")
+        )
+    # stale holder + expire set -> stolen, write proceeds, lock released
+    t3 = _mor(
+        tmp_path,
+        "reent",
+        **_LOCK_OPTS,
+        **{
+            "hoodie.write.lock.wait_time_ms": "5000",
+            "hoodie.write.lock.filesystem.expire": "1",
+        },
+    )
+    os.utime(lock, (0, 0))  # mtime: 1970 — long expired
+    t3.upsert(spark.createDataFrame([(1, 9, "y")], "id int, ver int, v string"))
+    assert not os.path.exists(lock)
+    assert {r["v"] for r in t3.read(spark).collect()} == {"y"}
