@@ -48,14 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # audit rework + sources/standin.py -> the demux/binlog/scan family;
 # materialize() call directly inside the loop -> dedup_embedding_semantic,
 # dedup_components), then the rest of the r10-row cohort alphabetically.
-# The 12 spills (pack_token_budget, pii_scrub, quality_model_score,
-# sample_hash_docs, split_train_val, text_quality, text_repetition,
-# tfidf_topterms, token_counts, win_ntile, win_range_between, word_freq)
-# all have exactly ONE r11-changed dependency — the materialize.py
-# commit fdb0a06, which only ADDS a warning log on the
-# checkpoint-dir-downgrade path and cannot change any returned frame —
-# they head the r12 window. join_asof_nearest is not computed-stale
-# (its nearest merge has no asof.py dependency, same as r10).
+# The 13 spills (ngram_bigrams, pack_token_budget, pii_scrub,
+# quality_model_score, sample_hash_docs, split_train_val, text_quality,
+# text_repetition, tfidf_topterms, token_counts, win_ntile,
+# win_range_between, word_freq) all have exactly ONE r11-changed
+# dependency — the materialize.py commit fdb0a06, which only ADDS a
+# warning log on the checkpoint-dir-downgrade path and cannot change
+# any returned frame — they head the r12 window (ngram_bigrams was
+# displaced by the third new id, hudi_clean_reclaim).
+# join_asof_nearest is not computed-stale (its nearest merge has no
+# asof.py dependency, same as r10).
 _CHECK_ORDER = [
     # r10's two documented spills — head of window per VERDICT r10
     "mm_features",
@@ -77,6 +79,7 @@ _CHECK_ORDER = [
     # never driver-checked (new this round)
     "hudi_rectify_sizes",
     "binlog_purge_recovery",
+    "hudi_clean_reclaim",
     # last r9-row stale id
     "stream_stateful",
     # riskiest r10-row stale: asof API change; cdc/standin rework path
@@ -112,8 +115,10 @@ _CHECK_ORDER = [
     "mixture_interleave",
     "mm_audio_energy",
     "mm_resize",
-    "ngram_bigrams",
     # ---- window edge: position 50 ----
+    # (ngram_bigrams displaced to r12 by hudi_clean_reclaim — its only
+    # r11-changed dependency is the same warning-only materialize.py
+    # commit as the other 12 spills)
     # anything not listed appends in registration order (see _ordered)
 ]
 

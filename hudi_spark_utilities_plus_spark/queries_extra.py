@@ -1983,3 +1983,102 @@ def hudi_rectify_sizes(spark, sf_dir):
             f"live manifest lists {len(live)} files, rectify reported {n}"
         )
     return t.read(spark)
+
+
+@query(
+    "hudi_clean_reclaim",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice * 2 AS p,
+             o_orderdate + INTERVAL 1 DAY AS d
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), b AS (
+      SELECT o_orderkey, o_totalprice + 7 AS p,
+             o_orderdate + INTERVAL 2 DAY AS d
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT o.o_orderkey,
+           COALESCE(b.p, a.p, o.o_totalprice) AS o_totalprice,
+           COALESCE(b.d, a.d, o.o_orderdate) AS o_orderdate
+    FROM orders o
+    LEFT JOIN a USING (o_orderkey)
+    LEFT JOIN b USING (o_orderkey)
+    """,
+)
+def hudi_clean_reclaim(spark, sf_dir):
+    """§1.2 the CLEANER service end to end (Hudi's
+    ``hoodie.clean.automatic`` posture on the manifest commit protocol)
+    — the reclamation half of the object-store-safe commit story:
+    manifest commits leave every superseded version's files on disk, so
+    at 100 TB an uncleaned table's storage grows with write count, not
+    data size. Three manifest versions (genesis + two upserts) plus
+    planted crashed-writer debris (data files that never made any
+    manifest); ``clean(keep_last=1)`` must remove exactly the two old
+    manifests, delete every unreferenced data file debris included,
+    leave the disk file set IDENTICAL to the live manifest's list, and
+    make the cleaned version unreadable — while the surviving snapshot
+    (the oracle's 3-way merge) is bit-for-bit untouched. All physical
+    outcomes are load-bearing: the query RAISES on any divergence."""
+    import os
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="clean_q_") + "/t"
+    t = HudiTable(
+        path=path,
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    t.bulk_insert(o)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ),
+        spark,
+    )
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 7)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")
+        ),
+        spark,
+    )
+    versions = t._manifest_versions()
+    if len(versions) != 3:
+        raise AssertionError(f"expected 3 manifest versions, got {versions}")
+    # crashed writer: data files on disk, manifest never published
+    o.limit(5).withColumn("o_totalprice", F.lit(-1.0)).write.parquet(
+        os.path.join(path, "data", "commit-crashed")
+    )
+    stats = t.clean(keep_last=1)
+    if stats["manifests_removed"] != 2:
+        raise AssertionError(f"clean removed {stats} — expected 2 manifests")
+    if stats["files_removed"] < 1:
+        raise AssertionError(f"clean reclaimed no files: {stats}")
+    live = set(t._manifest_files())
+    on_disk = {
+        os.path.join(dirpath, f)
+        for dirpath, _, files in os.walk(os.path.join(path, "data"))
+        for f in files
+        if f.endswith(".parquet")
+    }
+    if on_disk != live:
+        raise AssertionError(
+            f"disk/manifest divergence after clean: {len(on_disk)} on disk "
+            f"vs {len(live)} live"
+        )
+    try:
+        t.read_manifest_version(spark, versions[0])
+    except ValueError:
+        pass  # cleaned history must be unreadable, loudly
+    else:
+        raise AssertionError("cleaned manifest version still readable")
+    return t.read(spark)
