@@ -80,6 +80,10 @@ _CHECK_ORDER = [
     "hudi_rectify_sizes",
     "binlog_purge_recovery",
     "hudi_clean_reclaim",
+    # 4th new id (still inside VERDICT item 4's <=5 budget): file-group
+    # pruning on the manifest protocol — partial-rewrite upsert/delete
+    # via per-file record-key envelopes (lake.py, late-r11)
+    "hudi_filegroup_prune",
     # last r9-row stale id
     "stream_stateful",
     # riskiest r10-row stale: asof API change; cdc/standin rework path
@@ -114,11 +118,12 @@ _CHECK_ORDER = [
     "lang_id",
     "mixture_interleave",
     "mm_audio_energy",
-    "mm_resize",
     # ---- window edge: position 50 ----
-    # (ngram_bigrams displaced to r12 by hudi_clean_reclaim — its only
-    # r11-changed dependency is the same warning-only materialize.py
-    # commit as the other 12 spills)
+    # (ngram_bigrams then mm_resize displaced to r12 by the 3rd/4th new
+    # ids hudi_clean_reclaim / hudi_filegroup_prune; both sat at the
+    # alphabetical tail of the r10-row stale cohort — they join the 12
+    # warning-only spills at the head of the r12 window)
+    "mm_resize",
     # anything not listed appends in registration order (see _ordered)
 ]
 

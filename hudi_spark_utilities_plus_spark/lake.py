@@ -387,11 +387,11 @@ class HudiTable:
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)
         elif self._is_manifest:
-            files = self._manifest_write_batch(df)
+            files, ranges = self._manifest_write_batch(df)
             # append commit: the head list is merged INSIDE the
             # conditional-put retry loop (a stale-head retry would drop
             # a concurrent committer's files — see _publish_manifest)
-            self._publish_manifest(files, merge_head=True)
+            self._publish_manifest(files, merge_head=True, ranges=ranges)
         else:
             self._writer(df, "append").parquet(self.path)
         self._maybe_sync_catalog(spark)
@@ -1146,6 +1146,37 @@ class HudiTable:
             return
         incoming = df.withColumn("__hudi_src", F.lit(1))
         partitioned = self.partition_field is not None and table_exists
+        if table_exists and not partitioned and self._is_manifest:
+            # file-group pruning (partial-rewrite upsert): only files
+            # whose key envelope may contain a batch key are read,
+            # merged, and replaced; the rest are carried into the new
+            # manifest BY REFERENCE — write cost tracks touched file
+            # groups, not the table (the manifest analog of Hudi's
+            # file-group upsert; after cluster() range-partitions the
+            # layout, a hot-key batch touches few files)
+            touched, untouched = self._manifest_split_touched(df, spark)
+            if untouched:
+                if touched:
+                    existing = spark.read.parquet(*touched).withColumn(
+                        "__hudi_src", F.lit(0)
+                    )
+                    merged = incoming.unionByName(
+                        existing, allowMissingColumns=True
+                    )
+                else:
+                    merged = incoming
+                result = merge_latest_wins(
+                    merged,
+                    self.record_key,
+                    self.precombine,
+                    tiebreak="__hudi_src",
+                ).drop("__hudi_src")
+                new_files, new_ranges = self._manifest_write_batch(result)
+                self._publish_manifest(
+                    untouched + new_files, ranges=new_ranges
+                )
+                self._maybe_sync_catalog(spark)
+                return
         if partitioned:
             parts, has_null = self._touched_partitions(df)
             existing = (
@@ -1266,6 +1297,26 @@ class HudiTable:
                     sorted(emptied, key=lambda v: (v is None, v))
                 )
         else:
+            if self._is_manifest:
+                # file-group pruning, delete form: only files whose key
+                # envelope may hold a doomed key are opened; the rest
+                # are carried by reference (see the upsert-side note)
+                touched, untouched = self._manifest_split_touched(
+                    keys, spark
+                )
+                if untouched:
+                    new_files: list[str] = []
+                    new_ranges: dict[str, list] = {}
+                    if touched:
+                        remaining = _survivors(spark.read.parquet(*touched))
+                        new_files, new_ranges = self._manifest_write_batch(
+                            remaining
+                        )
+                    self._publish_manifest(
+                        untouched + new_files, ranges=new_ranges
+                    )
+                    self._maybe_sync_catalog(spark)
+                    return
             remaining = _survivors(existing)
             self._atomic_rewrite(remaining, spark)
         self._maybe_sync_catalog(spark)
@@ -1402,8 +1453,91 @@ class HudiTable:
         ) as fh:
             return json.load(fh)["files"]
 
+    def _manifest_ranges(self, version: int | None = None) -> dict[str, list]:
+        """Per-file record-key envelopes ``{path: [min, max, has_null]}``
+        from the manifest — {} for pre-ranges manifests (pruning then
+        treats every file as potentially touched)."""
+        import json
+
+        versions = self._manifest_versions()
+        if not versions:
+            return {}
+        v = versions[-1] if version is None else version
+        with open(
+            os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
+        ) as fh:
+            return json.load(fh).get("ranges", {})
+
+    def _manifest_split_touched(
+        self, keys_df: DataFrame, spark: SparkSession
+    ) -> tuple[list[str], list[str]]:
+        """Split the live manifest's files into ``(touched, untouched)``
+        against a batch's record keys using the per-file key envelopes —
+        the file-group pruning behind partial-rewrite upsert/delete.
+
+        EXACT on membership-possibility: a file containing key k always
+        has k inside its [min, max] (and a NULL-key row sets has_null),
+        so a file classified untouched provably holds none of the
+        batch's keys; false positives (range overlap without actual
+        membership) only cost an unnecessary rewrite, never
+        correctness. Files without an envelope (legacy manifests,
+        unsupported key dtypes) are always touched. The probe is one
+        broadcast range-join of the batch's distinct keys against k
+        envelope rows with a ≤k-row collect — metadata-scale. Any probe
+        failure (e.g. envelope values that overflow a NARROWER batch key
+        dtype — the full-rewrite path would have implicit-casted) falls
+        back to all-touched: pruning may never fail a write it merely
+        optimizes."""
+        files = self._manifest_files()
+        ranges = self._manifest_ranges()
+        key = self.record_key
+        no_env = [f for f in files if f not in ranges]
+        env = [(f, *ranges[f]) for f in files if f in ranges]
+        if not env or keys_df.schema[key].dataType.typeName() not in self._RANGE_TYPES:
+            return files, []
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        try:
+            kdf = keys_df.select(F.col(key).alias("k")).distinct()
+            batch_has_null = (
+                kdf.filter(F.col("k").isNull()).limit(1).count() > 0
+            )
+            ktype = keys_df.schema[key].dataType
+            rdf = spark.createDataFrame(
+                [(f, kmin, kmax) for f, kmin, kmax, _ in env],
+                StructType(
+                    [
+                        StructField("f", StringType()),
+                        StructField("kmin", ktype),
+                        StructField("kmax", ktype),
+                    ]
+                ),
+            )
+            hit = {
+                r["f"]
+                for r in kdf.join(
+                    F.broadcast(rdf),
+                    (F.col("k") >= F.col("kmin"))
+                    & (F.col("k") <= F.col("kmax")),
+                    "inner",
+                )
+                .select("f")
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            return files, []
+        if batch_has_null:
+            hit |= {f for f, _, _, has_null in env if has_null}
+        touched = no_env + [f for f, *_ in env if f in hit]
+        untouched = [f for f, *_ in env if f not in hit]
+        return touched, untouched
+
     def _publish_manifest(
-        self, files: list[str], merge_head: bool = False
+        self,
+        files: list[str],
+        merge_head: bool = False,
+        ranges: dict[str, list] | None = None,
     ) -> int:
         """Atomically publish the next manifest version. The data files
         are fully written BEFORE this point, so a crash anywhere earlier
@@ -1426,7 +1560,14 @@ class HudiTable:
         clean() would then delete them as unreferenced). With
         merge_head=False (full-replace commits: overwrite, compaction
         rewrite) the retry payload is unchanged — last-writer-wins is
-        the intended overwrite semantic."""
+        the intended overwrite semantic.
+
+        ``ranges`` carries the NEW files' record-key envelopes
+        (_manifest_write_batch). The published manifest stores an
+        envelope for every payload file it has one for — new entries
+        plus the head's entries for carried-over files — so pruning
+        survives partial rewrites; files with no envelope (legacy
+        manifests, unsupported key dtypes) are simply never pruned."""
         import json
 
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -1439,13 +1580,19 @@ class HudiTable:
             # version (and, for appends, the merged head list) is
             # embedded in the payload, so each retry rewrites the tmp
             # before attempting the link
-            payload = (
-                sorted(set(self._manifest_files()) | set(files))
-                if merge_head
-                else sorted(files)
-            )
+            if merge_head:
+                payload = sorted(set(self._manifest_files()) | set(files))
+            else:
+                payload = sorted(files)
+            # envelope union: head's entries (carried files) overlaid
+            # with the new commit's, restricted to the payload
+            pay_ranges = dict(self._manifest_ranges())
+            pay_ranges.update(ranges or {})
+            pay_ranges = {p: r for p, r in pay_ranges.items() if p in set(payload)}
             with open(tmp, "w") as fh:
-                json.dump({"version": v, "files": payload}, fh)
+                json.dump(
+                    {"version": v, "files": payload, "ranges": pay_ranges}, fh
+                )
             try:
                 try:
                     os.link(tmp, target)
@@ -1473,19 +1620,57 @@ class HudiTable:
             finally:
                 os.unlink(tmp)
 
-    def _manifest_write_batch(self, df: DataFrame) -> list[str]:
+    # record-key dtypes whose min/max round-trip JSON with ordering
+    # intact — the precondition for per-file range pruning
+    _RANGE_TYPES = ("byte", "short", "integer", "long", "float", "double", "string")
+
+    def _manifest_write_batch(
+        self, df: DataFrame
+    ) -> tuple[list[str], dict[str, list]]:
         """Write a commit's data files under an immutable unique dir and
-        return their paths (never reuses or overwrites a prior commit's
-        files)."""
+        return ``(paths, ranges)`` — never reuses or overwrites a prior
+        commit's files. ``ranges`` maps each file to its record-key
+        ``[min, max, has_null]`` envelope (the file-group statistics
+        behind partial-rewrite upsert/delete — Hudi's file-group
+        pruning); empty when the key dtype doesn't JSON-round-trip with
+        ordering intact (dates/decimals), which simply disables pruning.
+        Cost: one post-write aggregate over the just-written files whose
+        RESULT is k rows (k = files in the commit) — metadata-scale."""
         commit_dir = os.path.join(
             self._local_fs_path(), "data", f"commit-{uuid.uuid4().hex[:12]}"
         )
         df.write.parquet(commit_dir)
-        return [
+        files = [
             os.path.join(commit_dir, f)
             for f in os.listdir(commit_dir)
             if f.endswith(".parquet")
         ]
+        ranges: dict[str, list] = {}
+        key = self.record_key
+        if (
+            key in df.columns
+            and df.schema[key].dataType.typeName() in self._RANGE_TYPES
+            and files
+        ):
+            from urllib.parse import unquote, urlparse
+
+            spark = df.sparkSession
+            stats = (
+                spark.read.parquet(commit_dir)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    F.min(key).alias("kmin"),
+                    F.max(key).alias("kmax"),
+                    F.max(F.col(key).isNull()).alias("knull"),
+                )
+                .collect()
+            )
+            for r in stats:
+                p = unquote(urlparse(r["f"]).path)
+                ranges[p] = [r["kmin"], r["kmax"], bool(r["knull"])]
+            # normalization sanity: stats paths must be the listed files
+            ranges = {p: v for p, v in ranges.items() if p in set(files)}
+        return files, ranges
 
     def _manifest_read(
         self, spark: SparkSession, version: int | None = None
@@ -1581,8 +1766,8 @@ class HudiTable:
         if self._is_manifest:
             # manifest protocol: write immutable files, publish the list —
             # no directory rename anywhere (object-store-safe)
-            files = self._manifest_write_batch(df)
-            self._publish_manifest(files)
+            files, ranges = self._manifest_write_batch(df)
+            self._publish_manifest(files, ranges=ranges)
             return
         local = self._local_fs_path()
         suffix = uuid.uuid4().hex[:8]

@@ -2082,3 +2082,97 @@ def hudi_clean_reclaim(spark, sf_dir):
     else:
         raise AssertionError("cleaned manifest version still readable")
     return t.read(spark)
+
+
+@query(
+    "hudi_filegroup_prune",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey = 1 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey = 1 THEN o_orderdate + INTERVAL 1 DAY
+                ELSE o_orderdate END AS o_orderdate
+    FROM orders WHERE o_orderkey <> 7
+    """,
+)
+def hudi_filegroup_prune(spark, sf_dir):
+    """§1.2 file-group-pruned partial-rewrite upsert/delete on the
+    manifest commit protocol (the lightweight analog of Hudi's
+    bloom-index write path): every manifest commit records a per-file
+    record-key [min, max, has_null] envelope, and a mutation only
+    opens/rewrites files whose envelope may hold a batch key — the rest
+    of the table is carried into the new manifest version BY REFERENCE.
+    At 100 TB this is the difference between write cost tracking the
+    TOUCHED FILE GROUPS vs the whole table: after a range-clustered
+    layout, a point-key upsert rewrites one file, not ten thousand.
+    The physical outcomes are load-bearing — the query RAISES unless a
+    single-key upsert and a single-key delete each classify exactly one
+    file as touched and carry every other file byte-identical (same
+    path, same mtime) — while the final state must match the oracle's
+    merge exactly."""
+    import os
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="fgprune_q_") + "/t"
+    t = HudiTable(
+        path=path,
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    # range-clustered genesis: disjoint per-file key envelopes, the
+    # layout cluster() would produce — pruning is exact, not heuristic
+    t.bulk_insert(o.repartitionByRange(8, "o_orderkey"))
+    ranges = t._manifest_ranges()
+    files = t._manifest_files()
+    if len(files) < 2 or set(ranges) != set(files):
+        raise AssertionError(
+            f"expected >=2 enveloped files, got {len(files)} files / "
+            f"{len(ranges)} envelopes"
+        )
+    batch = (
+        o.filter(F.col("o_orderkey") == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        )
+    )
+    touched, untouched = t._manifest_split_touched(batch, spark)
+    if len(touched) != 1 or len(untouched) != len(files) - 1:
+        raise AssertionError(
+            f"point-key split touched {len(touched)} of {len(files)} "
+            "range-disjoint files — expected exactly 1"
+        )
+    mtimes = {f: os.path.getmtime(f) for f in untouched}
+    t.upsert(batch, spark)
+    live = set(t._manifest_files())
+    if not set(untouched) <= live or {
+        f: os.path.getmtime(f) for f in untouched
+    } != mtimes:
+        raise AssertionError(
+            "upsert rewrote files the envelope proved untouched"
+        )
+    if touched[0] in live:
+        raise AssertionError("touched file survived the partial rewrite")
+    # delete probes the NEW layout (the rewritten file now holds key 7)
+    del_keys = spark.range(7, 8).select(
+        F.col("id").cast("bigint").alias("o_orderkey")
+    )
+    touched2, untouched2 = t._manifest_split_touched(del_keys, spark)
+    if len(touched2) != 1 or len(untouched2) != len(live) - 1:
+        raise AssertionError(
+            f"delete split touched {len(touched2)} of {len(live)} files "
+            "— expected exactly 1"
+        )
+    mtimes2 = {f: os.path.getmtime(f) for f in untouched2}
+    t.delete(del_keys, spark)
+    if {f: os.path.getmtime(f) for f in untouched2} != mtimes2:
+        raise AssertionError(
+            "delete rewrote files the envelope proved untouched"
+        )
+    return t.read(spark)

@@ -420,32 +420,45 @@ _hudi_ops = st.lists(
 
 @PROP
 @given(ops=_hudi_ops, compact_at_end=st.booleans(), inline=st.booleans())
-@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+@pytest.mark.parametrize(
+    "table_type,commit_mode",
+    [
+        ("COPY_ON_WRITE", None),
+        ("MERGE_ON_READ", None),
+        # manifest COW drives the file-group-pruned partial-rewrite
+        # upsert/delete paths (per-file key envelopes) through the same
+        # random op sequences — any pruning miss diverges from the dict
+        ("COPY_ON_WRITE", "manifest"),
+    ],
+)
 def test_hudi_table_matches_dict_replay(
-    spark, table_type, ops, compact_at_end, inline
+    spark, table_type, commit_mode, ops, compact_at_end, inline
 ):
     import tempfile
 
     from hudi_spark_utilities_plus_spark.lake import HudiTable
 
     with tempfile.TemporaryDirectory() as tmp:
+        opts = (
+            # inline compaction INTERLEAVED with the op sequence (fires
+            # mid-replay every 3 delta commits on MOR): the seqbase
+            # watermark, stale/NULL delete markers, and compaction must
+            # commute with the dict model, not just compact-at-end
+            {
+                "hoodie.compact.inline": "true",
+                "hoodie.compact.inline.max.delta.commits": "3",
+            }
+            if inline
+            else {}
+        )
+        if commit_mode:
+            opts["hoodie.commit.mode"] = commit_mode
         t = HudiTable(
             path=f"{tmp}/t",
             record_key="id",
             precombine="ts",
             table_type=table_type,
-            # inline compaction INTERLEAVED with the op sequence (fires
-            # mid-replay every 3 delta commits on MOR): the seqbase
-            # watermark, stale/NULL delete markers, and compaction must
-            # commute with the dict model, not just compact-at-end
-            options=(
-                {
-                    "hoodie.compact.inline": "true",
-                    "hoodie.compact.inline.max.delta.commits": "3",
-                }
-                if inline
-                else {}
-            ),
+            options=opts,
         )
         model: dict[int, tuple[int, str]] = {}
         ts = 0

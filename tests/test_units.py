@@ -2527,3 +2527,140 @@ def test_lock_provider_reentrant_timeout_and_expiry(spark, tmp_path):
     t3.upsert(spark.createDataFrame([(1, 9, "y")], "id int, ver int, v string"))
     assert not os.path.exists(lock)
     assert {r["v"] for r in t3.read(spark).collect()} == {"y"}
+
+
+# ---------------------------------------------------------------------------
+# manifest file-group pruning (partial-rewrite upsert/delete)
+# ---------------------------------------------------------------------------
+
+
+def _fg_manifest_table(tmp_path, name="fg"):
+    return HudiTable(
+        path=str(tmp_path / name),
+        record_key="id",
+        precombine="ver",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+
+
+def test_manifest_partial_upsert_carries_untouched_files(spark, tmp_path):
+    """Two disjoint-key-range commits; an upsert hitting only the second
+    range must carry the first range's files BY REFERENCE (same paths,
+    same mtimes — never rewritten) while merging correctly."""
+    t = _fg_manifest_table(tmp_path)
+    lo = spark.createDataFrame(
+        [(i, 1, f"lo{i}") for i in range(100)], "id int, ver int, v string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, 1, f"hi{i}") for i in range(1000, 1100)],
+        "id int, ver int, v string",
+    ).coalesce(1)
+    t.bulk_insert(lo)
+    t.bulk_insert(hi)
+    ranges = t._manifest_ranges()
+    assert ranges and all(len(r) == 3 for r in ranges.values())
+    lo_files = {f for f, r in ranges.items() if r[1] < 1000}
+    assert lo_files
+    mtimes = {f: os.path.getmtime(f) for f in lo_files}
+    t.upsert(
+        spark.createDataFrame(
+            [(1050, 2, "upd"), (1200, 1, "new")], "id int, ver int, v string"
+        )
+    )
+    live = set(t._manifest_files())
+    assert lo_files <= live, "untouched low-range files were not carried"
+    assert {f: os.path.getmtime(f) for f in lo_files} == mtimes
+    state = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert state[1050] == "upd" and state[1200] == "new" and state[0] == "lo0"
+    assert len(state) == 201
+    # carried files keep their envelopes in the NEW manifest version
+    assert lo_files <= set(t._manifest_ranges())
+
+
+def test_manifest_partial_delete_and_null_key_envelope(spark, tmp_path):
+    """Delete opens only envelope-hit files; a NULL batch key touches
+    exactly the files whose envelope records has_null."""
+    t = _fg_manifest_table(tmp_path, "fgdel")
+    a = spark.createDataFrame(
+        [(i, 1, f"a{i}") for i in range(50)], "id int, ver int, v string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(None, 1, "nullrow"), (500, 1, "b500")], "id int, ver int, v string"
+    ).coalesce(1)
+    t.bulk_insert(a)
+    t.bulk_insert(b)
+    a_files = {f for f, r in t._manifest_ranges().items() if not r[2]}
+    assert a_files  # the no-null commit
+    # split check: a NULL-key batch touches only the has_null file
+    touched, untouched = t._manifest_split_touched(
+        spark.createDataFrame([(None,)], "id int"), spark
+    )
+    assert set(untouched) == a_files
+    mtimes = {f: os.path.getmtime(f) for f in a_files}
+    t.delete(spark.createDataFrame([(500,)], "id int"))
+    assert {f: os.path.getmtime(f) for f in a_files} == mtimes
+    state = {r["id"] for r in t.read(spark).collect()}
+    assert 500 not in state and None in state and len(state) == 51
+
+
+def test_manifest_legacy_no_ranges_full_rewrite(spark, tmp_path):
+    """A pre-ranges manifest (no envelopes) disables pruning: every file
+    is treated as touched, and the upsert stays exact."""
+    import json
+
+    t = _fg_manifest_table(tmp_path, "fgleg")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}") for i in range(20)], "id int, ver int, v string"
+        )
+    )
+    # strip the envelopes — simulate a manifest written before ranges
+    mdir = t._manifest_dir
+    (mf,) = [f for f in os.listdir(mdir) if f.endswith(".json")]
+    p = os.path.join(mdir, mf)
+    with open(p) as fh:
+        doc = json.load(fh)
+    doc.pop("ranges", None)
+    with open(p, "w") as fh:
+        json.dump(doc, fh)
+    assert t._manifest_ranges() == {}
+    files, untouched = t._manifest_split_touched(
+        spark.createDataFrame([(1,)], "id int"), spark
+    )
+    assert untouched == [] and set(files) == set(t._manifest_files())
+    t.upsert(
+        spark.createDataFrame([(1, 2, "upd")], "id int, ver int, v string")
+    )
+    state = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert state[1] == "upd" and len(state) == 20
+    # the full rewrite re-establishes envelopes for the new layout
+    assert t._manifest_ranges()
+
+
+def test_manifest_prune_probe_failure_falls_back_all_touched(
+    spark, tmp_path
+):
+    """Envelope values that overflow a NARROWER batch key dtype must not
+    fail the write: the probe degrades to all-touched (the full-rewrite
+    path, which implicit-casts the join) and the delete stays exact."""
+    t = HudiTable(
+        path=str(tmp_path / "fgov"),
+        record_key="id",
+        precombine="ver",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(2**40 + i, 1, f"v{i}") for i in range(5)],
+            "id long, ver int, v string",
+        )
+    )
+    assert t._manifest_ranges()  # envelopes exist (long keys)
+    # int batch: createDataFrame(IntegerType) cannot hold 2**40 →
+    # probe raises internally → fallback, never a write failure
+    touched, untouched = t._manifest_split_touched(
+        spark.createDataFrame([(7,)], "id int"), spark
+    )
+    assert untouched == [] and set(touched) == set(t._manifest_files())
+    t.delete(spark.createDataFrame([(7,)], "id int"))
+    assert len(t.read(spark).collect()) == 5
