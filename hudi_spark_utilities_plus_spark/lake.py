@@ -216,6 +216,7 @@ class HudiTable:
         mode: str = "snapshot",
         as_of_seq: int | None = None,
         *,
+        keys: DataFrame | None = None,
         _keys: DataFrame | None = None,
     ) -> DataFrame:
         """Current table state. COPY_ON_WRITE: the base files are the
@@ -237,17 +238,27 @@ class HudiTable:
         same one key-shuffle. History folded by a compaction is gone
         (same horizon rule as read_incremental); asking for it raises.
 
-        ``_keys`` (internal, read_cdc's delta-pruning hook): a frame of
-        record keys; base and log are BOTH semi-joined to it BEFORE the
-        merge, so the merge's shuffle volume tracks the key set, not
-        the table. Exact because the latest-wins merge is independent
-        per key. Callers own the completeness argument (read_cdc: every
-        commit after a valid cursor still lives in the log).
+        ``keys`` (point lookup): a frame carrying the record-key column;
+        the read returns the current state of exactly those keys. Base
+        and log are BOTH semi-joined to it BEFORE the merge, so the
+        merge's shuffle volume tracks the key set, not the table —
+        exact unconditionally, because the latest-wins merge is
+        independent per key. On manifest tables the base scan is
+        additionally FILE-pruned against the per-file key envelopes
+        (_manifest_split_touched): a point lookup on a range-clustered
+        100 TB table opens one file, not the table. ``_keys`` is the
+        same hook for internal callers whose EXACTNESS argument spans
+        two reads (read_cdc's before/after diff: every commit after a
+        valid cursor still lives in the log).
         """
         if mode not in ("snapshot", "read_optimized"):
             raise ValueError(
                 f"unsupported read mode {mode!r}: snapshot | read_optimized"
             )
+        if _keys is None:
+            _keys = keys
+        elif keys is not None:
+            raise ValueError("pass keys= or _keys=, not both")
         if as_of_seq is not None:
             if not self.is_mor:
                 raise ValueError(
@@ -263,7 +274,7 @@ class HudiTable:
                     "into the base files)"
                 )
         base = (
-            self._manifest_read(spark)
+            self._manifest_read(spark, keys=_keys)
             if self._is_manifest
             else spark.read.parquet(self.path)
         )
@@ -1673,11 +1684,32 @@ class HudiTable:
         return files, ranges
 
     def _manifest_read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        keys: DataFrame | None = None,
     ) -> DataFrame:
+        """Scan the manifest's file list. With ``keys`` (live version
+        only), the list is first FILE-pruned against the per-file key
+        envelopes — a point lookup opens only the files that may hold a
+        probed key. Callers still semi-join rows to the key set; the
+        pruning is exact on the same envelope argument as the
+        partial-rewrite paths (an untouched file provably holds none of
+        the keys, so dropping it from the scan drops only rows the
+        semi-join would discard)."""
         files = self._manifest_files(version)
         if not files:
             raise FileNotFoundError(f"no manifest for table {self.path}")
+        if keys is not None and version is None:
+            touched, untouched = self._manifest_split_touched(keys, spark)
+            if untouched:
+                if not touched:
+                    # no file can hold any probed key: zero-row frame
+                    # via the SAME all-files scan (identical schema
+                    # resolution to the unpruned path; limit 0 means
+                    # footer-only cost)
+                    return spark.read.parquet(*files).limit(0)
+                return spark.read.parquet(*touched)
         return spark.read.parquet(*files)
 
     def read_manifest_version(self, spark: SparkSession, version: int) -> DataFrame:

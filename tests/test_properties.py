@@ -429,6 +429,10 @@ _hudi_ops = st.lists(
         # upsert/delete paths (per-file key envelopes) through the same
         # random op sequences — any pruning miss diverges from the dict
         ("COPY_ON_WRITE", "manifest"),
+        # manifest MOR drives the envelope-pruned POINT READ's hardest
+        # configuration (base file-pruning UNDER a live delta log) plus
+        # log-folding compaction against the same sequences
+        ("MERGE_ON_READ", "manifest"),
     ],
 )
 def test_hudi_table_matches_dict_replay(
@@ -543,6 +547,20 @@ def test_hudi_table_matches_dict_replay(
             for r in t.read(spark).select("id", "ts", "v").collect()
         }
         assert got == model
+        # point read: read(keys=...) must equal the model restricted to
+        # the probed keys, whatever mix of base files / delta log /
+        # envelope pruning currently serves them (key 99 is absent from
+        # every replay — the prune-to-nothing branch)
+        probe = spark.createDataFrame(
+            [(k,) for k in (0, 2, 4, 99)], "id long"
+        )
+        got_pt = {
+            r["id"]: (r["ts"], r["v"])
+            for r in t.read(spark, keys=probe)
+            .select("id", "ts", "v")
+            .collect()
+        }
+        assert got_pt == {k: v for k, v in model.items() if k in (0, 2, 4)}
 
 
 @PROP
