@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
 # in dict order. Round-11 window: COMPUTED by tools/ledger.py at the
-# committed tree (62 ids need attention: 60 computed-stale + 2
-# never-checked; window holds 50, so 12 spill). Head ordering per
+# committed tree (65 ids need attention: 60 computed-stale + 5
+# never-checked; window holds 50, so 15 spill). Head ordering per
 # VERDICT r10 item 1: the two r10 spills (mm_features, mm_frame_sample)
 # first, then the 13 hudi ids re-stained by the __hudi_seqmax sidecar
 # fix in lake.py, then the two NEW ids (hudi_rectify_sizes,
@@ -48,14 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # audit rework + sources/standin.py -> the demux/binlog/scan family;
 # materialize() call directly inside the loop -> dedup_embedding_semantic,
 # dedup_components), then the rest of the r10-row cohort alphabetically.
-# The 13 spills (ngram_bigrams, pack_token_budget, pii_scrub,
-# quality_model_score, sample_hash_docs, split_train_val, text_quality,
-# text_repetition, tfidf_topterms, token_counts, win_ntile,
-# win_range_between, word_freq) all have exactly ONE r11-changed
-# dependency — the materialize.py commit fdb0a06, which only ADDS a
-# warning log on the checkpoint-dir-downgrade path and cannot change
-# any returned frame — they head the r12 window (ngram_bigrams was
-# displaced by the third new id, hudi_clean_reclaim).
+# The 15 spills (mm_audio_energy, mm_resize, ngram_bigrams,
+# pack_token_budget, pii_scrub, quality_model_score, sample_hash_docs,
+# split_train_val, text_quality, text_repetition, tfidf_topterms,
+# token_counts, win_ntile, win_range_between, word_freq) all have
+# exactly ONE r11-changed dependency — the materialize.py commit
+# fdb0a06, which only ADDS a warning log on the
+# checkpoint-dir-downgrade path and cannot change any returned frame —
+# they head the r12 window (ngram_bigrams / mm_resize /
+# mm_audio_energy were displaced by the 3rd/4th/5th new ids).
 # join_asof_nearest is not computed-stale (its nearest merge has no
 # asof.py dependency, same as r10).
 _CHECK_ORDER = [
@@ -84,6 +85,9 @@ _CHECK_ORDER = [
     # pruning on the manifest protocol — partial-rewrite upsert/delete
     # via per-file record-key envelopes (lake.py, late-r11)
     "hudi_filegroup_prune",
+    # 5th new id (closes VERDICT item 4's <=5 budget): the read-side
+    # dual — envelope-pruned point reads via read(keys=...) (lake.py)
+    "hudi_point_read",
     # last r9-row stale id
     "stream_stateful",
     # riskiest r10-row stale: asof API change; cdc/standin rework path
@@ -117,12 +121,15 @@ _CHECK_ORDER = [
     "keyword_extract",
     "lang_id",
     "mixture_interleave",
-    "mm_audio_energy",
     # ---- window edge: position 50 ----
-    # (ngram_bigrams then mm_resize displaced to r12 by the 3rd/4th new
-    # ids hudi_clean_reclaim / hudi_filegroup_prune; both sat at the
-    # alphabetical tail of the r10-row stale cohort — they join the 12
+    # (ngram_bigrams, mm_resize, then mm_audio_energy displaced to r12
+    # by the 3rd/4th/5th new ids hudi_clean_reclaim /
+    # hudi_filegroup_prune / hudi_point_read; all three sat at the
+    # alphabetical tail of the r10-row stale cohort and share the same
+    # single stain — the warning-only materialize.py commit fdb0a06
+    # (verified via tools/ledger.py --explain) — they join the 12
     # warning-only spills at the head of the r12 window)
+    "mm_audio_energy",
     "mm_resize",
     # anything not listed appends in registration order (see _ordered)
 ]

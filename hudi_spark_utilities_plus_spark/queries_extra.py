@@ -2176,3 +2176,89 @@ def hudi_filegroup_prune(spark, sf_dir):
             "delete rewrote files the envelope proved untouched"
         )
     return t.read(spark)
+
+
+@query(
+    "hudi_point_read",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey = 1
+                THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey = 1
+                THEN o_orderdate + INTERVAL 1 DAY
+                ELSE o_orderdate END AS o_orderdate
+    FROM orders
+    WHERE o_orderkey IN (1, (SELECT max(o_orderkey) FROM orders))
+    """,
+)
+def hudi_point_read(spark, sf_dir):
+    """§1.2 envelope-pruned POINT READ on MERGE_ON_READ + manifest —
+    the read-side dual of hudi_filegroup_prune's write-side pruning:
+    ``read(keys=...)`` file-prunes the BASE scan against the per-file
+    record-key envelopes AND still merges the delta log, so a point
+    lookup on a range-clustered 100 TB table opens the one-or-two base
+    files that can hold the probed keys, not the table. The physical
+    outcome is load-bearing — the query RAISES unless the read's
+    inputFiles() hit EXACTLY the base files whose envelope covers a
+    probed key (a third, absent-everywhere probe key must prune to
+    nothing) — while the returned frame must match the oracle's view of
+    the two live keys, one of them served from the delta log (newer
+    than its base row)."""
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="pointread_q_") + "/t"
+    t = HudiTable(
+        path=path,
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        table_type="MERGE_ON_READ",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    # range-clustered genesis: disjoint per-file key envelopes (the
+    # layout cluster() would produce) so the prune expectation is exact
+    t.bulk_insert(o.repartitionByRange(8, "o_orderkey"))
+    ranges = t._manifest_ranges()
+    base_files = set(t._manifest_files())
+    if len(base_files) < 2 or set(ranges) != base_files:
+        raise AssertionError(
+            f"expected >=2 enveloped base files, got {len(base_files)} "
+            f"files / {len(ranges)} envelopes"
+        )
+    # one metadata-scale collect: the highest live key (1 row)
+    maxk = o.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    # MOR upsert of key 1 lands in the DELTA LOG — the read must merge
+    # it over the pruned base scan (newest precombine wins)
+    t.upsert(
+        o.filter(F.col("o_orderkey") == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        )
+    )
+    probe = spark.createDataFrame(
+        [(1,), (int(maxk),), (10**12,)], "o_orderkey bigint"
+    )
+    df = t.read(spark, keys=probe)
+    expected = {
+        f
+        for f, r in ranges.items()
+        if any(r[0] <= k <= r[1] for k in (1, int(maxk)))
+    }
+    if len(expected) != 2:
+        raise AssertionError(
+            f"min/max keys should map to 2 disjoint files, got {expected}"
+        )
+    scanned = {
+        f.replace("file://", "").replace("file:", "") for f in df.inputFiles()
+    }
+    if scanned & base_files != expected:
+        raise AssertionError(
+            f"point read scanned {len(scanned & base_files)} base files — "
+            f"expected exactly the {len(expected)} envelope-matched ones"
+        )
+    return df
