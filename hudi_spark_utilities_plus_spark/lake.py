@@ -246,7 +246,11 @@ class HudiTable:
         independent per key. On manifest tables the base scan is
         additionally FILE-pruned against the per-file key envelopes
         (_manifest_split_touched): a point lookup on a range-clustered
-        100 TB table opens one file, not the table. ``_keys`` is the
+        100 TB table opens one file, not the table. Small key sets
+        (``hoodie.read.pointlookup.inlist.max``, default 1000) are also
+        pushed as a parquet-native IN filter — row-group min/max skip
+        on plain tables, and inside the touched files of manifest
+        tables. ``_keys`` is the
         same hook for internal callers whose EXACTNESS argument spans
         two reads (read_cdc's before/after diff: every commit after a
         valid cursor still lives in the log).
@@ -259,6 +263,38 @@ class HudiTable:
             _keys = keys
         elif keys is not None:
             raise ValueError("pass keys= or _keys=, not both")
+        # Public point lookups additionally push a parquet-native IN
+        # filter when the probed key set is SMALL: one capped collect
+        # (<= cap+1 rows, metadata-scale — a point lookup's key set is
+        # user-sized by definition) turns the probe into PushedFilters
+        # row-group pruning, which works on PLAIN tables with no
+        # manifest (min/max row-group skip) and inside the touched
+        # files of manifest tables. Purely additive: it selects exactly
+        # the rows the semi-join below keeps (NULL probe keys match no
+        # row under either), so correctness never depends on it. Large
+        # key frames skip the probe and keep the pure semi-join plan.
+        # The internal _keys hook (read_cdc/read_incremental) never
+        # probes — its key sets are delta-sized, not user-sized.
+        in_filter = None
+        if keys is not None:
+            cap = int(
+                self.options.get("hoodie.read.pointlookup.inlist.max", 1000)
+            )
+            if cap > 0:
+                vals = [
+                    r[0]
+                    for r in keys.select(self.record_key)
+                    .distinct()
+                    .limit(cap + 1)
+                    .collect()
+                ]
+                if len(vals) <= cap:
+                    vals = [v for v in vals if v is not None]
+                    in_filter = (
+                        F.col(self.record_key).isin(vals)
+                        if vals
+                        else F.lit(False)
+                    )
         if as_of_seq is not None:
             if not self.is_mor:
                 raise ValueError(
@@ -278,6 +314,8 @@ class HudiTable:
             if self._is_manifest
             else spark.read.parquet(self.path)
         )
+        if in_filter is not None:
+            base = base.filter(in_filter)
         if _keys is not None:
             base = base.join(_keys, self.record_key, "left_semi")
         if mode == "read_optimized" or not (
@@ -288,6 +326,8 @@ class HudiTable:
         # entries; without it parquet samples ONE file's schema and
         # upsert rows can lose their data/precombine columns to nulls
         log = spark.read.option("mergeSchema", "true").parquet(self._log_path)
+        if in_filter is not None:
+            log = log.filter(in_filter)
         if _keys is not None:
             log = log.join(_keys, self.record_key, "left_semi")
         if as_of_seq is not None:
@@ -353,9 +393,8 @@ class HudiTable:
                 "the base files) — run a full read() to resync, then "
                 "continue from latest_commit_seq()"
             )
-        snapshot = self.read(spark)
         if not self._has_log(spark):
-            return snapshot.limit(0)
+            return self.read(spark).limit(0)
         changed = (
             spark.read.option("mergeSchema", "true")
             .parquet(self._log_path)
@@ -363,7 +402,15 @@ class HudiTable:
             .select(self.record_key)
             .distinct()
         )
-        return snapshot.join(changed, on=self.record_key, how="left_semi")
+        # feed the touched-key set through read()'s _keys hook: base and
+        # log are semi-joined to it BEFORE the latest-wins merge (and on
+        # manifest tables the base scan is file-pruned), so the
+        # incremental feed's merge shuffle tracks the DELTA, not the
+        # table — same exactness argument as read_cdc: the merge is
+        # independent per key, and every commit after a valid cursor
+        # still lives in the log (the base-horizon check above raised
+        # otherwise)
+        return self.read(spark, _keys=changed)
 
     # -- write ---------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):

@@ -2425,6 +2425,30 @@ def test_read_cdc_delta_pruned_plan(spark, tmp_path):
     assert plan.count("LeftSemi") >= 4, plan
 
 
+def test_read_incremental_delta_pruned_plan(spark, tmp_path):
+    """read_incremental must feed the seq-pruned touched-key set
+    through read()'s _keys hook — base AND log semi-joined BEFORE the
+    latest-wins merge, so the feed's merge shuffle tracks the delta,
+    not the table — and stay exact (updated key present, net-deleted
+    key absent, untouched keys absent)."""
+    t = _mor(tmp_path, "incp")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}") for i in range(100)], "id int, ver int, v string"
+        )
+    )
+    cursor = t.latest_commit_seq(spark)
+    t.upsert(spark.createDataFrame([(7, 2, "u7")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(200, 1, "new")], "id int, ver int, v string"))
+    t.delete(spark.createDataFrame([(9, 9)], "id int, ver int"))
+    feed = t.read_incremental(spark, since_seq=cursor)
+    got = {r["id"]: r["v"] for r in feed.collect()}
+    assert got == {7: "u7", 200: "new"}
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    # one snapshot x (base + log) = 2 semi-joins below the merge
+    assert plan.count("LeftSemi") >= 2, plan
+
+
 # ---------------------------------------------------------------------------
 # filesystem lock provider (Hudi FileSystemBasedLockProvider analog)
 # ---------------------------------------------------------------------------
@@ -2766,3 +2790,54 @@ def test_read_cdc_manifest_mor_stays_exact_with_file_pruning(
         for r in t.read_cdc(spark, since_seq=cursor).collect()
     }
     assert got == {7: "u", 200: "i", 9: "d"}
+
+
+def test_point_read_pushes_in_filter_on_plain_tables(spark, tmp_path):
+    """read(keys=small set) must reach the parquet scan as a pushed IN
+    filter (row-group min/max skip — the point-lookup path for tables
+    with NO manifest), stay exact with NULL probe keys (match nothing),
+    and fall back to the pure semi-join plan past the cap."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(path=str(tmp_path / "inpush"), record_key="id", precombine="ver")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}") for i in range(100)], "id int, ver int, v string"
+        )
+    )
+    probe = spark.createDataFrame([(3,), (None,), (998,)], "id int")
+    df = t.read(spark, keys=probe)
+    assert [(r["id"], r["v"]) for r in df.collect()] == [(3, "v3")]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(id" in plan, plan  # pushed to the scan, NULL stripped
+    # MOR: the IN filter must reach the LOG scan too, and the delta-log
+    # delete marker for a probed key must still win the merge
+    m = HudiTable(
+        path=str(tmp_path / "inpushm"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    m.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}") for i in range(10)], "id int, ver int, v string"
+        )
+    )
+    m.delete(spark.createDataFrame([(3, 9)], "id int, ver int"))
+    mdf = m.read(spark, keys=spark.createDataFrame([(3,), (4,)], "id int"))
+    assert [(r["id"], r["v"]) for r in mdf.collect()] == [(4, "v4")]
+    mplan = mdf._jdf.queryExecution().executedPlan().toString()
+    assert mplan.count("In(id") >= 2, mplan  # base AND log scans
+    # past the cap: no IN filter, result identical (pure semi-join)
+    capped = HudiTable(
+        path=str(tmp_path / "inpush"),
+        record_key="id",
+        precombine="ver",
+        options={"hoodie.read.pointlookup.inlist.max": "2"},
+    )
+    cdf = capped.read(spark, keys=probe)
+    assert [(r["id"], r["v"]) for r in cdf.collect()] == [(3, "v3")]
+    assert "In(id" not in cdf._jdf.queryExecution().executedPlan().toString()
+    # all-NULL probe: selects nothing, schema intact
+    ndf = t.read(spark, keys=spark.createDataFrame([(None,)], "id int"))
+    assert ndf.count() == 0 and ndf.columns == df.columns
