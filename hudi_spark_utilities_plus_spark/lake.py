@@ -445,11 +445,13 @@ class HudiTable:
             self._append_log(df, "upsert", spark)
             self._maybe_compact(spark)
         elif self._is_manifest:
-            files, ranges = self._manifest_write_batch(df)
+            files, ranges, pranges = self._manifest_write_batch(df)
             # append commit: the head list is merged INSIDE the
             # conditional-put retry loop (a stale-head retry would drop
             # a concurrent committer's files — see _publish_manifest)
-            self._publish_manifest(files, merge_head=True, ranges=ranges)
+            self._publish_manifest(
+                files, merge_head=True, ranges=ranges, pranges=pranges
+            )
         else:
             self._writer(df, "append").parquet(self.path)
         self._maybe_sync_catalog(spark)
@@ -989,9 +991,13 @@ class HudiTable:
             clustered = parted.sortWithinPartitions("__hudi_zkey").drop(
                 "__hudi_zkey"
             )
-        if self.partition_field:
+        if self.partition_field and not self._is_manifest:
             self._rewrite_partitions(clustered, spark)
         else:
+            # manifest tables (partitioned or not): full-replace commit;
+            # the partition column is a data column, and the range
+            # partitioning above makes files partition-pure AND
+            # key-ranged — both envelope dimensions get tight
             self._atomic_rewrite(clustered, spark)
         self._maybe_sync_catalog(spark)
 
@@ -1043,7 +1049,7 @@ class HudiTable:
         # compression shifts the byte total a little between layouts
         if len(sizes) <= 2 * n_target:
             return 0
-        if self.partition_field:
+        if self.partition_field and not self._is_manifest:
             # co-locate each hive partition's rows in one task: a plain
             # round-robin would hand every task a slice of every
             # partition and the partitionBy write would MULTIPLY files
@@ -1052,6 +1058,13 @@ class HudiTable:
                 n_target, F.col(self.partition_field)
             )
             self._rewrite_partitions(df, spark)
+        elif self.partition_field:
+            # partitioned manifest: keep the compacted files
+            # partition-clustered so the partition envelopes stay tight
+            df = self.read(spark).repartition(
+                n_target, F.col(self.partition_field)
+            )
+            self._atomic_rewrite(df, spark)
         else:
             df = self.read(spark).repartition(n_target)
             self._atomic_rewrite(df, spark)
@@ -1203,7 +1216,15 @@ class HudiTable:
             self._maybe_sync_catalog(spark)
             return
         incoming = df.withColumn("__hudi_src", F.lit(1))
-        partitioned = self.partition_field is not None and table_exists
+        # manifest tables keep the partition column as a DATA column
+        # (no hive dirs), so the key-envelope file-group path below is
+        # the partitioned path too — the hive-layout machinery
+        # (_touched_partitions/_rewrite_partitions) is for plain tables
+        partitioned = (
+            self.partition_field is not None
+            and table_exists
+            and not self._is_manifest
+        )
         if table_exists and not partitioned and self._is_manifest:
             # file-group pruning (partial-rewrite upsert): only files
             # whose key envelope may contain a batch key are read,
@@ -1229,9 +1250,13 @@ class HudiTable:
                     self.precombine,
                     tiebreak="__hudi_src",
                 ).drop("__hudi_src")
-                new_files, new_ranges = self._manifest_write_batch(result)
+                new_files, new_ranges, new_pranges = (
+                    self._manifest_write_batch(result)
+                )
                 self._publish_manifest(
-                    untouched + new_files, ranges=new_ranges
+                    untouched + new_files,
+                    ranges=new_ranges,
+                    pranges=new_pranges,
                 )
                 self._maybe_sync_catalog(spark)
                 return
@@ -1333,7 +1358,7 @@ class HudiTable:
             )
 
         existing = self.read(spark)
-        if self.partition_field is not None:
+        if self.partition_field is not None and not self._is_manifest:
             affected = existing.join(keys, on=self.record_key, how="left_semi")
             parts, has_null = self._touched_partitions(affected)
             if not parts and not has_null:
@@ -1365,13 +1390,16 @@ class HudiTable:
                 if untouched:
                     new_files: list[str] = []
                     new_ranges: dict[str, list] = {}
+                    new_pranges: dict[str, list] = {}
                     if touched:
                         remaining = _survivors(spark.read.parquet(*touched))
-                        new_files, new_ranges = self._manifest_write_batch(
-                            remaining
+                        new_files, new_ranges, new_pranges = (
+                            self._manifest_write_batch(remaining)
                         )
                     self._publish_manifest(
-                        untouched + new_files, ranges=new_ranges
+                        untouched + new_files,
+                        ranges=new_ranges,
+                        pranges=new_pranges,
                     )
                     self._maybe_sync_catalog(spark)
                     return
@@ -1423,7 +1451,10 @@ class HudiTable:
             self.compact(spark)
         result = merge_latest_wins(df, self.record_key, self.precombine)
         if self.partition_field and self.exists(spark):
-            self._rewrite_partitions(result, spark)
+            if self._is_manifest:
+                self._manifest_overwrite_partitions(result, spark)
+            else:
+                self._rewrite_partitions(result, spark)
         else:
             self._atomic_rewrite(result, spark)
         self._maybe_sync_catalog(spark)
@@ -1526,6 +1557,21 @@ class HudiTable:
         ) as fh:
             return json.load(fh).get("ranges", {})
 
+    def _manifest_pranges(self, version: int | None = None) -> dict[str, list]:
+        """Per-file PARTITION-value envelopes ``{path: [min, max,
+        has_null]}`` — {} for pre-pranges manifests (dynamic overwrite
+        then treats every file as potentially mixed and rewrites it)."""
+        import json
+
+        versions = self._manifest_versions()
+        if not versions:
+            return {}
+        v = versions[-1] if version is None else version
+        with open(
+            os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
+        ) as fh:
+            return json.load(fh).get("pranges", {})
+
     def _manifest_split_touched(
         self, keys_df: DataFrame, spark: SparkSession
     ) -> tuple[list[str], list[str]]:
@@ -1596,6 +1642,7 @@ class HudiTable:
         files: list[str],
         merge_head: bool = False,
         ranges: dict[str, list] | None = None,
+        pranges: dict[str, list] | None = None,
     ) -> int:
         """Atomically publish the next manifest version. The data files
         are fully written BEFORE this point, so a crash anywhere earlier
@@ -1643,13 +1690,26 @@ class HudiTable:
             else:
                 payload = sorted(files)
             # envelope union: head's entries (carried files) overlaid
-            # with the new commit's, restricted to the payload
+            # with the new commit's, restricted to the payload — same
+            # rule for the record-key and partition-value envelopes
+            payset = set(payload)
             pay_ranges = dict(self._manifest_ranges())
             pay_ranges.update(ranges or {})
-            pay_ranges = {p: r for p, r in pay_ranges.items() if p in set(payload)}
+            pay_ranges = {p: r for p, r in pay_ranges.items() if p in payset}
+            pay_pranges = dict(self._manifest_pranges())
+            pay_pranges.update(pranges or {})
+            pay_pranges = {
+                p: r for p, r in pay_pranges.items() if p in payset
+            }
             with open(tmp, "w") as fh:
                 json.dump(
-                    {"version": v, "files": payload, "ranges": pay_ranges}, fh
+                    {
+                        "version": v,
+                        "files": payload,
+                        "ranges": pay_ranges,
+                        "pranges": pay_pranges,
+                    },
+                    fh,
                 )
             try:
                 try:
@@ -1684,16 +1744,21 @@ class HudiTable:
 
     def _manifest_write_batch(
         self, df: DataFrame
-    ) -> tuple[list[str], dict[str, list]]:
+    ) -> tuple[list[str], dict[str, list], dict[str, list]]:
         """Write a commit's data files under an immutable unique dir and
-        return ``(paths, ranges)`` — never reuses or overwrites a prior
-        commit's files. ``ranges`` maps each file to its record-key
-        ``[min, max, has_null]`` envelope (the file-group statistics
-        behind partial-rewrite upsert/delete — Hudi's file-group
-        pruning); empty when the key dtype doesn't JSON-round-trip with
-        ordering intact (dates/decimals), which simply disables pruning.
-        Cost: one post-write aggregate over the just-written files whose
-        RESULT is k rows (k = files in the commit) — metadata-scale."""
+        return ``(paths, ranges, pranges)`` — never reuses or overwrites
+        a prior commit's files. ``ranges`` maps each file to its
+        record-key ``[min, max, has_null]`` envelope (the file-group
+        statistics behind partial-rewrite upsert/delete — Hudi's
+        file-group pruning); ``pranges`` is the same envelope over the
+        PARTITION column (manifest tables keep it as a data column —
+        no hive dirs), the statistics behind dynamic partition
+        overwrite's drop/carry/rewrite classification. Either is empty
+        when its column's dtype doesn't JSON-round-trip with ordering
+        intact (dates/decimals), which simply disables that pruning
+        dimension. Cost: one post-write aggregate over the just-written
+        files whose RESULT is k rows (k = files in the commit) —
+        metadata-scale."""
         commit_dir = os.path.join(
             self._local_fs_path(), "data", f"commit-{uuid.uuid4().hex[:12]}"
         )
@@ -1704,31 +1769,52 @@ class HudiTable:
             if f.endswith(".parquet")
         ]
         ranges: dict[str, list] = {}
+        pranges: dict[str, list] = {}
         key = self.record_key
-        if (
+        key_ok = (
             key in df.columns
             and df.schema[key].dataType.typeName() in self._RANGE_TYPES
-            and files
-        ):
+        )
+        part = self.partition_field
+        part_ok = bool(
+            part
+            and part in df.columns
+            and df.schema[part].dataType.typeName() in self._RANGE_TYPES
+        )
+        if (key_ok or part_ok) and files:
             from urllib.parse import unquote, urlparse
 
             spark = df.sparkSession
-            stats = (
-                spark.read.parquet(commit_dir)
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(
+            aggs = []
+            if key_ok:
+                aggs += [
                     F.min(key).alias("kmin"),
                     F.max(key).alias("kmax"),
                     F.max(F.col(key).isNull()).alias("knull"),
-                )
+                ]
+            if part_ok:
+                aggs += [
+                    F.min(part).alias("pmin"),
+                    F.max(part).alias("pmax"),
+                    F.max(F.col(part).isNull()).alias("pnull"),
+                ]
+            stats = (
+                spark.read.parquet(commit_dir)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(*aggs)
                 .collect()
             )
+            fileset = set(files)
             for r in stats:
                 p = unquote(urlparse(r["f"]).path)
-                ranges[p] = [r["kmin"], r["kmax"], bool(r["knull"])]
-            # normalization sanity: stats paths must be the listed files
-            ranges = {p: v for p, v in ranges.items() if p in set(files)}
-        return files, ranges
+                # normalization sanity: stats paths must be listed files
+                if p not in fileset:
+                    continue
+                if key_ok:
+                    ranges[p] = [r["kmin"], r["kmax"], bool(r["knull"])]
+                if part_ok:
+                    pranges[p] = [r["pmin"], r["pmax"], bool(r["pnull"])]
+        return files, ranges, pranges
 
     def _manifest_read(
         self,
@@ -1845,8 +1931,8 @@ class HudiTable:
         if self._is_manifest:
             # manifest protocol: write immutable files, publish the list —
             # no directory rename anywhere (object-store-safe)
-            files, ranges = self._manifest_write_batch(df)
-            self._publish_manifest(files, ranges=ranges)
+            files, ranges, pranges = self._manifest_write_batch(df)
+            self._publish_manifest(files, ranges=ranges, pranges=pranges)
             return
         local = self._local_fs_path()
         suffix = uuid.uuid4().hex[:8]
@@ -1866,6 +1952,85 @@ class HudiTable:
         if had_old:
             shutil.rmtree(backup)
 
+    def _manifest_overwrite_partitions(
+        self, df: DataFrame, spark: SparkSession
+    ) -> None:
+        """Dynamic partition overwrite on a MANIFEST table: publish a
+        new manifest version in which the batch's touched partitions
+        are served ONLY by the batch's files. Live files are classified
+        against the touched-partition set via their per-file
+        partition-value envelopes (``pranges``):
+
+        - DISJOINT (no touched value inside [min, max]; null untouched
+          or absent): carried into the new manifest BY REFERENCE —
+          never opened.
+        - PURE-TOUCHED (every value the envelope allows is touched:
+          [v, v] with v touched / all-null with null touched): dropped
+          from the manifest. The files STAY on disk — older manifest
+          versions still reference them (time travel), clean()
+          reclaims them.
+        - anything else (mixed envelope, no envelope — legacy manifest
+          or unsupported partition dtype, or a classification type
+          error): rewritten retaining only rows OUTSIDE the touched
+          partitions.
+
+        Exact: a carried file provably holds no touched-partition row,
+        a dropped file provably holds only touched-partition rows, and
+        the mixed rewrite filters row-by-row; classification
+        uncertainty only ever costs an unnecessary rewrite. Write cost
+        therefore tracks the touched partitions (plus mixed-file
+        rewrites), not the table."""
+        parts, has_null = self._touched_partitions(df)
+        live = self._manifest_files()
+        pranges = self._manifest_pranges()
+        pset = set(parts)
+        carry: list[str] = []
+        drop: list[str] = []
+        mixed: list[str] = []
+        for f in live:
+            env = pranges.get(f)
+            if env is None:
+                mixed.append(f)
+                continue
+            pmin, pmax, pnull = env
+            try:
+                overlap = (
+                    pmin is not None
+                    and any(pmin <= v <= pmax for v in pset)
+                ) or (pnull and has_null)
+                if not overlap:
+                    carry.append(f)
+                    continue
+                nonnull_subset = pmin is None or (
+                    pmin == pmax and pmin in pset
+                )
+                null_subset = (not pnull) or has_null
+                (drop if nonnull_subset and null_subset else mixed).append(f)
+            except TypeError:
+                # envelope/batch partition dtypes don't compare (e.g. a
+                # schema evolution changed the column type): rewrite —
+                # pruning may never fail an overwrite it merely speeds up
+                mixed.append(f)
+        new_files, new_ranges, new_pranges = self._manifest_write_batch(df)
+        if mixed:
+            col = F.col(self.partition_field)
+            not_in = ~col.isin(parts) if parts else F.lit(True)
+            keep = (
+                (col.isNotNull() & not_in)
+                if has_null
+                else (col.isNull() | not_in)
+            )
+            survivors = spark.read.parquet(*mixed).filter(keep)
+            mixed_files, mixed_ranges, mixed_pranges = (
+                self._manifest_write_batch(survivors)
+            )
+            new_files += mixed_files
+            new_ranges.update(mixed_ranges)
+            new_pranges.update(mixed_pranges)
+        self._publish_manifest(
+            carry + new_files, ranges=new_ranges, pranges=new_pranges
+        )
+
     def _rewrite_partitions(self, df: DataFrame, spark: SparkSession) -> None:
         """Dynamic partition overwrite: materialize the merge result to
         staging (the source table is being read), then re-read staging
@@ -1874,10 +2039,10 @@ class HudiTable:
         the final write leaves the live table in its pre-merge state
         (re-running the batch is idempotent by the upsert contract)."""
         if self._is_manifest:
-            raise NotImplementedError(
-                "manifest commit mode is implemented for unpartitioned "
-                "tables; partitioned manifests need per-partition file "
-                "tracking (the Iceberg manifest-list layer) — out of scope"
+            raise AssertionError(
+                "internal: manifest tables never use the hive-layout "
+                "rewrite — mutations route through the file-group paths "
+                "and _manifest_overwrite_partitions"
             )
         local = self._local_fs_path()
         staging = f"{local.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"

@@ -398,6 +398,11 @@ def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs, threshold):
 #   alone a no-op) and a NULL marker for the SAME key — the key must
 #   still die unconditionally (max(ts) alone would silently degrade
 #   this to conditional-at-0)
+# - overwrite: insert_overwrite — on an unpartitioned table the whole
+#   model is replaced by the batch; on a partitioned table only the
+#   partitions the batch touches (p = k % 2) are replaced (dynamic
+#   partition overwrite, both the hive-layout and the manifest
+#   envelope-classified forms)
 _hudi_ops = st.lists(
     st.tuples(
         st.sampled_from(
@@ -409,6 +414,7 @@ _hudi_ops = st.lists(
                 "del_nullts",
                 "del_mixed",
                 "crash_gap",
+                "overwrite",
             ]
         ),
         st.sets(st.integers(0, 4), min_size=1, max_size=3),
@@ -421,22 +427,33 @@ _hudi_ops = st.lists(
 @PROP
 @given(ops=_hudi_ops, compact_at_end=st.booleans(), inline=st.booleans())
 @pytest.mark.parametrize(
-    "table_type,commit_mode",
+    "table_type,commit_mode,partitioned",
     [
-        ("COPY_ON_WRITE", None),
-        ("MERGE_ON_READ", None),
+        ("COPY_ON_WRITE", None, False),
+        ("MERGE_ON_READ", None, False),
         # manifest COW drives the file-group-pruned partial-rewrite
         # upsert/delete paths (per-file key envelopes) through the same
         # random op sequences — any pruning miss diverges from the dict
-        ("COPY_ON_WRITE", "manifest"),
+        ("COPY_ON_WRITE", "manifest", False),
         # manifest MOR drives the envelope-pruned POINT READ's hardest
         # configuration (base file-pruning UNDER a live delta log) plus
         # log-folding compaction against the same sequences
-        ("MERGE_ON_READ", "manifest"),
+        ("MERGE_ON_READ", "manifest", False),
+        # PARTITIONED manifest tables (partition column is a data
+        # column; mutations ride the same file-group paths, overwrite
+        # classifies by partition envelope) — p is derived from the key
+        # so the model needs no extra state; delete markers lack p and
+        # must still kill (global-key merge, not partition-local)
+        ("COPY_ON_WRITE", "manifest", True),
+        ("MERGE_ON_READ", "manifest", True),
+        # hive-layout partitioned COW: dynamic partition overwrite via
+        # staging + directory swap — the oldest partitioned path, now
+        # also driven through the random sequences incl. `overwrite`
+        ("COPY_ON_WRITE", None, True),
     ],
 )
 def test_hudi_table_matches_dict_replay(
-    spark, table_type, commit_mode, ops, compact_at_end, inline
+    spark, table_type, commit_mode, ops, compact_at_end, inline, partitioned
 ):
     import tempfile
 
@@ -462,6 +479,7 @@ def test_hudi_table_matches_dict_replay(
             record_key="id",
             precombine="ts",
             table_type=table_type,
+            partition_field="p" if partitioned else None,
             options=opts,
         )
         model: dict[int, tuple[int, str]] = {}
@@ -473,10 +491,16 @@ def test_hudi_table_matches_dict_replay(
                     ts += 1
                     rows.append((k, ts, f"v{k}_{ts}"))
                     model[k] = (ts, f"v{k}_{ts}")
-                t.upsert(
-                    spark.createDataFrame(rows, "id long, ts long, v string"),
-                    spark,
-                )
+                if partitioned:
+                    batch = spark.createDataFrame(
+                        [(k, s, k % 2, v) for k, s, v in rows],
+                        "id long, ts long, p long, v string",
+                    )
+                else:
+                    batch = spark.createDataFrame(
+                        rows, "id long, ts long, v string"
+                    )
+                t.upsert(batch, spark)
             elif kind == "del_fresh":
                 ts += 1
                 t.delete(
@@ -512,6 +536,27 @@ def test_hudi_table_matches_dict_replay(
                 )
                 for k in keys:
                     model.pop(k, None)
+            elif kind == "overwrite":
+                rows = []
+                for k in sorted(keys):
+                    ts += 1
+                    rows.append((k, ts, f"o{k}_{ts}"))
+                if partitioned:
+                    touched = {k % 2 for k in keys}
+                    for mk in [m for m in model if m % 2 in touched]:
+                        del model[mk]
+                    batch = spark.createDataFrame(
+                        [(k, s, k % 2, v) for k, s, v in rows],
+                        "id long, ts long, p long, v string",
+                    )
+                else:
+                    model.clear()
+                    batch = spark.createDataFrame(
+                        rows, "id long, ts long, v string"
+                    )
+                for k, s, v in rows:
+                    model[k] = (s, v)
+                t.insert_overwrite(batch, spark)
             elif kind == "crash_gap":
                 # the sidecar allocation-crash window: a commit seq was
                 # pre-written to __hudi_seqmax but its parquet append
@@ -547,6 +592,14 @@ def test_hudi_table_matches_dict_replay(
             for r in t.read(spark).select("id", "ts", "v").collect()
         }
         assert got == model
+        if partitioned:
+            # the derived partition value must survive every path
+            # (partial rewrites, log merges, compaction)
+            got_p = {
+                r["id"]: r["p"]
+                for r in t.read(spark).select("id", "p").collect()
+            }
+            assert got_p == {k: k % 2 for k in model}
         # point read: read(keys=...) must equal the model restricted to
         # the probed keys, whatever mix of base files / delta log /
         # envelope pruning currently serves them (key 99 is absent from

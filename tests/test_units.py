@@ -1741,11 +1741,10 @@ def test_manifest_version_time_travel(spark, tmp_path):
     assert [r["v"] for r in m.read(spark).collect()] == ["a2"]
 
 
-def test_manifest_partitioned_refuses(spark, tmp_path):
-    """Partitioned manifest tables are explicitly out of scope — the
-    write must refuse, not silently fall back to directory renames."""
-    import pytest as _pytest
-
+def test_manifest_partitioned_upsert_merges(spark, tmp_path):
+    """Partitioned manifest tables mutate through the file-group paths
+    (the partition column is a data column — no hive-layout renames);
+    the basic upsert latest-wins contract must hold there."""
     from hudi_spark_utilities_plus_spark.lake import HudiTable
 
     t = HudiTable(
@@ -1758,11 +1757,19 @@ def test_manifest_partitioned_refuses(spark, tmp_path):
     t.bulk_insert(
         spark.createDataFrame([(1, 1, "a", "d1")], "id int, ts int, v string, dt string")
     )
-    with _pytest.raises(NotImplementedError, match="manifest"):
-        t.upsert(
-            spark.createDataFrame([(1, 2, "a2", "d1")], "id int, ts int, v string, dt string"),
-            spark,
-        )
+    t.upsert(
+        spark.createDataFrame([(1, 2, "a2", "d1"), (2, 1, "b", "d2")],
+                              "id int, ts int, v string, dt string"),
+        spark,
+    )
+    # stale redelivery loses
+    t.upsert(
+        spark.createDataFrame([(1, 0, "stale", "d1")], "id int, ts int, v string, dt string"),
+        spark,
+    )
+    assert sorted(
+        (r["id"], r["ts"], r["v"], r["dt"]) for r in t.read(spark).collect()
+    ) == [(1, 2, "a2", "d1"), (2, 1, "b", "d2")]
 
 
 def test_manifest_clean_reclaims_unreferenced_files(spark, tmp_path):
@@ -2841,3 +2848,182 @@ def test_point_read_pushes_in_filter_on_plain_tables(spark, tmp_path):
     # all-NULL probe: selects nothing, schema intact
     ndf = t.read(spark, keys=spark.createDataFrame([(None,)], "id int"))
     assert ndf.count() == 0 and ndf.columns == df.columns
+
+
+def _pm_table(tmp_path, name, **kw):
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    return HudiTable(
+        path=str(tmp_path / name),
+        record_key="id",
+        precombine="ver",
+        partition_field="p",
+        options={"hoodie.commit.mode": "manifest"},
+        **kw,
+    )
+
+
+def test_manifest_partitioned_upsert_delete_filegroup(spark, tmp_path):
+    """Partitioned manifest tables route through the SAME key-envelope
+    file-group paths as unpartitioned ones (the partition column is a
+    data column, and the latest-wins merge is GLOBAL-key, so partition
+    pruning of upsert/delete candidates would be unsound — a key may
+    move partitions): a point-key upsert rewrites only the file whose
+    key envelope matches, carries the rest by reference, and records
+    partition envelopes for every file."""
+    import os
+
+    t = _pm_table(tmp_path, "pmud")
+    df = spark.createDataFrame(
+        [(i, 1, "a" if i < 50 else "b", f"v{i}") for i in range(100)],
+        "id int, ver int, p string, v string",
+    )
+    t.bulk_insert(df.repartition(2, "p"))
+    pr = t._manifest_pranges()
+    assert sorted(e[:2] for e in pr.values()) == [["a", "a"], ["b", "b"]]
+    b_file = next(f for f, e in pr.items() if e[0] == "b")
+    mtime = os.path.getmtime(b_file)
+    # key 7 lives in the 'a' file (ids 0-49): only that file rewritten
+    t.upsert(
+        spark.createDataFrame(
+            [(7, 2, "a", "upd")], "id int, ver int, p string, v string"
+        )
+    )
+    assert os.path.getmtime(b_file) == mtime
+    assert b_file in t._manifest_files()
+    r = t.read(spark)
+    assert r.count() == 100
+    assert r.filter("id = 7").collect()[0]["v"] == "upd"
+    # pranges carried forward across the partial rewrite
+    assert t._manifest_pranges()[b_file][:2] == ["b", "b"]
+    t.delete(spark.createDataFrame([(60, 9)], "id int, ver int"))
+    assert os.path.getmtime(b_file) != mtime or b_file not in t._manifest_files()
+    got = t.read(spark)
+    assert got.count() == 99 and got.filter("id = 60").count() == 0
+
+
+def test_manifest_partitioned_dynamic_overwrite(spark, tmp_path):
+    """insert_overwrite on a partitioned manifest table classifies live
+    files by partition envelope: PURE-TOUCHED dropped from the manifest
+    (still on disk for time travel until clean()), DISJOINT carried by
+    reference, MIXED rewritten to only its untouched-partition rows —
+    and the NULL partition routes through the same classes."""
+    import os
+
+    t = _pm_table(tmp_path, "pmow")
+    schema = "id int, ver int, p string, v string"
+    # commit 1: an a-pure and a b-pure file
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "a" if i < 10 else "b", f"v{i}") for i in range(20)],
+            schema,
+        ).repartition(2, "p")
+    )
+    # commit 2: one MIXED file (a + c rows) and one NULL-pure file
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(100, 1, "a", "ma"), (101, 1, "c", "mc")], schema
+        ).coalesce(1)
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(200, 1, None, "nul")], schema).coalesce(1)
+    )
+    pr = t._manifest_pranges()
+    by_env = {tuple(e[:2]) + (e[2],): f for f, e in pr.items()}
+    a_pure = by_env[("a", "a", False)]
+    b_pure = by_env[("b", "b", False)]
+    mixed = by_env[("a", "c", False)]
+    null_pure = by_env[(None, None, True)]
+    keep_mtimes = {f: os.path.getmtime(f) for f in (b_pure, null_pure)}
+    v_before = t._manifest_versions()[-1]
+    t.insert_overwrite(
+        spark.createDataFrame([(1000, 1, "a", "fresh")], schema)
+    )
+    live = set(t._manifest_files())
+    assert a_pure not in live and mixed not in live
+    assert os.path.exists(a_pure), "dropped file must stay for time travel"
+    assert {f: os.path.getmtime(f) for f in keep_mtimes} == keep_mtimes
+    assert b_pure in live and null_pure in live
+    r = t.read(spark)
+    assert sorted(
+        (x["id"], x["v"]) for x in r.filter("p = 'a'").collect()
+    ) == [(1000, "fresh")]
+    assert r.filter("p = 'b'").count() == 10
+    assert [(x["id"], x["v"]) for x in r.filter("p = 'c'").collect()] == [
+        (101, "mc")
+    ]
+    assert r.filter("p is null").count() == 1
+    # pre-overwrite state stays readable at the old version
+    assert (
+        t.read_manifest_version(spark, v_before).filter("p = 'a'").count()
+        == 11
+    )
+    # NULL-partition overwrite: null-pure dropped, everything else carried
+    live_before = set(t._manifest_files())
+    t.insert_overwrite(
+        spark.createDataFrame([(300, 1, None, "nul2")], schema)
+    )
+    assert null_pure not in set(t._manifest_files())
+    assert live_before - set(t._manifest_files()) == {null_pure}
+    r2 = t.read(spark)
+    assert [(x["id"], x["v"]) for x in r2.filter("p is null").collect()] == [
+        (300, "nul2")
+    ]
+    # clean reclaims the dropped files
+    t.clean(keep_last=1)
+    assert not os.path.exists(a_pure) and not os.path.exists(null_pure)
+
+
+def test_manifest_partitioned_overwrite_without_pranges(spark, tmp_path):
+    """Legacy manifests (no partition envelopes) degrade to rewriting
+    every file — dynamic overwrite stays EXACT, just unpruned."""
+    t = _pm_table(tmp_path, "pmleg")
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", "va"), (2, 1, "b", "vb")], schema
+        ).repartition(2, "p")
+    )
+    # simulate a pre-pranges manifest
+    import json, os
+
+    mdir = t._manifest_dir
+    latest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, latest)) as fh:
+        m = json.load(fh)
+    m.pop("pranges", None)
+    with open(os.path.join(mdir, latest), "w") as fh:
+        json.dump(m, fh)
+    t.insert_overwrite(spark.createDataFrame([(10, 1, "a", "new")], schema))
+    r = t.read(spark)
+    assert sorted((x["id"], x["p"], x["v"]) for x in r.collect()) == [
+        (2, "b", "vb"),
+        (10, "a", "new"),
+    ]
+
+
+def test_manifest_partitioned_mor_flow(spark, tmp_path):
+    """MOR + manifest + partitioned: log upserts merge over the base,
+    compact folds, insert_overwrite compacts-then-replaces only the
+    touched partition, and point reads still envelope-prune."""
+    t = _pm_table(tmp_path, "pmmor", table_type="MERGE_ON_READ")
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "a" if i < 5 else "b", f"v{i}") for i in range(10)],
+            schema,
+        ).repartition(2, "p")
+    )
+    t.upsert(spark.createDataFrame([(3, 2, "a", "upd")], schema))
+    r = t.read(spark)
+    assert r.count() == 10 and r.filter("id = 3").collect()[0]["v"] == "upd"
+    t.delete(spark.createDataFrame([(4,)], "id int"))
+    t.compact(spark)
+    assert t.read(spark).count() == 9
+    t.insert_overwrite(spark.createDataFrame([(100, 1, "a", "x")], schema))
+    r2 = t.read(spark)
+    assert [x["id"] for x in r2.filter("p = 'a'").collect()] == [100]
+    assert r2.filter("p = 'b'").count() == 5
+    t.upsert(spark.createDataFrame([(100, 2, "a", "y")], schema))
+    pt = t.read(spark, keys=spark.createDataFrame([(100,)], "id int"))
+    assert [(x["id"], x["v"]) for x in pt.collect()] == [(100, "y")]
