@@ -217,6 +217,7 @@ class HudiTable:
         as_of_seq: int | None = None,
         *,
         keys: DataFrame | None = None,
+        partitions: list | None = None,
         _keys: DataFrame | None = None,
     ) -> DataFrame:
         """Current table state. COPY_ON_WRITE: the base files are the
@@ -254,6 +255,22 @@ class HudiTable:
         same hook for internal callers whose EXACTNESS argument spans
         two reads (read_cdc's before/after diff: every commit after a
         valid cursor still lives in the log).
+
+        ``partitions`` (partition-scoped read): a list of partition
+        VALUES (``None`` selects the null partition); the read returns
+        only rows whose CURRENT partition value is in the list. On
+        hive-layout tables the filter prunes partition directories via
+        Catalyst; on manifest tables the base file list is pruned
+        against the per-file partition-value envelopes — the dominant
+        100 TB read pattern opens one partition's file groups, not the
+        table. MOR subtlety: a base file outside the requested
+        partitions may still hold the WINNING version of a key that
+        also has a STALE log entry — dropping it would let the stale
+        entry win the merge — so under a live delta log a base file is
+        only pruned when its key envelope is ALSO disjoint from the
+        log's key set (the log-guard), and the partition filter is
+        applied AFTER the merge. Composes with ``keys``/``_keys``
+        (both prunings intersect; each is independently sound).
         """
         if mode not in ("snapshot", "read_optimized"):
             raise ValueError(
@@ -295,6 +312,26 @@ class HudiTable:
                         if vals
                         else F.lit(False)
                     )
+        pfilter = None
+        part_spec = None
+        if partitions is not None:
+            if not self.partition_field:
+                raise ValueError(
+                    "partitions= requires a table with a partition_field"
+                )
+            pvals = list(partitions)
+            nonnull = [v for v in pvals if v is not None]
+            want_null = len(nonnull) < len(pvals)
+            pcol = F.col(self.partition_field)
+            if nonnull and want_null:
+                pfilter = pcol.isin(nonnull) | pcol.isNull()
+            elif nonnull:
+                pfilter = pcol.isin(nonnull)
+            elif want_null:
+                pfilter = pcol.isNull()
+            else:
+                pfilter = F.lit(False)
+            part_spec = (nonnull, want_null)
         if as_of_seq is not None:
             if not self.is_mor:
                 raise ValueError(
@@ -309,8 +346,31 @@ class HudiTable:
                     f"(history before seq {self._seq_base()} was folded "
                     "into the base files)"
                 )
+        # the log-guard: under a live merging delta log, a base file
+        # outside the requested partitions may hold the WINNING version
+        # of a key with a STALE log entry (bulk_insert routes through
+        # the log, so out-of-order precombine values reach it) — prune
+        # such a file and the stale entry wins the merge unopposed.
+        # Guarding with the log's key set keeps every file that could
+        # influence a merge outcome; the guard key set is delta-sized.
+        guard = None
+        if (
+            part_spec is not None
+            and self._is_manifest
+            and mode == "snapshot"
+            and self.is_mor
+            and self._has_log(spark)
+        ):
+            guard = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(self._log_path)
+                .select(self.record_key)
+                .distinct()
+            )
         base = (
-            self._manifest_read(spark, keys=_keys)
+            self._manifest_read(
+                spark, keys=_keys, part_spec=part_spec, guard_keys=guard
+            )
             if self._is_manifest
             else spark.read.parquet(self.path)
         )
@@ -321,7 +381,10 @@ class HudiTable:
         if mode == "read_optimized" or not (
             self.is_mor and self._has_log(spark)
         ):
-            return base
+            # no log merges here, so the partition filter is a plain
+            # selection — it reaches the parquet scan (and on
+            # hive-layout tables prunes partition directories)
+            return base.filter(pfilter) if pfilter is not None else base
         # mergeSchema: delete markers carry fewer columns than upsert
         # entries; without it parquet samples ONE file's schema and
         # upsert rows can lose their data/precombine columns to nulls
@@ -352,11 +415,17 @@ class HudiTable:
             F.col(self.precombine).desc_nulls_last(),
             F.col("__hudi_seq").desc(),
         )
-        return (
+        out = (
             live.withColumn("__hudi_rn", F.row_number().over(w))
             .filter((F.col("__hudi_rn") == 1) & (F.col("__hudi_op") != "delete"))
             .drop("__hudi_rn", "__hudi_op", "__hudi_seq", "__hudi_barrier")
         )
+        if pfilter is not None:
+            # AFTER the merge: a row's partition membership is decided
+            # by its WINNING version (a key may have moved partitions
+            # via the log), so pre-merge row filtering would be unsound
+            out = out.filter(pfilter)
+        return out
 
     def latest_commit_seq(self, spark: SparkSession) -> int:
         """Highest delta-commit seq in the log (-1 = no log commits) —
@@ -1821,29 +1890,62 @@ class HudiTable:
         spark: SparkSession,
         version: int | None = None,
         keys: DataFrame | None = None,
+        part_spec: tuple[list, bool] | None = None,
+        guard_keys: DataFrame | None = None,
     ) -> DataFrame:
-        """Scan the manifest's file list. With ``keys`` (live version
-        only), the list is first FILE-pruned against the per-file key
-        envelopes — a point lookup opens only the files that may hold a
-        probed key. Callers still semi-join rows to the key set; the
-        pruning is exact on the same envelope argument as the
-        partial-rewrite paths (an untouched file provably holds none of
-        the keys, so dropping it from the scan drops only rows the
-        semi-join would discard)."""
+        """Scan the manifest's file list (live version only for every
+        pruning form below). With ``keys``, the list is FILE-pruned
+        against the per-file key envelopes — a point lookup opens only
+        the files that may hold a probed key; callers still semi-join
+        rows to the key set, so the pruning is exact on the same
+        envelope argument as the partial-rewrite paths. With
+        ``part_spec`` = (non-null values, want_null), files whose
+        partition-value envelope is disjoint from the requested set are
+        pruned — EXCEPT files whose key envelope touches
+        ``guard_keys`` (the MOR log-guard: they may hold the winning
+        version of a logged key and must stay in the merge). Both
+        prunings intersect; each drops only files that cannot
+        contribute to the final result."""
         files = self._manifest_files(version)
         if not files:
             raise FileNotFoundError(f"no manifest for table {self.path}")
+        scan = list(files)
+        if part_spec is not None and version is None:
+            nonnull, want_null = part_spec
+            pr = self._manifest_pranges()
+            must_keep: set[str] = set()
+            if guard_keys is not None:
+                must_keep = set(
+                    self._manifest_split_touched(guard_keys, spark)[0]
+                )
+            kept = []
+            for f in scan:
+                env = pr.get(f)
+                if env is None or f in must_keep:
+                    kept.append(f)
+                    continue
+                pmin, pmax, pnull = env
+                try:
+                    overlap = (
+                        pmin is not None
+                        and any(pmin <= v <= pmax for v in nonnull)
+                    ) or (pnull and want_null)
+                except TypeError:
+                    overlap = True  # incomparable dtypes: never prune
+                if overlap:
+                    kept.append(f)
+            scan = kept
         if keys is not None and version is None:
             touched, untouched = self._manifest_split_touched(keys, spark)
             if untouched:
-                if not touched:
-                    # no file can hold any probed key: zero-row frame
-                    # via the SAME all-files scan (identical schema
-                    # resolution to the unpruned path; limit 0 means
-                    # footer-only cost)
-                    return spark.read.parquet(*files).limit(0)
-                return spark.read.parquet(*touched)
-        return spark.read.parquet(*files)
+                tset = set(touched)
+                scan = [f for f in scan if f in tset]
+        if len(scan) < len(files) and not scan:
+            # nothing can hold a requested row: zero-row frame via the
+            # SAME all-files scan (identical schema resolution to the
+            # unpruned path; limit 0 means footer-only cost)
+            return spark.read.parquet(*files).limit(0)
+        return spark.read.parquet(*scan)
 
     def read_manifest_version(self, spark: SparkSession, version: int) -> DataFrame:
         """COW time travel under the manifest protocol: the table exactly

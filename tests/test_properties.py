@@ -600,6 +600,19 @@ def test_hudi_table_matches_dict_replay(
                 for r in t.read(spark).select("id", "p").collect()
             }
             assert got_p == {k: k % 2 for k in model}
+            # partition-scoped read == model restricted to the even
+            # partition, whatever mix of base files / stale or fresh
+            # log entries / envelope pruning currently serves it (the
+            # MOR log-guard's random differential)
+            got_ps = {
+                r["id"]: (r["ts"], r["v"])
+                for r in t.read(spark, partitions=[0])
+                .select("id", "ts", "v")
+                .collect()
+            }
+            assert got_ps == {
+                k: val for k, val in model.items() if k % 2 == 0
+            }
         # point read: read(keys=...) must equal the model restricted to
         # the probed keys, whatever mix of base files / delta log /
         # envelope pruning currently serves them (key 99 is absent from

@@ -3027,3 +3027,108 @@ def test_manifest_partitioned_mor_flow(spark, tmp_path):
     t.upsert(spark.createDataFrame([(100, 2, "a", "y")], schema))
     pt = t.read(spark, keys=spark.createDataFrame([(100,)], "id int"))
     assert [(x["id"], x["v"]) for x in pt.collect()] == [(100, "y")]
+
+
+def test_partition_scoped_read_prunes_manifest_files(spark, tmp_path):
+    """read(partitions=[...]) on a partitioned manifest COW table must
+    scan ONLY the files whose partition envelope overlaps the request,
+    handle the null partition, and return zero rows for []."""
+    import os
+
+    t = _pm_table(tmp_path, "psread")
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "a" if i < 10 else "b", f"v{i}") for i in range(20)],
+            schema,
+        ).repartition(2, "p")
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(100, 1, None, "nul")], schema).coalesce(1)
+    )
+    pr = t._manifest_pranges()
+    a_files = {f for f, e in pr.items() if e[0] == "a" == e[1]}
+    df = t.read(spark, partitions=["a"])
+    assert df.count() == 10
+    scanned = {
+        f.replace("file://", "").replace("file:", "") for f in df.inputFiles()
+    }
+    assert scanned == a_files, "partition read scanned non-a files"
+    ndf = t.read(spark, partitions=[None])
+    assert [(r["id"], r["v"]) for r in ndf.collect()] == [(100, "nul")]
+    both = t.read(spark, partitions=["b", None])
+    assert both.count() == 11
+    assert t.read(spark, partitions=[]).count() == 0
+    import pytest as _pytest
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    plain = HudiTable(
+        path=str(tmp_path / "noplain"), record_key="id", precombine="ver"
+    )
+    plain.bulk_insert(spark.createDataFrame([(1, 1, "x")], "id int, ver int, v string"))
+    with _pytest.raises(ValueError, match="partition_field"):
+        plain.read(spark, partitions=["a"])
+
+
+def test_partition_scoped_read_stale_log_guard(spark, tmp_path):
+    """THE soundness case for MOR partition pruning: the base holds the
+    WINNING version of a key (newer precombine) in partition 'a', the
+    delta log holds a STALE entry claiming partition 'b'. A read scoped
+    to 'b' that pruned the 'a' base file would let the stale log row
+    win the merge unopposed and resurrect it — the log-guard must keep
+    that file in the merge, and the post-merge filter drops the key."""
+    t = _pm_table(tmp_path, "psguard", table_type="MERGE_ON_READ")
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 5, "a", "winner"), (2, 1, "b", "vb")], schema
+        ).repartition(2, "p")
+    )
+    # stale upsert: older precombine, different partition — must LOSE
+    t.upsert(spark.createDataFrame([(1, 3, "b", "stale")], schema))
+    got_b = {
+        r["id"]: r["v"] for r in t.read(spark, partitions=["b"]).collect()
+    }
+    assert got_b == {2: "vb"}, f"stale log row resurrected: {got_b}"
+    got_a = {
+        r["id"]: (r["ver"], r["v"])
+        for r in t.read(spark, partitions=["a"]).collect()
+    }
+    assert got_a == {1: (5, "winner")}
+    # a key that genuinely MOVED partitions via the log appears only
+    # in its new partition
+    t.upsert(spark.createDataFrame([(2, 9, "a", "moved")], schema))
+    assert t.read(spark, partitions=["b"]).count() == 0
+    got_a2 = {
+        r["id"]: r["v"] for r in t.read(spark, partitions=["a"]).collect()
+    }
+    assert got_a2 == {1: "winner", 2: "moved"}
+
+
+def test_partition_scoped_read_hive_layout_prunes_dirs(spark, tmp_path):
+    """On hive-layout tables the partitions= filter is a plain
+    partition-column predicate — Catalyst prunes partition
+    directories (inputFiles confined to the requested dir)."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "pshive"),
+        record_key="id",
+        precombine="ver",
+        partition_field="p",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", "va"), (2, 1, "b", "vb")],
+            "id int, ver int, p string, v string",
+        )
+    )
+    df = t.read(spark, partitions=["a"])
+    assert [(r["id"], r["v"]) for r in df.collect()] == [(1, "va")]
+    # the predicate must reach the scan as a PARTITION filter (dir
+    # pruning at planning time — inputFiles() is not filter-aware)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*p#\d+ = a", plan), plan
