@@ -3132,3 +3132,57 @@ def test_partition_scoped_read_hive_layout_prunes_dirs(spark, tmp_path):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*p#\d+ = a", plan), plan
+
+
+def test_lock_serializes_overwrite_vs_upsert_on_partitioned_manifest(
+    spark, tmp_path
+):
+    """A racing partition overwrite and a key upsert on a PARTITIONED
+    manifest table must serialize under the lock provider: the final
+    state equals ONE of the two serial orders (the ops don't commute),
+    the untouched partition survives either way, and both commits land
+    (no silently dropped manifest)."""
+    import threading as th
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "owrace"),
+        record_key="id",
+        precombine="ver",
+        partition_field="p",
+        options={"hoodie.commit.mode": "manifest", **_LOCK_OPTS},
+    )
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", "base"), (2, 1, "b", "vb")], schema
+        ).repartition(2, "p")
+    )
+    v0 = t._manifest_versions()[-1]
+    barrier = th.Barrier(2)
+
+    def up() -> None:
+        df = spark.createDataFrame([(1, 5, "a", "upd")], schema)
+        barrier.wait()
+        t.upsert(df, spark)
+
+    def ow() -> None:
+        df = spark.createDataFrame([(9, 1, "a", "ow")], schema)
+        barrier.wait()
+        t.insert_overwrite(df, spark)
+
+    threads = [th.Thread(target=up), th.Thread(target=ow)]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join(timeout=180)
+    got = {
+        r["id"]: (r["p"], r["v"]) for r in t.read(spark).collect()
+    }
+    serial_up_then_ow = {9: ("a", "ow"), 2: ("b", "vb")}
+    serial_ow_then_up = {9: ("a", "ow"), 1: ("a", "upd"), 2: ("b", "vb")}
+    assert got in (serial_up_then_ow, serial_ow_then_up), got
+    # both commits published a manifest version; no lock leaked
+    assert t._manifest_versions()[-1] == v0 + 2
+    assert not os.path.exists(t.path + "__hudi_lock"), "lock leaked"
