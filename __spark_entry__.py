@@ -36,36 +36,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order. Round-11 window: COMPUTED by tools/ledger.py at the
-# committed tree (65 ids need attention: 60 computed-stale + 5
-# never-checked; window holds 50, so 15 spill). Head ordering per
-# VERDICT r10 item 1: the two r10 spills (mm_features, mm_frame_sample)
-# first, then the 13 hudi ids re-stained by the __hudi_seqmax sidecar
-# fix in lake.py, then the two NEW ids (hudi_rectify_sizes,
-# binlog_purge_recovery — VERDICT item 4's earmarked budget), then
-# stream_stateful (the one other r9-row stale id), then the riskiest
-# r10-row stale ids (asof.py API change -> join_asof; streaming/cdc.py
-# audit rework + sources/standin.py -> the demux/binlog/scan family;
-# materialize() call directly inside the loop -> dedup_embedding_semantic,
-# dedup_components), then the rest of the r10-row cohort alphabetically.
-# The 15 spills (mm_audio_energy, mm_resize, ngram_bigrams,
-# pack_token_budget, pii_scrub, quality_model_score, sample_hash_docs,
-# split_train_val, text_quality, text_repetition, tfidf_topterms,
-# token_counts, win_ntile, win_range_between, word_freq) all have
-# exactly ONE r11-changed dependency — the materialize.py commit
-# fdb0a06, which only ADDS a warning log on the
-# checkpoint-dir-downgrade path and cannot change any returned frame —
-# they head the r12 window (ngram_bigrams / mm_resize /
-# mm_audio_energy were displaced by the 3rd/4th/5th new ids).
-# join_asof_nearest is not computed-stale (its nearest merge has no
-# asof.py dependency, same as r10).
+# in dict order. Round-12 window (the VERDICT r11 ROTATION round),
+# COMPUTED by tools/ledger.py at the committed tree: 1 never-checked
+# (hudi_partition_overwrite — the r11-earmarked new id, the round's
+# only registry growth) + the 15 r10-row spills (all carrying exactly
+# the warning-only materialize.py fdb0a06 stain) + the 24 ids
+# re-stained by this round's fixes (lake.py: base-duplicate guard for
+# partition-scoped MOR reads + key_unique manifest claim + lock
+# ownership tokens + filesystem-scope docs; streaming/cdc.py:
+# persist-inside-try; sources/standin.py: count-offset retirement —
+# every one of the 24 has lake.py in its file-level closure, so the
+# cdc/standin dependents cost no extra slots) + 10 of the 26 r5-row
+# ids alphabetically (the remaining 16 r5 + 33 r6 spill to r13, which
+# per VERDICT r11 item 1 is the second half of the two-round
+# old-cohort clear: 1+15+24 mandatory entries left only 10 free
+# slots — the arithmetic is in SURVEY §13).
 _CHECK_ORDER = [
-    # r10's two documented spills — head of window per VERDICT r10
-    "mm_features",
-    "mm_frame_sample",
-    # the 13 hudi ids re-stained by the lake.py _next_seq sidecar fix
+    # never driver-checked: the r11-earmarked partitioned-manifest
+    # dynamic-overwrite id (carry/drop/rewrite classification pinned
+    # physically — mtime pins, manifest absence, survivor-row exactness)
+    "hudi_partition_overwrite",
+    # the 15 r10-row spills (single warning-only materialize.py stain)
+    "mm_audio_energy",
+    "mm_resize",
+    "ngram_bigrams",
+    "pack_token_budget",
+    "pii_scrub",
+    "quality_model_score",
+    "sample_hash_docs",
+    "split_train_val",
+    "text_quality",
+    "text_repetition",
+    "tfidf_topterms",
+    "token_counts",
+    "win_ntile",
+    "win_range_between",
+    "word_freq",
+    # the 24 ids re-stained by the r12 lake/cdc/standin fixes
+    "binlog_purge_recovery",
+    "binlog_stream_scan",
+    "es_scan",
     "hudi_cdc_read",
+    "hudi_clean_reclaim",
     "hudi_cluster_read",
+    "hudi_filegroup_prune",
     "hudi_hive_sync_read",
     "hudi_incremental_read",
     "hudi_insert_overwrite",
@@ -73,64 +87,33 @@ _CHECK_ORDER = [
     "hudi_mor_read",
     "hudi_mor_ro_read",
     "hudi_partitioned_upsert",
+    "hudi_point_read",
+    "hudi_rectify_sizes",
     "hudi_restore_read",
     "hudi_schema_evolution",
     "hudi_time_travel",
     "hudi_upsert",
-    # never driver-checked (new this round)
-    "hudi_rectify_sizes",
-    "binlog_purge_recovery",
-    "hudi_clean_reclaim",
-    # 4th new id (still inside VERDICT item 4's <=5 budget): file-group
-    # pruning on the manifest protocol — partial-rewrite upsert/delete
-    # via per-file record-key envelopes (lake.py, late-r11)
-    "hudi_filegroup_prune",
-    # 5th new id (closes VERDICT item 4's <=5 budget): the read-side
-    # dual — envelope-pruned point reads via read(keys=...) (lake.py)
-    "hudi_point_read",
-    # last r9-row stale id
-    "stream_stateful",
-    # riskiest r10-row stale: asof API change; cdc/standin rework path
-    "join_asof",
-    "binlog_stream_scan",
-    "stream_demux",
-    "stream_demux_transform",
-    "stream_demux_recovery",
-    "es_scan",
     "mongo_scan",
-    "dedup_embedding_semantic",
-    "dedup_components",
-    # remaining r10-row stale cohort, alphabetical
-    "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "chunk_documents",
-    "contamination_check",
-    "corpus_filter_funnel",
-    "dedup_containment",
-    "dedup_editdistance",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_quantize",
-    "embedding_similar_pairs",
-    "embedding_similar_pairs_lsh",
-    "graph_triangle_count",
-    "keyword_extract",
-    "lang_id",
-    "mixture_interleave",
+    "stream_demux",
+    "stream_demux_recovery",
+    "stream_demux_transform",
+    # r5-cohort rotation, oldest rows in the registry, alphabetical
+    "dedup_latest_wins",
+    "filter_eq",
+    "flatten_struct",
+    "join_broadcast",
+    "join_bucketed",
+    "join_inner",
+    "join_left",
+    "join_nullsafe",
+    "join_range",
+    "join_right",
     # ---- window edge: position 50 ----
-    # (ngram_bigrams, mm_resize, then mm_audio_energy displaced to r12
-    # by the 3rd/4th/5th new ids hudi_clean_reclaim /
-    # hudi_filegroup_prune / hudi_point_read; all three sat at the
-    # alphabetical tail of the r10-row stale cohort and share the same
-    # single stain — the warning-only materialize.py commit fdb0a06
-    # (verified via tools/ledger.py --explain) — they join the 12
-    # warning-only spills at the head of the r12 window)
-    "mm_audio_energy",
-    "mm_resize",
+    # r5 spill to r13: join_semi, json_funcs, math_funcs, null_funcs,
+    # project_expr, scan_parquet, set_union, sort_limit_topk,
+    # str_funcs, stream_recovery, struct_access, subquery_in,
+    # tpch_q12_shape, transform_sql, win_lead, win_rank — then the 33
+    # r6-row ids (agg_cube ... win_running_sum)
     # anything not listed appends in registration order (see _ordered)
 ]
 

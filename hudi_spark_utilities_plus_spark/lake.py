@@ -128,12 +128,94 @@ def merge_latest_wins(
     )
 
 
+def _key_envelopes_disjoint(ranges: dict[str, list], files: list[str]) -> bool:
+    """Driver-side PROOF that no record key can span two of ``files``:
+    every file has a key envelope, at most one carries nulls, and the
+    [min, max] intervals are pairwise disjoint. Sufficient, not
+    necessary (a merged rewrite is key-unique even with overlapping
+    envelopes — those paths assert key_unique semantically instead);
+    used where the write path has no semantic claim, e.g. a
+    range-clustered genesis bulk_insert. Metadata-scale: O(F log F)
+    over file counts, no data read."""
+    if not files or any(f not in ranges for f in files):
+        return False
+    nulls = 0
+    ivals = []
+    for f in files:
+        kmin, kmax, knull = ranges[f]
+        nulls += bool(knull)
+        if kmin is not None:
+            ivals.append((kmin, kmax))
+    if nulls > 1:
+        return False
+    try:
+        ivals.sort()
+        return all(
+            ivals[i][1] < ivals[i + 1][0] for i in range(len(ivals) - 1)
+        )
+    except TypeError:
+        return False
+
+
+def _envelope_groups_disjoint(
+    group_a: list[list], group_b: list[list]
+) -> bool:
+    """True when no record key can appear in BOTH envelope groups: no
+    interval of ``group_a`` overlaps one of ``group_b`` and at most one
+    GROUP carries nulls (within-group overlap is fine — callers pair
+    this with a within-group uniqueness argument). Envelopes are
+    [min, max, has_null] lists; an unknown envelope never reaches here
+    (callers return False first)."""
+    a_null = any(e[2] for e in group_a)
+    b_null = any(e[2] for e in group_b)
+    if a_null and b_null:
+        return False
+    try:
+        import bisect
+
+        # group_b's intervals may overlap each other; collapse them into
+        # a sorted disjoint list so each group_a probe is one bisect
+        merged: list[list] = []
+        for lo, hi in sorted((e[0], e[1]) for e in group_b if e[0] is not None):
+            if merged and lo <= merged[-1][1]:
+                if hi > merged[-1][1]:
+                    merged[-1][1] = hi
+            else:
+                merged.append([lo, hi])
+        starts = [iv[0] for iv in merged]
+        for e in group_a:
+            if e[0] is None:
+                continue
+            i = bisect.bisect_right(starts, e[1]) - 1
+            if i >= 0 and merged[i][1] >= e[0]:
+                return False
+        return True
+    except TypeError:
+        return False
+
+
 @dataclass
 class HudiTable:
     """A keyed, upsertable, optionally partitioned lake table.
 
     Parquet-backed COPY_ON_WRITE implementation of the write semantics
     the reference delegates to ``format("hudi")``.
+
+    FILESYSTEM SCOPE (deployment note): two sidecar mechanisms require
+    a LOCAL (or NFS-like POSIX) table path and degrade — never break —
+    elsewhere. (1) The ``__hudi_seqmax`` seq-allocation sidecar: on a
+    non-local path ``_read_seqmax`` returns None and every MOR append
+    falls back to scanning the delta log since the last compaction for
+    the max seq — O(log) per write instead of O(1), the exact cost the
+    120-commit probe condemned, so schedule compaction accordingly or
+    keep MOR tables on local paths. (2) The filesystem lock provider
+    (``hoodie.write.lock.provider``) needs atomic ``O_CREAT|O_EXCL``
+    exclusive create (and rename) — local filesystems and NFSv4+; on
+    object stores it raises at lock-path resolution rather than
+    pretending. The manifest commit mode's conditional-put is the
+    object-store-safe concurrency story; the rename-based commit paths
+    carry the same local-only trust boundary and guard via
+    ``_local_fs_path``.
     """
 
     path: str
@@ -264,13 +346,19 @@ class HudiTable:
         against the per-file partition-value envelopes — the dominant
         100 TB read pattern opens one partition's file groups, not the
         table. MOR subtlety: a base file outside the requested
-        partitions may still hold the WINNING version of a key that
-        also has a STALE log entry — dropping it would let the stale
-        entry win the merge — so under a live delta log a base file is
-        only pruned when its key envelope is ALSO disjoint from the
-        log's key set (the log-guard), and the partition filter is
-        applied AFTER the merge. Composes with ``keys``/``_keys``
-        (both prunings intersect; each is independently sound).
+        partitions may still hold the WINNING version of a key whose
+        stale duplicate survives the pruning — via a STALE log entry,
+        or via a duplicate base row (bulk_insert appends without index
+        lookup, so a genesis batch can land key k's winner in partition
+        'a' and a stale copy in partition 'b') — and dropping it would
+        let the stale row win the merge. So under a live delta log a
+        base file is only pruned when its key envelope is disjoint from
+        the log's key set (the log-guard) AND, unless the manifest's
+        ``key_unique`` claim rules base duplicates out, from every kept
+        file's key envelope (_base_duplicate_guard); the partition
+        filter is applied AFTER the merge. Composes with
+        ``keys``/``_keys`` (both prunings intersect; each is
+        independently sound).
         """
         if mode not in ("snapshot", "read_optimized"):
             raise ValueError(
@@ -517,9 +605,17 @@ class HudiTable:
             files, ranges, pranges = self._manifest_write_batch(df)
             # append commit: the head list is merged INSIDE the
             # conditional-put retry loop (a stale-head retry would drop
-            # a concurrent committer's files — see _publish_manifest)
+            # a concurrent committer's files — see _publish_manifest).
+            # key_unique: bulk_insert has no semantic uniqueness claim
+            # (no index lookup), but a range-clustered genesis PROVES it
+            # from envelope disjointness; merge_head demotes the claim
+            # whenever the head turns out non-empty.
             self._publish_manifest(
-                files, merge_head=True, ranges=ranges, pranges=pranges
+                files,
+                merge_head=True,
+                ranges=ranges,
+                pranges=pranges,
+                key_unique=_key_envelopes_disjoint(ranges, files),
             )
         else:
             self._writer(df, "append").parquet(self.path)
@@ -648,6 +744,22 @@ class HudiTable:
         holder does not wedge the table forever — Hudi's own expire
         semantics; default 0 = never, matching Hudi).
 
+        Ownership protocol: each acquisition writes a unique token into
+        the lock file; ownership is re-verified AFTER the exclusive
+        create (an expiry-stealer may have renamed the fresh file away
+        in the race window) and BEFORE the release-remove (a holder
+        that ran past the expiry and was lawfully dispossessed must not
+        delete the thief's lock). Stealing is a RENAME to a unique
+        grave name — of two racing stealers only one moves the file —
+        followed by an mtime re-check of the moved file: a mistaken
+        steal of a fresh lock is restored via conditional link, never a
+        clobbering rename. With ``expire`` > 0 a holder whose critical
+        section outruns the expiry can still be dispossessed while it
+        runs — mtime-expiry locks trade strict mutual exclusion for
+        liveness (real Hudi's filesystem lock has the same property;
+        fencing requires a CAS store, which is what the manifest
+        conditional-put provides for the commits themselves).
+
         Reentrant per (instance, thread): compound ops (cluster →
         compact, upsert → inline compact) take it once."""
         if not self._lock_enabled():
@@ -665,46 +777,106 @@ class HudiTable:
         wait_ms = int(
             self.options.get("hoodie.write.lock.wait_time_ms", 60000)
         )
-        expire_min = float(
+        expire_s = 60.0 * float(
             self.options.get("hoodie.write.lock.filesystem.expire", 0)
         )
         deadline = time.monotonic() + wait_ms / 1000.0
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         while True:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                break
+                if self._lock_token(path) == token:
+                    break  # created AND still ours: acquired
+                # a racing stealer renamed our fresh file away (its
+                # mtime re-check will restore it, or not) — not ours
             except FileExistsError:
-                if expire_min > 0:
-                    try:
-                        age = time.time() - os.path.getmtime(path)
-                    except OSError:
-                        continue  # holder released between probe and stat
-                    if age > expire_min * 60:
-                        try:
-                            os.remove(path)  # crashed holder — steal
-                        except FileNotFoundError:
-                            pass
-                        continue
-                if time.monotonic() >= deadline:
-                    raise ConcurrentWriteError(
-                        f"could not acquire commit lock {path} within "
-                        f"{wait_ms} ms — another writer holds it (or a "
-                        "crashed writer left it behind: set "
-                        "hoodie.write.lock.filesystem.expire to let "
-                        "stale locks expire, or remove the file)"
-                    )
-                time.sleep(0.05)
+                if self._lock_token(path) == token:
+                    break  # our mistakenly-stolen lock was restored
+                if expire_s > 0 and self._steal_expired_lock(
+                    path, expire_s
+                ):
+                    continue  # stale holder cleared: retry the create
+            # every other outcome — held by someone else, stat/steal
+            # failure, lost create race — waits through ONE deadline
+            # check (a persistent stat failure can no longer busy-spin
+            # past the timeout)
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"could not acquire commit lock {path} within "
+                    f"{wait_ms} ms — another writer holds it (or a "
+                    "crashed writer left it behind: set "
+                    "hoodie.write.lock.filesystem.expire to let "
+                    "stale locks expire, or remove the file)"
+                )
+            time.sleep(0.05)
         self._lock_local.held = 1
         try:
             yield
         finally:
             self._lock_local.held = 0
+            # remove only OUR lock: if an expiry-steal lawfully
+            # dispossessed us mid-hold, the file at path is the
+            # thief's and must survive our release
+            if self._lock_token(path) == token:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+
+    @staticmethod
+    def _lock_token(path: str) -> str | None:
+        """The owner token in the lock file; None when unreadable
+        (absent, or a transient filesystem error — callers treat both
+        as 'not ours')."""
+        try:
+            with open(path) as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    @staticmethod
+    def _steal_expired_lock(path: str, expire_s: float) -> bool:
+        """Clear ``path`` if its mtime is older than ``expire_s``.
+        Returns True when the path was cleared for the caller to retry
+        its exclusive create.
+
+        The steal is a rename to a unique grave name: atomic claim, so
+        of two racing stealers exactly one moves the file and the loser
+        gets ENOENT — the remove-based steal let the loser delete the
+        winner's freshly created lock. The moved file's age is then
+        RE-CHECKED: if it was actually fresh (the stale holder released
+        and a new writer acquired between our stat and our rename), the
+        steal was mistaken and the file is restored via os.link —
+        conditional, so a third writer's lock created in the gap is
+        never clobbered (the victim's post-create verification handles
+        the leftovers either way)."""
+        try:
+            if time.time() - os.path.getmtime(path) <= expire_s:
+                return False  # live holder
+        except OSError:
+            return False  # released between probe and stat, or stat error
+        grave = f"{path}.steal-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, grave)
+        except OSError:
+            return False  # another stealer claimed it first
+        try:
+            stolen_fresh = time.time() - os.path.getmtime(grave) <= expire_s
+        except OSError:
+            return True  # grave vanished: nothing left to restore
+        if stolen_fresh:
             try:
-                os.remove(path)
-            except FileNotFoundError:
+                os.link(grave, path)
+                os.remove(grave)
+            except OSError:
+                # path re-occupied before the restore: leave the grave
+                # as debris rather than clobber a third writer's lock
                 pass
+            return False
+        os.remove(grave)  # genuinely expired — crashed holder's debris
+        return True
 
     # -- MOR delta log --------------------------------------------------
     def _seq_base(self) -> int:
@@ -1322,10 +1494,16 @@ class HudiTable:
                 new_files, new_ranges, new_pranges = (
                     self._manifest_write_batch(result)
                 )
+                # key_unique is PRESERVED: the rewritten files hold
+                # merge_latest_wins output over touched ∪ batch (unique
+                # within), untouched files provably hold no batch key
+                # (that is what classified them untouched), and
+                # untouched-vs-untouched uniqueness is the prior claim
                 self._publish_manifest(
                     untouched + new_files,
                     ranges=new_ranges,
                     pranges=new_pranges,
+                    key_unique=self._manifest_key_unique(),
                 )
                 self._maybe_sync_catalog(spark)
                 return
@@ -1465,10 +1643,13 @@ class HudiTable:
                         new_files, new_ranges, new_pranges = (
                             self._manifest_write_batch(remaining)
                         )
+                    # delete only removes rows — key_unique preserved
+                    # on the same argument as the upsert partial rewrite
                     self._publish_manifest(
                         untouched + new_files,
                         ranges=new_ranges,
                         pranges=new_pranges,
+                        key_unique=self._manifest_key_unique(),
                     )
                     self._maybe_sync_catalog(spark)
                     return
@@ -1641,6 +1822,93 @@ class HudiTable:
         ) as fh:
             return json.load(fh).get("pranges", {})
 
+    def _manifest_key_unique(self, version: int | None = None) -> bool:
+        """The manifest's ``key_unique`` claim (see _publish_manifest) —
+        False for pre-flag manifests, which only costs those tables the
+        base-duplicate guard's conservatism, never correctness."""
+        import json
+
+        versions = self._manifest_versions()
+        if not versions:
+            return False
+        v = versions[-1] if version is None else version
+        with open(
+            os.path.join(self._manifest_dir, f"manifest-{v:012d}.json")
+        ) as fh:
+            return bool(json.load(fh).get("key_unique", False))
+
+    def _base_duplicate_guard(
+        self, part_kept: list[str], pruned: list[str]
+    ) -> set[str]:
+        """Files in ``pruned`` that cannot be PROVEN record-key-disjoint
+        from every file in ``part_kept``, by key envelope — the
+        base-vs-base half of the partition-scoped MOR read's soundness
+        guard (the log half is the guard_keys path).
+
+        Why it exists: the snapshot merge dedupes duplicate keys ACROSS
+        base files (a genesis bulk_insert appends without index lookup,
+        so key k's winning precombine version can sit in partition-a
+        file F1 while a stale duplicate sits in partition-b file F2).
+        read(partitions=['b']) keeps F2; pruning F1 would let F2's
+        stale row win the merge unopposed, while the unpruned read
+        suppresses it — so any pruned file whose key envelope overlaps
+        a kept file's envelope must stay in the merge (its own rows
+        still fail the post-merge partition filter; it participates
+        only as a suppressor). Overlap against the PARTITION-kept files
+        suffices, no transitive closure: a wrong winner can only reach
+        the output through a kept file's key, and that key pins every
+        file whose envelope contains it directly.
+
+        Driver-side and metadata-scale: kept envelopes collapse into a
+        sorted disjoint interval list, each pruned file is one bisect —
+        O((K+P) log K) over file COUNTS. Skipped entirely when the
+        manifest carries the ``key_unique`` proof (the caller checks),
+        and a no-op on range-clustered layouts whose envelopes are
+        disjoint by construction — the two states every long-lived
+        table converges to (compact/cluster publish the claim)."""
+        import bisect
+
+        ranges = self._manifest_ranges()
+        if any(f not in ranges for f in part_kept):
+            # a kept file with unknown keys could duplicate anything
+            return set(pruned)
+        kept_null = False
+        ivals = []
+        for f in part_kept:
+            kmin, kmax, knull = ranges[f]
+            kept_null = kept_null or bool(knull)
+            if kmin is not None:
+                ivals.append([kmin, kmax])
+        try:
+            ivals.sort()
+            merged: list[list] = []
+            for lo, hi in ivals:
+                if merged and lo <= merged[-1][1]:
+                    if hi > merged[-1][1]:
+                        merged[-1][1] = hi
+                else:
+                    merged.append([lo, hi])
+            starts = [iv[0] for iv in merged]
+            out: set[str] = set()
+            for f in pruned:
+                env = ranges.get(f)
+                if env is None:
+                    out.add(f)
+                    continue
+                kmin, kmax, knull = env
+                if knull and kept_null:
+                    out.add(f)
+                    continue
+                if kmin is None:
+                    continue  # all-null keys; kept side has no nulls
+                i = bisect.bisect_right(starts, kmax) - 1
+                if i >= 0 and merged[i][1] >= kmin:
+                    out.add(f)
+            return out
+        except TypeError:
+            # incomparable envelope dtypes: never prune on a guess
+            return set(pruned)
+
     def _manifest_split_touched(
         self, keys_df: DataFrame, spark: SparkSession
     ) -> tuple[list[str], list[str]]:
@@ -1712,6 +1980,7 @@ class HudiTable:
         merge_head: bool = False,
         ranges: dict[str, list] | None = None,
         pranges: dict[str, list] | None = None,
+        key_unique: bool = False,
     ) -> int:
         """Atomically publish the next manifest version. The data files
         are fully written BEFORE this point, so a crash anywhere earlier
@@ -1741,7 +2010,19 @@ class HudiTable:
         envelope for every payload file it has one for — new entries
         plus the head's entries for carried-over files — so pruning
         survives partial rewrites; files with no envelope (legacy
-        manifests, unsupported key dtypes) are simply never pruned."""
+        manifests, unsupported key dtypes) are simply never pruned.
+
+        ``key_unique`` is the writer's SEMANTIC claim that no record
+        key appears in more than one row across the published base
+        files (full-replace commits whose payload came out of a
+        latest-wins merge assert it; bulk appends prove it from
+        envelope disjointness or don't claim it). The partition-scoped
+        MOR read uses it to skip the base-duplicate guard
+        (_base_duplicate_guard) — a FALSE claim would make that read
+        unsound, so callers only pass True on a merge-derived payload
+        or an envelope proof. Merge-head appends against a non-empty
+        head demote the claim: the merged payload spans two commits
+        and cross-commit key disjointness is unproven."""
         import json
 
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -1755,9 +2036,12 @@ class HudiTable:
             # embedded in the payload, so each retry rewrites the tmp
             # before attempting the link
             if merge_head:
-                payload = sorted(set(self._manifest_files()) | set(files))
+                head = self._manifest_files()
+                payload = sorted(set(head) | set(files))
+                pay_unique = key_unique and not head
             else:
                 payload = sorted(files)
+                pay_unique = key_unique
             # envelope union: head's entries (carried files) overlaid
             # with the new commit's, restricted to the payload — same
             # rule for the record-key and partition-value envelopes
@@ -1777,6 +2061,7 @@ class HudiTable:
                         "files": payload,
                         "ranges": pay_ranges,
                         "pranges": pay_pranges,
+                        "key_unique": pay_unique,
                     },
                     fh,
                 )
@@ -1901,11 +2186,14 @@ class HudiTable:
         envelope argument as the partial-rewrite paths. With
         ``part_spec`` = (non-null values, want_null), files whose
         partition-value envelope is disjoint from the requested set are
-        pruned — EXCEPT files whose key envelope touches
-        ``guard_keys`` (the MOR log-guard: they may hold the winning
-        version of a logged key and must stay in the merge). Both
-        prunings intersect; each drops only files that cannot
-        contribute to the final result."""
+        pruned — EXCEPT, when the caller will merge (``guard_keys`` is
+        passed), files that may still decide a kept row's fate: those
+        whose key envelope touches ``guard_keys`` (the MOR log-guard)
+        and, unless the manifest's ``key_unique`` claim proves base
+        keys appear in one file only, those whose key envelope overlaps
+        a kept file's (_base_duplicate_guard). Both prunings intersect;
+        each drops only files that cannot contribute to the final
+        result."""
         files = self._manifest_files(version)
         if not files:
             raise FileNotFoundError(f"no manifest for table {self.path}")
@@ -1913,16 +2201,12 @@ class HudiTable:
         if part_spec is not None and version is None:
             nonnull, want_null = part_spec
             pr = self._manifest_pranges()
-            must_keep: set[str] = set()
-            if guard_keys is not None:
-                must_keep = set(
-                    self._manifest_split_touched(guard_keys, spark)[0]
-                )
-            kept = []
+            part_kept: list[str] = []
+            pruned: list[str] = []
             for f in scan:
                 env = pr.get(f)
-                if env is None or f in must_keep:
-                    kept.append(f)
+                if env is None:
+                    part_kept.append(f)
                     continue
                 pmin, pmax, pnull = env
                 try:
@@ -1932,9 +2216,34 @@ class HudiTable:
                     ) or (pnull and want_null)
                 except TypeError:
                     overlap = True  # incomparable dtypes: never prune
-                if overlap:
-                    kept.append(f)
-            scan = kept
+                (part_kept if overlap else pruned).append(f)
+            keep = set(part_kept)
+            pruned_set = set(pruned)
+            if guard_keys is not None and pruned:
+                # the caller is about to MERGE (MOR snapshot under a
+                # live log) — two suppressor guards re-admit pruned
+                # files whose rows cannot pass the post-merge filter
+                # but may decide which rows DO:
+                # (1) log-guard: the file may hold the winning base
+                #     version of a key with a stale log entry;
+                keep.update(
+                    f
+                    for f in self._manifest_split_touched(
+                        guard_keys, spark
+                    )[0]
+                    if f in pruned_set
+                )
+                # (2) base-duplicate guard: the file may hold the
+                #     winning version of a key a KEPT base file also
+                #     carries (genesis bulk_insert appends without
+                #     index lookup). Skipped when the manifest proves
+                #     base keys unique — the state compact/cluster
+                #     publish and upsert/delete preserve.
+                if not self._manifest_key_unique():
+                    keep.update(
+                        self._base_duplicate_guard(part_kept, pruned)
+                    )
+            scan = [f for f in scan if f in keep]
         if keys is not None and version is None:
             touched, untouched = self._manifest_split_touched(keys, spark)
             if untouched:
@@ -2032,9 +2341,16 @@ class HudiTable:
         """
         if self._is_manifest:
             # manifest protocol: write immutable files, publish the list —
-            # no directory rename anywhere (object-store-safe)
+            # no directory rename anywhere (object-store-safe).
+            # key_unique=True: every caller of this full-replace path
+            # (compact, cluster, rectify, the upsert/delete/overwrite
+            # fallbacks) passes a frame derived from a latest-wins merge
+            # or a merged read() — one row per key by construction. A
+            # caller with an unmerged frame must not route through here.
             files, ranges, pranges = self._manifest_write_batch(df)
-            self._publish_manifest(files, ranges=ranges, pranges=pranges)
+            self._publish_manifest(
+                files, ranges=ranges, pranges=pranges, key_unique=True
+            )
             return
         local = self._local_fs_path()
         suffix = uuid.uuid4().hex[:8]
@@ -2114,6 +2430,11 @@ class HudiTable:
                 # pruning may never fail an overwrite it merely speeds up
                 mixed.append(f)
         new_files, new_ranges, new_pranges = self._manifest_write_batch(df)
+        batch_env = list(new_ranges.values())  # batch files only
+        # the disjointness proof below needs an envelope for EVERY
+        # batch file (an unenveloped file could hold any key)
+        batch_env_complete = len(batch_env) == len(new_files)
+        mixed_env: list[list] = []
         if mixed:
             col = F.col(self.partition_field)
             not_in = ~col.isin(parts) if parts else F.lit(True)
@@ -2129,8 +2450,35 @@ class HudiTable:
             new_files += mixed_files
             new_ranges.update(mixed_ranges)
             new_pranges.update(mixed_pranges)
+            mixed_env = list(mixed_ranges.values())
+            mixed_env_complete = len(mixed_env) == len(mixed_files)
+        else:
+            mixed_env_complete = True
+        # key_unique survives the overwrite only when the prior claim
+        # held AND no batch key can live in a surviving prior row:
+        # carried and mixed-survivor rows are all prior rows (unique
+        # among themselves by the prior claim), the batch files are a
+        # latest-wins merge (unique within), so the only possible
+        # duplicate is batch-vs-survivor — ruled out when their key
+        # envelopes are group-disjoint (replacing partition 'a' while
+        # key k keeps an old row in partition 'c' is exactly the
+        # duplicate insert_overwrite CAN create under global keys).
+        prior_ranges = self._manifest_ranges()
+        carried_env = [prior_ranges.get(f) for f in carry]
+        unique = (
+            self._manifest_key_unique()
+            and batch_env_complete
+            and mixed_env_complete
+            and all(e is not None for e in carried_env)
+            and _envelope_groups_disjoint(
+                batch_env, carried_env + mixed_env
+            )
+        )
         self._publish_manifest(
-            carry + new_files, ranges=new_ranges, pranges=new_pranges
+            carry + new_files,
+            ranges=new_ranges,
+            pranges=new_pranges,
+            key_unique=unique,
         )
 
     def _rewrite_partitions(self, df: DataFrame, spark: SparkSession) -> None:

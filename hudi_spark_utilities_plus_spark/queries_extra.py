@@ -2179,6 +2179,139 @@ def hudi_filegroup_prune(spark, sf_dir):
 
 
 @query(
+    "hudi_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderstatus = 'F' THEN o_orderdate + INTERVAL 1 DAY
+                ELSE o_orderdate END AS o_orderdate
+    FROM orders
+    """,
+)
+def hudi_partition_overwrite(spark, sf_dir):
+    """§1.2 DYNAMIC PARTITION OVERWRITE on a partitioned MANIFEST table
+    (Hudi's ``insert_overwrite`` → replacecommit), the r11-earmarked
+    driver row for ``_manifest_overwrite_partitions``: live files are
+    classified against the batch's touched partitions via their
+    partition-value envelopes — DISJOINT files are carried into the new
+    manifest BY REFERENCE (never opened), PURE-TOUCHED files are
+    dropped from the manifest (staying on disk for time travel until
+    clean()), and MIXED files are rewritten retaining only their
+    untouched-partition rows. At 100 TB this is why replacing one
+    partition of a 10k-partition table costs the touched partition
+    plus any mixed stragglers, not the table.
+
+    The physical outcomes are load-bearing — the query RAISES unless:
+    the two pure-O files are carried byte-identical (same path, same
+    mtime), the two pure-F files leave the manifest but stay on disk
+    with the pre-overwrite state still readable at the old manifest
+    version, the mixed F+P file leaves the manifest, and its rewrite
+    retains EXACTLY the P rows (no overwritten-partition row survives,
+    no untouched row is lost) — while the final table must match the
+    oracle's view of all three partitions."""
+    import os
+    import tempfile
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="powq_") + "/t"
+    t = HudiTable(
+        path=path,
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        partition_field="o_orderstatus",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    st = F.col("o_orderstatus")
+    # three append commits build a known classification surface:
+    # two pure-O files, two pure-F files, one MIXED file (all P rows
+    # plus the o_orderkey%10==0 slice of F)
+    t.bulk_insert(
+        o.filter(st == "O").repartitionByRange(2, "o_orderkey")
+    )
+    t.bulk_insert(
+        o.filter((st == "F") & (F.col("o_orderkey") % 10 != 0))
+        .repartitionByRange(2, "o_orderkey")
+    )
+    t.bulk_insert(
+        o.filter(
+            (st == "P") | ((st == "F") & (F.col("o_orderkey") % 10 == 0))
+        ).coalesce(1)
+    )
+    pr = t._manifest_pranges()
+    by_cls = {"O": [], "F": [], "MIX": []}
+    for f, (pmin, pmax, pnull) in pr.items():
+        by_cls["MIX" if pmin != pmax else pmin].append(f)
+    if sorted(len(by_cls[k]) for k in ("O", "F", "MIX")) != [1, 2, 2] or len(
+        by_cls["MIX"]
+    ) != 1:
+        raise AssertionError(f"unexpected genesis layout: {by_cls}")
+    carried_mtimes = {f: os.path.getmtime(f) for f in by_cls["O"]}
+    v_before = t._manifest_versions()[-1]
+    f_count_before = t.read(spark, partitions=["F"]).count()
+    p_keys = {
+        r["o_orderkey"]
+        for r in spark.read.parquet(*by_cls["MIX"])
+        .filter(st == "P")
+        .select("o_orderkey")
+        .collect()
+    }
+    batch = (
+        o.filter(st == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        )
+    )
+    t.insert_overwrite(batch, spark)
+    live = set(t._manifest_files())
+    # CARRY: pure-O files by reference — same paths, same mtimes
+    if not set(by_cls["O"]) <= live or {
+        f: os.path.getmtime(f) for f in by_cls["O"]
+    } != carried_mtimes:
+        raise AssertionError("overwrite touched partition-disjoint files")
+    # DROP: pure-F files leave the manifest but stay on disk, and the
+    # old manifest version still serves the pre-overwrite state
+    for f in by_cls["F"] + by_cls["MIX"]:
+        if f in live:
+            raise AssertionError(f"touched-partition file survived: {f}")
+    if not all(os.path.exists(f) for f in by_cls["F"]):
+        raise AssertionError("dropped file deleted (breaks time travel)")
+    if (
+        t.read_manifest_version(spark, v_before)
+        .filter(st == "F")
+        .count()
+        != f_count_before
+    ):
+        raise AssertionError("pre-overwrite state lost at old version")
+    # REWRITE: the mixed file's survivors are exactly the P rows
+    new_pr = t._manifest_pranges()
+    survivors = [
+        f
+        for f in live - set(by_cls["O"])
+        if new_pr.get(f, (None,))[0] == "P" and new_pr[f][1] == "P"
+    ]
+    if not survivors:
+        raise AssertionError("no rewritten survivor file for partition P")
+    got_p = {
+        r["o_orderkey"]
+        for r in spark.read.parquet(*survivors)
+        .select("o_orderkey")
+        .collect()
+    }
+    if got_p != p_keys:
+        raise AssertionError(
+            "mixed-file rewrite lost or leaked rows: "
+            f"{len(got_p)} survivors vs {len(p_keys)} P rows"
+        )
+    return t.read(spark)
+
+
+@query(
     "hudi_point_read",
     oracle="""
     SELECT o_orderkey,

@@ -1013,29 +1013,34 @@ def binlog_stream_scan(spark, sf_dir):
     """,
 )
 def binlog_purge_recovery(spark, sf_dir):
-    """A11/C3: binlog rotation + ``PURGE BINARY LOGS`` + pre-r10
-    checkpoint upgrade, driven end to end through the streaming source
-    (VERDICT r10 ask — promotes the purge-under-tailer pytest coverage
-    to a driver row, because this path guards the r10 offset model's
-    riskiest branch).
+    """A11/C3: binlog rotation + ``PURGE BINARY LOGS`` under a live
+    tailer, driven end to end through the streaming source (VERDICT
+    r10 ask — promotes the purge-under-tailer pytest coverage to a
+    driver row, because purge-from-the-front is the offset model's
+    riskiest operation).
 
     Three phases over a disjoint 3-way split of events (event_id % 3),
     one binlog file each, stopping the query between phases:
 
     1. consume ``binlog.000001`` (commits a name-mark offset);
-    2. CHECKPOINT SURGERY rewrites the committed offset to the pre-r10
-       count format ``{"files": 1}`` — the in-flight-upgrade state —
-       then ``binlog.000002`` arrives and the restart's transition
-       batch must resolve the count slice against the current listing
-       (skip exactly 1 file), consume phase 2, and commit a NAME mark;
+    2. restart from the checkpoint, consume ``binlog.000002`` (the
+       restart must resume past the mark — a regressing mark would
+       replay phase 1);
     3. both consumed binlogs are PURGED (MySQL purges from the front
        under live tailers) before ``binlog.000003`` arrives — the name
-       mark must hold (a count offset would shift indices and swallow
+       mark must hold (an index-based offset would shift and swallow
        the new file; a regressing mark would replay).
 
     Every event must land exactly once: a replay doubles a phase's n,
     a swallowed file empties one, and either flips the oracle hash.
-    The per-(table, phase) aggregate pins all three transitions."""
+    The per-(table, phase) aggregate pins all three transitions.
+
+    History note: through r11 phase 2 additionally rewrote the
+    checkpoint to the pre-r10 ``{"files": n}`` count offset and pinned
+    the upgrade path's transition batch; that branch met its
+    documented retirement criterion and was deleted in r12 (a count
+    offset now fails loudly — see sources/standin.py
+    ``_files_between`` and test_standin_sources' retirement test)."""
     import glob as _glob
     import os
     import shutil
@@ -1082,35 +1087,13 @@ def binlog_purge_recovery(spark, sf_dir):
         finally:
             q.stop()
 
-    def _downgrade_offset_format() -> None:
-        """Rewrite the newest committed offset to the pre-r10
-        ``{"files": n}`` count format — simulating a checkpoint written
-        by the old source version (the upgrade path's entry state). The
-        offset JSON is the file's last line; the .crc sidecar must go
-        too or the checksum filesystem rejects the edited file."""
-        offsets = sorted(
-            (f for f in os.listdir(os.path.join(ckpt, "offsets"))
-             if not f.startswith(".")),
-            key=int,
-        )
-        newest = os.path.join(ckpt, "offsets", offsets[-1])
-        lines = open(newest).read().rstrip("\n").split("\n")
-        n_consumed = len(os.listdir(src_dir))
-        lines[-1] = '{"files": %d}' % n_consumed
-        with open(newest, "w") as fh:
-            fh.write("\n".join(lines))
-        crc = os.path.join(ckpt, "offsets", f".{offsets[-1]}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
-
     phases = [envelopes.filter(F.col("id") % 3 == k) for k in (0, 1, 2)]
     counts = [p.count() for p in phases]
 
     _stage(phases[0], 1)
     _run(counts[0])
-    _downgrade_offset_format()
     _stage(phases[1], 2)
-    _run(counts[1])  # transition batch: count-slice start, name-mark end
+    _run(counts[1])  # checkpoint restart: resume past the name mark
     for consumed in ("binlog.000001.json", "binlog.000002.json"):
         os.remove(os.path.join(src_dir, consumed))  # PURGE BINARY LOGS
     _stage(phases[2], 3)

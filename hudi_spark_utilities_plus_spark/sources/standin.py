@@ -227,36 +227,38 @@ def _binlog_files(path: str) -> list[str]:
 
 def _files_between(files: list[str], start: dict, end: dict | None) -> list[str]:
     """Offset model: ``{"last": <file name>}`` — the name high-water
-    mark, exclusive at start, inclusive at end. Name-based (not the
-    pre-r10 COUNT of files) so purging consumed binlogs from the front
-    of the directory — MySQL ``PURGE BINARY LOGS``, a routine operation
-    under a live tailer — cannot shift indices and silently skip unread
-    files. Pre-r10 ``{"files": n}`` checkpoints still resolve via the
-    count slice, so an in-flight stream upgrades without replaying.
+    mark, exclusive at start, inclusive at end. Name-based (not a
+    COUNT of files) so purging consumed binlogs from the front of the
+    directory — MySQL ``PURGE BINARY LOGS``, a routine operation under
+    a live tailer — cannot shift indices and silently skip unread
+    files.
 
-    Upgrade-window caveat: the count slice indexes the CURRENT listing,
-    so it is only purge-safe once the first post-upgrade micro-batch
-    commits a name mark — a purge landing between the upgrade and that
-    first commit shifts the slice and can skip or redeliver files for
-    that one transition batch. Accepted as a documented edge of the
-    compatibility path (not the steady state); retirement criterion:
-    the count branch can be deleted once no deployment carries a
-    pre-r10 checkpoint — operationally, after every long-lived stream
-    has committed at least one post-upgrade batch (each commit rewrites
-    the offset as ``{"last": …}``, so the count format ages out of
-    checkpoints on first contact)."""
+    The pre-r10 ``{"files": n}`` count format is RETIRED (its
+    documented criterion was met: every commit rewrites the offset as
+    ``{"last": …}``, so one post-upgrade micro-batch on an
+    r10/r11-era build ages the count format out of any checkpoint; the
+    transition behavior itself was pinned by the r11
+    ``binlog_purge_recovery`` driver row before deletion). A count
+    offset that still reaches here FAILS LOUDLY rather than resolving
+    against the current listing — a silent fallthrough would replay
+    the whole directory (duplicates), and a count slice under a purge
+    can skip unread files. Recovery path for a genuinely ancient
+    checkpoint: run one micro-batch on a pre-retirement build first."""
     import os
 
-    if "files" in start:
-        lo = files[int(start["files"]) :]
-    else:
-        last = start.get("last", "")
-        lo = [f for f in files if os.path.basename(f) > last]
+    for name, mark in (("start", start), ("end", end)):
+        if mark is not None and "files" in mark:
+            raise ValueError(
+                f"unsupported binlog {name} offset {mark!r}: the "
+                "pre-r10 count format was retired — restart from a "
+                "checkpoint whose offsets carry a name mark "
+                '({"last": ...}), produced by any post-upgrade '
+                "micro-batch commit"
+            )
+    last = start.get("last", "")
+    lo = [f for f in files if os.path.basename(f) > last]
     if end is None:
         return lo
-    if "files" in end:
-        keep = set(files[: int(end["files"])])
-        return [f for f in lo if f in keep]
     hi = end.get("last", "")
     return [f for f in lo if os.path.basename(f) <= hi]
 
@@ -267,7 +269,7 @@ def _end_offset(files: list[str], start: dict) -> dict:
     newest files were purged between micro-batches)."""
     import os
 
-    prior = start.get("last", "") if "last" in start else ""
+    prior = start.get("last", "")
     newest = os.path.basename(files[-1]) if files else ""
     return {"last": max(prior, newest)}
 
@@ -388,8 +390,6 @@ class _BinlogStreamReader(SimpleDataSourceStreamReader):
         files = _binlog_files(self._path)
         new = _files_between(files, start, None)
         end = _end_offset(files, start)
-        if "files" in start and not new:
-            end = start  # nothing read: don't rewrite a pre-r10 mark
         return iter(list(self._rows(new))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):

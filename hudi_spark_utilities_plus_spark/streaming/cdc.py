@@ -275,16 +275,21 @@ def apply_cdc_batch(
     # both run over the cache. ``coalesce(keep, false)`` — not ``keep``
     # alone — so NULL-op rows land in the complement instead of
     # vanishing from both sides of the tag.
-    tagged = batch_df.withColumn(
-        "__cdc_keep", F.coalesce(keep, F.lit(False))
-    ).persist()
-    compacted = compact_batch(
-        tagged.filter(F.col("__cdc_keep")).drop("__cdc_keep"),
-        table.record_key,
-        table.precombine,
-        binlog_name_prefix=binlog_name_prefix,
-    ).persist()
+    # persists happen INSIDE the try: compact_batch raises on a batch
+    # missing the precombine column, and a persist taken before the try
+    # would leak its cached blocks on every such failed micro-batch of
+    # a long-lived driver that retries triggers
+    tagged = compacted = None
     try:
+        tagged = batch_df.withColumn(
+            "__cdc_keep", F.coalesce(keep, F.lit(False))
+        ).persist()
+        compacted = compact_batch(
+            tagged.filter(F.col("__cdc_keep")).drop("__cdc_keep"),
+            table.record_key,
+            table.precombine,
+            binlog_name_prefix=binlog_name_prefix,
+        ).persist()
         upserts = compacted.filter(op_n != "delete").drop("op", "db", "table")
         # the precombine column is unconditionally present here:
         # compact_batch's window ordered by it, so a batch lacking it
@@ -325,5 +330,6 @@ def apply_cdc_batch(
         if routes.get(True, 0):
             table.delete(deletes, spark)
     finally:
-        compacted.unpersist()
-        tagged.unpersist()
+        for cached in (compacted, tagged):
+            if cached is not None:
+                cached.unpersist()

@@ -310,8 +310,11 @@ def test_binlog_standin_survives_purged_files(spark, tmp_path):
 
 
 def test_binlog_offset_model_units(tmp_path):
-    """_files_between/_end_offset: name-mark semantics + pre-r10
-    count-offset checkpoints keep resolving (no replay on upgrade)."""
+    """_files_between/_end_offset: name-mark semantics; the retired
+    pre-r10 count format fails loudly instead of resolving (a silent
+    fallthrough would replay the whole directory)."""
+    import pytest
+
     from hudi_spark_utilities_plus_spark.sources.standin import (
         _end_offset,
         _files_between,
@@ -323,13 +326,13 @@ def test_binlog_offset_model_units(tmp_path):
     # mid-stream: strictly-after start, inclusive end
     assert _files_between(files, {"last": "a.json"}, {"last": "c.json"}) == files[1:]
     assert _files_between(files, {"last": "b.json"}, None) == files[2:]
-    # pre-r10 count checkpoint: count slice for start, set-prefix for end
-    assert _files_between(files, {"files": 1}, None) == files[1:]
-    assert _files_between(files, {"files": 1}, {"files": 2}) == files[1:2]
-    # transition batch: old start, new end
-    assert _files_between(files, {"files": 2}, {"last": "c.json"}) == files[2:]
+    # retired pre-r10 count checkpoints: explicit error, never a
+    # current-listing slice (start and end positions both guarded)
+    with pytest.raises(ValueError, match="count format was retired"):
+        _files_between(files, {"files": 1}, None)
+    with pytest.raises(ValueError, match="count format was retired"):
+        _files_between(files, {"last": "a.json"}, {"files": 2})
     # end offset never regresses, even when the newest files were purged
     assert _end_offset(files, {"last": ""}) == {"last": "c.json"}
     assert _end_offset(files[:1], {"last": "c.json"}) == {"last": "c.json"}
     assert _end_offset([], {"last": "b.json"}) == {"last": "b.json"}
-    assert _end_offset([], {"files": 3}) == {"last": ""}

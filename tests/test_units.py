@@ -2560,6 +2560,66 @@ def test_lock_provider_reentrant_timeout_and_expiry(spark, tmp_path):
     assert {r["v"] for r in t3.read(spark).collect()} == {"y"}
 
 
+def test_lock_dispossessed_holder_spares_thief_lock(spark, tmp_path):
+    """Ownership tokens (ADVICE r11): a holder that ran past the expiry
+    and was lawfully dispossessed by an expiry-steal must NOT delete
+    the thief's lock on release — the old remove-on-release code freed
+    a lock a third writer could then acquire concurrently with the
+    thief."""
+    opts = {
+        **_LOCK_OPTS,
+        "hoodie.write.lock.wait_time_ms": "5000",
+        "hoodie.write.lock.filesystem.expire": "1",
+    }
+    t1 = _mor(tmp_path, "disp", **opts)
+    t2 = _mor(tmp_path, "disp", **opts)
+    cm1 = t1._commit_lock()
+    cm1.__enter__()
+    lock = t1._lock_file()
+    assert os.path.exists(lock)
+    os.utime(lock, (0, 0))  # the holder outran the expiry
+    cm2 = t2._commit_lock()
+    cm2.__enter__()  # expiry-steal: t2 is now the lawful holder
+    thief_token = open(lock).read()
+    cm1.__exit__(None, None, None)  # dispossessed holder releases
+    assert os.path.exists(lock), "release deleted the thief's lock"
+    assert open(lock).read() == thief_token
+    cm2.__exit__(None, None, None)
+    assert not os.path.exists(lock)
+    # no steal debris left behind on the lawful-steal path
+    assert not list(tmp_path.glob("disp__hudi_lock.steal-*"))
+
+
+def test_steal_expired_lock_restores_mistaken_steal(tmp_path, monkeypatch):
+    """_steal_expired_lock's TOCTOU repair: when the stat saw a stale
+    mtime but the file at the path turned over before the rename (old
+    holder released, new one acquired), the moved file's re-check sees
+    it fresh and restores it in place instead of deleting a live
+    lock."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    p = tmp_path / "lk"
+    p.write_text("live-owner-token")
+    real = os.path.getmtime
+    calls = {"n": 0}
+
+    def fake(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 0.0  # the pre-steal stat: looks long-expired
+        return real(path)  # the post-rename re-check: actually fresh
+
+    monkeypatch.setattr(os.path, "getmtime", fake)
+    assert HudiTable._steal_expired_lock(str(p), 60.0) is False
+    assert p.read_text() == "live-owner-token", "live lock not restored"
+    assert not list(tmp_path.glob("lk.steal-*")), "restore left debris"
+    # and a genuinely expired lock is still cleared
+    monkeypatch.undo()
+    os.utime(p, (0, 0))
+    assert HudiTable._steal_expired_lock(str(p), 60.0) is True
+    assert not p.exists()
+
+
 # ---------------------------------------------------------------------------
 # manifest file-group pruning (partial-rewrite upsert/delete)
 # ---------------------------------------------------------------------------
@@ -3104,6 +3164,184 @@ def test_partition_scoped_read_stale_log_guard(spark, tmp_path):
         r["id"]: r["v"] for r in t.read(spark, partitions=["a"]).collect()
     }
     assert got_a2 == {1: "winner", 2: "moved"}
+
+
+def test_partition_scoped_read_base_duplicate_guard(spark, tmp_path):
+    """The base-vs-base half of the partition-read soundness story
+    (ADVICE r11): a genesis bulk_insert (no index lookup) lands key 1's
+    WINNING version in partition 'a' and a stale duplicate in 'b'. A
+    read scoped to 'b' that pruned the 'a' file would let the stale
+    duplicate win the merge unopposed — the log-guard can't save it
+    (key 1 never reaches the log) — so the base-duplicate guard must
+    keep the 'a' file in the merge whenever the manifest can't prove
+    base keys unique."""
+    t = _pm_table(tmp_path, "psdup", table_type="MERGE_ON_READ")
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 5, "a", "winner"), (1, 3, "b", "stale"), (2, 1, "b", "vb")],
+            schema,
+        ).repartition(2, "p")
+    )
+    # overlapping key envelopes ([1,1] vs [1,2]): no uniqueness proof
+    assert not t._manifest_key_unique()
+    # a live log with an UNRELATED key: the merge path runs, and the
+    # log's key set alone would keep nothing beyond partition 'b'
+    t.upsert(spark.createDataFrame([(3, 1, "b", "log")], schema))
+    got_b = {
+        r["id"]: r["v"] for r in t.read(spark, partitions=["b"]).collect()
+    }
+    assert got_b == {2: "vb", 3: "log"}, (
+        f"stale base duplicate resurrected: {got_b}"
+    )
+    # partition-scoped must equal full-read-then-filter, both scopes
+    full = t.read(spark)
+    assert got_b == {
+        r["id"]: r["v"] for r in full.filter("p = 'b'").collect()
+    }
+    got_a = {
+        r["id"]: r["v"] for r in t.read(spark, partitions=["a"]).collect()
+    }
+    assert got_a == {1: "winner"}
+    assert got_a == {
+        r["id"]: r["v"] for r in full.filter("p = 'a'").collect()
+    }
+    # compaction merges the duplicate away and PUBLISHES the
+    # uniqueness claim — same answers, guard now skipped
+    t.compact(spark)
+    assert t._manifest_key_unique()
+    t.upsert(spark.createDataFrame([(4, 1, "b", "log2")], schema))
+    got_b2 = {
+        r["id"]: r["v"] for r in t.read(spark, partitions=["b"]).collect()
+    }
+    assert got_b2 == {2: "vb", 3: "log", 4: "log2"}
+
+
+def test_partition_scoped_read_pruning_intact_when_disjoint(spark, tmp_path):
+    """The duplicate guard must not tax sound layouts: with per-file
+    key envelopes disjoint (range-clustered genesis) the guard
+    re-admits nothing even WITHOUT the key_unique claim — the scoped
+    read still opens only the requested partition's base file."""
+    import json
+    import os
+
+    t = _pm_table(tmp_path, "psdisj", table_type="MERGE_ON_READ")
+    schema = "id int, ver int, p string, v string"
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "a" if i < 10 else "b", f"v{i}") for i in range(20)],
+            schema,
+        ).repartition(2, "p")
+    )
+    assert t._manifest_key_unique()  # disjoint envelopes proved it
+    # simulate a legacy manifest: strip the claim, keep the envelopes
+    mdir = t._manifest_dir
+    latest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, latest)) as fh:
+        m = json.load(fh)
+    m.pop("key_unique", None)
+    with open(os.path.join(mdir, latest), "w") as fh:
+        json.dump(m, fh)
+    assert not t._manifest_key_unique()
+    t.upsert(spark.createDataFrame([(25, 1, "b", "log")], schema))
+    df = t.read(spark, partitions=["b"])
+    assert {r["id"] for r in df.collect()} == set(range(10, 20)) | {25}
+    base = set(t._manifest_files())
+    scanned = {
+        f.replace("file://", "").replace("file:", "")
+        for f in df.inputFiles()
+    }
+    pr = t._manifest_pranges()
+    b_files = {f for f in base if pr[f][0] == "b"}
+    assert scanned & base == b_files, (
+        f"disjoint-envelope layout lost its pruning: {scanned & base}"
+    )
+
+
+def test_manifest_key_unique_lifecycle(spark, tmp_path):
+    """The key_unique claim's write-path state machine: proven at a
+    range-clustered genesis, preserved by partial upsert/delete,
+    demoted by a merge-head append; on partitioned tables an
+    insert_overwrite preserves it only when the batch's key envelopes
+    are disjoint from every surviving file's."""
+    # unpartitioned COW manifest: genesis proof + partial-path preserve
+    t = _fg_manifest_table(tmp_path, "kulife")
+    schema = "id int, ver int, v string"
+    rows = [(i, 1, f"v{i}") for i in range(40)]
+    t.bulk_insert(
+        spark.createDataFrame(rows, schema).repartitionByRange(4, "id")
+    )
+    assert t._manifest_key_unique()
+    t.upsert(spark.createDataFrame([(3, 2, "up")], schema))
+    assert t._manifest_key_unique()  # partial rewrite preserves
+    t.delete(spark.createDataFrame([(7,)], "id int"), spark)
+    assert t._manifest_key_unique()  # delete preserves
+    t.bulk_insert(spark.createDataFrame([(100, 1, "x")], schema))
+    assert not t._manifest_key_unique()  # merge-head append demotes
+
+    # partitioned COW manifest: overwrite's envelope-disjointness gate
+    t2 = _pm_table(tmp_path, "kuow")
+    pschema = "id int, ver int, p string, v string"
+    t2.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "a" if i < 10 else "b", "x") for i in range(20)],
+            pschema,
+        ).repartition(2, "p")
+    )
+    assert t2._manifest_key_unique()  # a:[0,9] / b:[10,19] disjoint
+    # batch keys [0,5] can't live in the carried b file [10,19]: preserved
+    t2.insert_overwrite(
+        spark.createDataFrame(
+            [(i, 2, "a", "ow") for i in range(6)], pschema
+        )
+    )
+    assert t2._manifest_key_unique()
+    # batch key 15 COULD duplicate a carried b row: demoted
+    t2.insert_overwrite(
+        spark.createDataFrame([(15, 3, "a", "dup")], pschema)
+    )
+    assert not t2._manifest_key_unique()
+    # and the table now really does hold key 15 twice — the demotion
+    # is what keeps a later partition-scoped MOR read honest
+    assert t2.read(spark).filter("id = 15").count() == 2
+
+
+def test_envelope_disjointness_helpers():
+    """Pure-logic contracts of the two driver-side proofs."""
+    from hudi_spark_utilities_plus_spark.lake import (
+        _envelope_groups_disjoint,
+        _key_envelopes_disjoint,
+    )
+
+    r = {"f1": [1, 5, False], "f2": [6, 9, False]}
+    assert _key_envelopes_disjoint(r, ["f1", "f2"])
+    # touching endpoints = a key could be in both
+    assert not _key_envelopes_disjoint(
+        {"f1": [1, 5, False], "f2": [5, 9, False]}, ["f1", "f2"]
+    )
+    assert not _key_envelopes_disjoint(r, ["f1", "f2", "f3"])  # no env
+    assert not _key_envelopes_disjoint(
+        {"f1": [1, 2, True], "f2": [3, 4, True]}, ["f1", "f2"]
+    )  # two null carriers
+    assert not _key_envelopes_disjoint({}, [])  # empty: no proof claimed
+    assert not _key_envelopes_disjoint(
+        {"f1": [1, 2, False], "f2": ["a", "b", False]}, ["f1", "f2"]
+    )  # incomparable dtypes
+
+    assert _envelope_groups_disjoint([[1, 5, False]], [[6, 9, False]])
+    assert not _envelope_groups_disjoint([[1, 5, False]], [[5, 9, False]])
+    # WITHIN-group overlap is fine — only cross-group matters
+    assert _envelope_groups_disjoint(
+        [[1, 5, False], [4, 8, False]], [[9, 12, False]]
+    )
+    assert not _envelope_groups_disjoint([[1, 2, True]], [[5, 6, True]])
+    assert _envelope_groups_disjoint([[None, None, True]], [[1, 2, False]])
+    assert not _envelope_groups_disjoint(
+        [[1, 10, False]], [[2, 3, False], [20, 30, False]]
+    )
+    assert not _envelope_groups_disjoint(
+        [[1, 2, False]], [["a", "b", False]]
+    )  # incomparable dtypes: never claim disjoint
 
 
 def test_partition_scoped_read_hive_layout_prunes_dirs(spark, tmp_path):
