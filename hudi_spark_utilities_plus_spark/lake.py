@@ -608,14 +608,57 @@ class HudiTable:
             # a concurrent committer's files — see _publish_manifest).
             # key_unique: bulk_insert has no semantic uniqueness claim
             # (no index lookup), but a range-clustered genesis PROVES it
-            # from envelope disjointness; merge_head demotes the claim
-            # whenever the head turns out non-empty.
+            # from envelope disjointness — and when the loader KNOWS its
+            # batch is key-unique (the common genesis case) it can opt
+            # into a one-pass verification instead of losing the claim
+            # to envelope overlap: hoodie.bulkinsert.verify.unique.keys
+            # runs one count/count-distinct aggregate over the KEY
+            # COLUMN of the just-written files (column-pruned scan,
+            # map-side partial agg, 1-row collect) — at 100 TB that is
+            # the difference between partition-scoped MOR reads keeping
+            # their file pruning forever and paying the base-duplicate
+            # guard until the first compact()/cluster() publishes the
+            # claim. merge_head demotes the claim whenever the head
+            # turns out non-empty (cross-commit disjointness unproven).
+            ku = _key_envelopes_disjoint(ranges, files)
+            if (
+                not ku
+                and files
+                and str(
+                    self.options.get(
+                        "hoodie.bulkinsert.verify.unique.keys", "false"
+                    )
+                ).lower()
+                == "true"
+            ):
+                row = (
+                    spark.read.parquet(*files)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(self.record_key).alias("nn"),
+                        F.countDistinct(self.record_key).alias("d"),
+                    )
+                    .collect()[0]
+                )
+                ku = row["n"] == row["nn"] == row["d"]
+                if not ku:
+                    _LOG.warning(
+                        "bulk_insert(%s): verify.unique.keys found "
+                        "duplicate or null record keys (%d rows, %d "
+                        "non-null, %d distinct) — key_unique not "
+                        "claimed; partition-scoped MOR reads will use "
+                        "the base-duplicate guard",
+                        self.table_name or self.path,
+                        row["n"],
+                        row["nn"],
+                        row["d"],
+                    )
             self._publish_manifest(
                 files,
                 merge_head=True,
                 ranges=ranges,
                 pranges=pranges,
-                key_unique=_key_envelopes_disjoint(ranges, files),
+                key_unique=ku,
             )
         else:
             self._writer(df, "append").parquet(self.path)

@@ -3306,6 +3306,46 @@ def test_manifest_key_unique_lifecycle(spark, tmp_path):
     assert t2.read(spark).filter("id = 15").count() == 2
 
 
+def test_bulk_insert_verify_unique_keys_option(spark, tmp_path):
+    """hoodie.bulkinsert.verify.unique.keys: a loader that KNOWS its
+    batch is key-unique can buy the key_unique claim with one
+    key-column aggregate over the written files even when envelope
+    overlap can't prove it (hash-scattered keys) — and a batch that
+    actually carries duplicates or null keys is never falsely
+    claimed."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    schema = "id int, ver int, p string, v string"
+    # scattered keys across partition files: envelopes overlap
+    rows = [(i, 1, "a" if i % 2 else "b", "x") for i in range(20)]
+
+    def mk(name, **opts):
+        return HudiTable(
+            path=str(tmp_path / name),
+            record_key="id",
+            precombine="ver",
+            partition_field="p",
+            options={"hoodie.commit.mode": "manifest", **opts},
+        )
+
+    t0 = mk("novrfy")
+    t0.bulk_insert(spark.createDataFrame(rows, schema).repartition(2, "p"))
+    assert not t0._manifest_key_unique()  # overlap, no verification
+
+    t1 = mk("vrfy", **{"hoodie.bulkinsert.verify.unique.keys": "true"})
+    t1.bulk_insert(spark.createDataFrame(rows, schema).repartition(2, "p"))
+    assert t1._manifest_key_unique()  # verified at load time
+
+    t2 = mk("vrfydup", **{"hoodie.bulkinsert.verify.unique.keys": "true"})
+    t2.bulk_insert(
+        spark.createDataFrame(
+            rows + [(1, 0, "b", "dup"), (None, 0, "b", "nul")], schema
+        ).repartition(2, "p")
+    )
+    assert not t2._manifest_key_unique()  # real duplicates: no claim
+    assert t2.read(spark).count() == 22  # and the data is untouched
+
+
 def test_envelope_disjointness_helpers():
     """Pure-logic contracts of the two driver-side proofs."""
     from hudi_spark_utilities_plus_spark.lake import (
