@@ -629,6 +629,108 @@ def test_hudi_table_matches_dict_replay(
         assert got_pt == {k: v for k, v in model.items() if k in (0, 2, 4)}
 
 
+# Partition-scoped read vs full-read-then-filter, under adversarial
+# GENESIS DUPLICATES: bulk_insert appends without an index lookup, so
+# the genesis batch may carry the same record key in several partitions
+# and files — the base-duplicate-guard scenario (ADVICE r11 medium).
+# Distinct (key, ver) pairs keep every merge winner deterministic
+# (genesis rows share seq -1, so a ver tie would make the winner — and
+# its partition — arbitrary, which no differential can compare).
+_dup_genesis = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # record key: small domain forces collisions
+        st.integers(0, 9),  # precombine
+        st.sampled_from(["a", "b", None]),  # partition (None = null part)
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda rows: sorted({(k, ver): p for k, ver, p in rows}.items()))
+
+_log_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(0, 5),  # key (5 = never in genesis)
+        st.integers(0, 14),  # precombine: may be STALE vs genesis
+        st.sampled_from(["a", "b", "c", None]),  # may MOVE partitions
+    ),
+    max_size=5,
+)
+
+
+@PROP
+@given(
+    genesis=_dup_genesis,
+    log_ops=_log_ops,
+    n_files=st.integers(1, 3),
+    verify=st.booleans(),
+)
+def test_partition_scoped_read_matches_filtered_full_read(
+    spark, genesis, log_ops, n_files, verify
+):
+    """read(partitions=sel) must equal read().filter(p in sel) as a row
+    multiset for EVERY selection — across genesis base duplicates
+    (same key, several partitions/files), stale and fresh log entries,
+    partition moves via the log, the null partition, and both
+    key_unique states (the load-time verification claims it only when
+    the random genesis happens to be duplicate-free; either way the
+    answers must be identical, only the pruning differs) — and again
+    after compaction folds the log and publishes the claim."""
+    import tempfile
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    with tempfile.TemporaryDirectory() as tmp:
+        opts = {"hoodie.commit.mode": "manifest"}
+        if verify:
+            opts["hoodie.bulkinsert.verify.unique.keys"] = "true"
+        t = HudiTable(
+            path=f"{tmp}/t",
+            record_key="id",
+            precombine="ver",
+            partition_field="p",
+            table_type="MERGE_ON_READ",
+            options=opts,
+        )
+        rows = [
+            (k, ver, p, f"g{k}_{ver}_{p}") for (k, ver), p in genesis
+        ]
+        schema = "id long, ver long, p string, v string"
+        t.bulk_insert(
+            spark.createDataFrame(rows, schema).repartition(n_files)
+        )
+        for kind, k, ver, p in log_ops:
+            batch = spark.createDataFrame(
+                [(k, ver, p, f"l{k}_{ver}_{p}")], schema
+            )
+            if kind == "upsert":
+                t.upsert(batch, spark)
+            else:
+                t.delete(batch.select("id", "ver"), spark)
+
+        def check(sel):
+            scoped = sorted(
+                map(tuple, t.read(spark, partitions=sel).collect())
+            )
+            full = t.read(spark)
+            nonnull = [x for x in sel if x is not None]
+            cond = F.col("p").isin(nonnull) if nonnull else F.lit(False)
+            if None in sel:
+                cond = cond | F.col("p").isNull()
+            filtered = sorted(map(tuple, full.filter(cond).collect()))
+            assert scoped == filtered, (sel, scoped, filtered)
+
+        for sel in (["a"], ["b"], [None], ["a", None], ["a", "b", "c"]):
+            check(sel)
+        had_log = t._has_log(spark)
+        t.compact(spark)
+        if had_log:
+            # an actual compaction is a merged full rewrite and must
+            # publish the claim; with no log it's a no-op and the
+            # genesis claim (False under duplicates) rightly stands
+            assert t._manifest_key_unique()
+        check(["b", None])
+
+
 @PROP
 @given(ops=_hudi_ops, prefix_len=st.integers(0, 6))
 def test_hudi_incremental_cursor_protocol(spark, ops, prefix_len):
