@@ -1242,6 +1242,96 @@ def test_session_seq_matches_python_scan(spark, events, gap):
 
 
 # ---------------------------------------------------------------------------
+# envelope-disjointness helpers vs brute force (pure logic, no Spark)
+# ---------------------------------------------------------------------------
+
+# These three functions carry SOUNDNESS claims: a wrong True from the
+# disjointness proofs publishes a false key_unique claim (an unsound
+# partition-scoped read), and a missed overlap in the duplicate guard
+# prunes a file the merge needed. Small integer domains force heavy
+# endpoint collisions; the oracle is the O(n²) definition.
+_env = st.tuples(st.integers(0, 9), st.integers(0, 9), st.booleans()).map(
+    lambda t: [min(t[0], t[1]), max(t[0], t[1]), t[2]]
+)
+_env_or_null = st.one_of(_env, st.just([None, None, True]))
+
+
+def _overlaps(a, b):
+    if a[2] and b[2]:
+        return True  # both may hold a null key
+    if a[0] is None or b[0] is None:
+        return False  # an all-null side shares nothing non-null
+    return a[0] <= b[1] and b[0] <= a[1]
+
+
+@PROP
+@given(envs=st.lists(_env_or_null, max_size=8))
+def test_key_envelopes_disjoint_matches_bruteforce(envs):
+    from hudi_spark_utilities_plus_spark.lake import _key_envelopes_disjoint
+
+    ranges = {f"f{i}": e for i, e in enumerate(envs)}
+    files = sorted(ranges)
+    want = bool(files) and not any(
+        _overlaps(ranges[a], ranges[b])
+        for i, a in enumerate(files)
+        for b in files[i + 1 :]
+    )
+    assert _key_envelopes_disjoint(ranges, files) == want
+    # a single missing envelope must always defeat the proof
+    if files:
+        assert not _key_envelopes_disjoint(ranges, files + ["absent"])
+
+
+@PROP
+@given(
+    group_a=st.lists(_env_or_null, max_size=6),
+    group_b=st.lists(_env_or_null, max_size=6),
+)
+def test_envelope_groups_disjoint_matches_bruteforce(group_a, group_b):
+    from hudi_spark_utilities_plus_spark.lake import _envelope_groups_disjoint
+
+    want = not any(_overlaps(a, b) for a in group_a for b in group_b)
+    assert _envelope_groups_disjoint(group_a, group_b) == want
+
+
+@PROP
+@given(
+    kept=st.lists(_env_or_null, max_size=6),
+    pruned=st.lists(_env_or_null, max_size=6),
+    drop_env_idx=st.one_of(st.none(), st.integers(0, 5)),
+)
+def test_base_duplicate_guard_matches_bruteforce(kept, pruned, drop_env_idx):
+    """_base_duplicate_guard (interval merge + bisect) vs the O(K·P)
+    definition: a pruned file stays pruned only when provably
+    key-disjoint from EVERY kept file; any file without an envelope —
+    kept or pruned — defeats the proof conservatively."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    ranges = {f"k{i}": e for i, e in enumerate(kept)}
+    ranges.update({f"p{i}": e for i, e in enumerate(pruned)})
+    kept_files = sorted(k for k in ranges if k.startswith("k"))
+    pruned_files = sorted(k for k in ranges if k.startswith("p"))
+    if drop_env_idx is not None and pruned_files:
+        # a pruned file with no envelope: must always be re-admitted
+        del ranges[pruned_files[drop_env_idx % len(pruned_files)]]
+
+    t = HudiTable.__new__(HudiTable)  # no table on disk needed
+    t._manifest_ranges = lambda: ranges  # type: ignore[method-assign]
+    got = t._base_duplicate_guard(kept_files, pruned_files)
+
+    if any(f not in ranges for f in kept_files):
+        want = set(pruned_files)
+    else:
+        want = {
+            p
+            for p in pruned_files
+            if p not in ranges
+            or any(_overlaps(ranges[p], ranges[k]) for k in kept_files)
+        }
+    assert got == want, (ranges, kept_files, pruned_files, got, want)
+
+
+# ---------------------------------------------------------------------------
 # binlog stand-in offset model vs a sequential-tail oracle
 # ---------------------------------------------------------------------------
 
