@@ -36,84 +36,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order. Round-12 window (the VERDICT r11 ROTATION round),
-# COMPUTED by tools/ledger.py at the committed tree: 1 never-checked
-# (hudi_partition_overwrite — the r11-earmarked new id, the round's
-# only registry growth) + the 15 r10-row spills (all carrying exactly
-# the warning-only materialize.py fdb0a06 stain) + the 24 ids
-# re-stained by this round's fixes (lake.py: base-duplicate guard for
-# partition-scoped MOR reads + key_unique manifest claim + lock
-# ownership tokens + filesystem-scope docs; streaming/cdc.py:
-# persist-inside-try; sources/standin.py: count-offset retirement —
-# every one of the 24 has lake.py in its file-level closure, so the
-# cdc/standin dependents cost no extra slots) + 10 of the 26 r5-row
-# ids alphabetically (the remaining 16 r5 + 33 r6 spill to r13, which
-# per VERDICT r11 item 1 is the second half of the two-round
-# old-cohort clear: 1+15+24 mandatory entries left only 10 free
-# slots — the arithmetic is in SURVEY §13).
+# in dict order. Round-13 window (VERDICT r12 "Next" #1 — the
+# ZERO-PRODUCT-CHURN clear of both old cohorts), COMPUTED by
+# tools/ledger.py at the committed tree, which reports 0 stale /
+# 0 never / 0 red and suggests exactly this head: the 16 remaining
+# r5-row ids + the 33 r6-row ids (49 — after this window every
+# registered id's latest row is r7+) + the one spare slot spent on the
+# oldest r7 row (alphabetically agg_bitmap_distinct, per the verdict).
+# No r13 product commit stains a queries/operators dependency — the
+# round is test/measure/docs-only precisely so this 49-id backlog fits
+# the 50-slot window (SURVEY §14 has the arithmetic and the deferred
+# ADVICE items that would otherwise have re-stained lake.py's 24-id
+# closure).
 _CHECK_ORDER = [
-    # never driver-checked: the r11-earmarked partitioned-manifest
-    # dynamic-overwrite id (carry/drop/rewrite classification pinned
-    # physically — mtime pins, manifest absence, survivor-row exactness)
-    "hudi_partition_overwrite",
-    # the 15 r10-row spills (single warning-only materialize.py stain)
-    "mm_audio_energy",
-    "mm_resize",
-    "ngram_bigrams",
-    "pack_token_budget",
-    "pii_scrub",
-    "quality_model_score",
-    "sample_hash_docs",
-    "split_train_val",
-    "text_quality",
-    "text_repetition",
-    "tfidf_topterms",
-    "token_counts",
-    "win_ntile",
-    "win_range_between",
-    "word_freq",
-    # the 24 ids re-stained by the r12 lake/cdc/standin fixes
-    "binlog_purge_recovery",
-    "binlog_stream_scan",
-    "es_scan",
-    "hudi_cdc_read",
-    "hudi_clean_reclaim",
-    "hudi_cluster_read",
-    "hudi_filegroup_prune",
-    "hudi_hive_sync_read",
-    "hudi_incremental_read",
-    "hudi_insert_overwrite",
-    "hudi_manifest_commit",
-    "hudi_mor_read",
-    "hudi_mor_ro_read",
-    "hudi_partitioned_upsert",
-    "hudi_point_read",
-    "hudi_rectify_sizes",
-    "hudi_restore_read",
-    "hudi_schema_evolution",
-    "hudi_time_travel",
-    "hudi_upsert",
-    "mongo_scan",
-    "stream_demux",
-    "stream_demux_recovery",
-    "stream_demux_transform",
-    # r5-cohort rotation, oldest rows in the registry, alphabetical
-    "dedup_latest_wins",
-    "filter_eq",
-    "flatten_struct",
-    "join_broadcast",
-    "join_bucketed",
-    "join_inner",
-    "join_left",
-    "join_nullsafe",
-    "join_range",
-    "join_right",
+    # the 16 remaining r5-row ids (oldest rows in the registry)
+    "join_semi",
+    "json_funcs",
+    "math_funcs",
+    "null_funcs",
+    "project_expr",
+    "scan_parquet",
+    "set_union",
+    "sort_limit_topk",
+    "str_funcs",
+    "stream_recovery",
+    "struct_access",
+    "subquery_in",
+    "tpch_q12_shape",
+    "transform_sql",
+    "win_lead",
+    "win_rank",
+    # the 33 r6-row ids — the rest of the old cohort
+    "agg_cube",
+    "agg_decimal_total",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_mode",
+    "agg_percentile",
+    "agg_salted",
+    "date_arith",
+    "derive_partition_dt",
+    "distinct_rows",
+    "filter_in",
+    "filter_null",
+    "flatten_array_struct",
+    "flatten_cartesian",
+    "hist_totalprice",
+    "join_anti",
+    "join_cross",
+    "join_full",
+    "join_salted",
+    "pivot_status",
+    "set_except",
+    "set_intersect",
+    "stream_session",
+    "stream_tumbling",
+    "subquery_exists",
+    "tpch_q10_shape",
+    "tpch_q18_shape",
+    "tpch_q1_shape",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "unpivot_measures",
+    "win_lag",
+    "win_running_sum",
+    # spare slot: the oldest r7 row, alphabetical
+    "agg_bitmap_distinct",
     # ---- window edge: position 50 ----
-    # r5 spill to r13: join_semi, json_funcs, math_funcs, null_funcs,
-    # project_expr, scan_parquet, set_union, sort_limit_topk,
-    # str_funcs, stream_recovery, struct_access, subquery_in,
-    # tpch_q12_shape, transform_sql, win_lead, win_rank — then the 33
-    # r6-row ids (agg_cube ... win_running_sum)
     # anything not listed appends in registration order (see _ordered)
 ]
 
