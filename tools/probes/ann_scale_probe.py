@@ -1,0 +1,141 @@
+"""ANN scale probe (r13, joins the per-round regression set): inflate
+the sf0.1 embeddings table (2,000 x 64-dim) to ~512k vectors via
+deterministic element-wise jitter, then race the registry's top-k
+paths over the same 32 queries — exact brute force (the baseline),
+IVF, and banded-hyperplane LSH.
+
+Regression signals, in order of importance:
+  1. recall@10 of the approximate paths vs the exact baseline
+     (candidate-generation soundness — a banding/probing bug shows up
+     here first);
+  2. wall time at 256x the bench corpus (the 100 TB posture:
+     candidate generation must not track the corpus the way brute
+     force does);
+  3. determinism: row counts and recall exact across re-runs (no
+     rand() anywhere — the jitter is sin() over ids).
+
+r13 first-run figures on this host (the band until the r14 fix):
+  brute 15-23 s (16.4M interpreted HOF dot products — tolerable),
+  IVF (n_clusters=32, n_probe=4) 29.5 s recall@10=1.000 (k-means
+  training dominates; amortizable as a persisted index at scale),
+  LSH at 512k: **585 s (defaults) / 727 s (band_bits=12)**,
+  recall@10=1.000 — CORRECT but ~30x brute force.
+
+The LSH wall is NOT candidate explosion (recall and candidate math are
+fine at both band widths). Micro-split on the same corpus: l2_norm
+over 512k vectors = 0.7 s; the 96-plane signature stage
+(_band_keys: 16 bands x 6 bits) = 267.6 s, and the executed plan
+prints NO WholeStageCodegen — each plane projection is a nested
+transform(lambdafunction(aggregate(slice(transform([64-float literal
+hyperplane]...))))) higher-order function, and Catalyst HOFs are
+CodegenFallback: always interpreted, ~520 us/vector here vs ~1.4 us
+for the same flops in codegen (norms). At the bench's 2k corpus this
+hides inside session overhead, which is why BENCH never flagged it.
+
+r14 fix (product, stains the similarity family — scheduled with the
+lake seqmax work): compute signatures via one Arrow-vectorized
+mapInPandas matmul — (N, dim) @ (dim, bands*bits) -> sign bits ->
+pack band keys — shared by ann_topk_lsh and similar_pairs' LSH
+fallback. Until then the LSH leg below runs at a reduced corpus
+(ANN_PROBE_LSH_CORPUS, default 64k, measured 141.4 s interpreted with
+recall 1.000); r14 flips the default to the full 512k to PIN the fix
+and the probe then expects LSH wall within ~3x of brute."""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "48g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from hudi_spark_utilities_plus_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
+
+base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+    "vec_id", "embedding"
+)
+n0 = base.count()
+K = 10
+LSH_CORPUS = int(os.environ.get("ANN_PROBE_LSH_CORPUS", "64000"))
+
+
+def inflate(target_rows):
+    copies = spark.range(max(target_rows // n0, 1)).withColumnRenamed("id", "c")
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
+            # deterministic per-copy, per-position jitter: direction
+            # perturbed, no rand() (re-runs are exact)
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.lit(0.02)
+                * F.sin(F.col("vec_id") * 131 + F.col("c") * 17 + i),
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .persist()
+    )
+
+
+queries = base.filter(F.col("vec_id") < 32).persist()
+nq = queries.count()
+
+corpus = inflate(512_000)
+total = corpus.count()
+
+t0 = time.time()
+truth = set(
+    (r.query_id, r.neighbor_id)
+    for r in cosine_topk_bruteforce(corpus, queries, k=K)
+    .select("query_id", "neighbor_id")
+    .collect()
+)
+print(f"corpus={total} queries={nq} k={K}")
+print(f"brute: rows={len(truth)} wall={time.time() - t0:.1f}s")
+
+t0 = time.time()
+ivf = set(
+    (r.query_id, r.neighbor_id)
+    for r in ivf_topk(corpus, queries, k=K, n_clusters=32, n_probe=4)
+    .select("query_id", "neighbor_id")
+    .collect()
+)
+print(
+    f"ivf@512k: rows={len(ivf)} wall={time.time() - t0:.1f}s "
+    f"recall@{K}={len(ivf & truth) / len(truth):.3f}"
+)
+
+lsh_corpus = corpus if LSH_CORPUS >= total else inflate(LSH_CORPUS)
+lsh_total = lsh_corpus.count()
+t0 = time.time()
+lsh_truth = truth if lsh_corpus is corpus else set(
+    (r.query_id, r.neighbor_id)
+    for r in cosine_topk_bruteforce(lsh_corpus, queries, k=K)
+    .select("query_id", "neighbor_id")
+    .collect()
+)
+t0 = time.time()
+lsh = set(
+    (r.query_id, r.neighbor_id)
+    for r in ann_topk_lsh(lsh_corpus, queries, k=K, multiprobe_bits=2)
+    .select("query_id", "neighbor_id")
+    .collect()
+)
+print(
+    f"lsh@{lsh_total}: rows={len(lsh)} wall={time.time() - t0:.1f}s "
+    f"recall@{K}={len(lsh & lsh_truth) / len(lsh_truth):.3f}"
+)
+spark.stop()
