@@ -695,15 +695,19 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def _band_keys(
+def _band_keys_spec(
     vec: Column, dim: int, n_bands: int, band_bits: int, seed: int = 1
 ) -> Column:
-    """array<long>[n_bands] of hyperplane-sign band keys.
-
-    Computes ``n_bands * band_bits`` deterministic hyperplane projections
-    and packs each consecutive ``band_bits`` sign bits into one long key.
-    Two vectors land in the same (band, key) bucket iff they agree on all
-    of that band's sign bits — the equi-joinable LSH bucket unit."""
+    """Column-fold EXECUTABLE SPEC of the band-key computation — the
+    r11-r13 production form, kept ONLY as the differential-test anchor
+    for the vectorized `_band_keys` (the two must pack identical keys;
+    tests/test_llm_ops.py pins equality per row per band). Do NOT route
+    hot paths through this: Catalyst higher-order functions are
+    CodegenFallback (never compiled), and this shape nests
+    ``n_bands * band_bits`` folds per row against a per-row literal
+    plane matrix — the r13 ANN scale probe measured ~520 µs/vector
+    (267.6 s for the signature stage alone at 512k vectors), which made
+    LSH ~30× SLOWER than brute force at the scale it exists to beat."""
     planes = F.array(
         *[
             F.array(*[F.lit(w) for w in _hyperplane(dim, seed * 10007 + p + 1)])
@@ -724,6 +728,57 @@ def _band_keys(
             lambda acc, bb: acc * 2 + bb,
         ),
     )
+
+
+def _band_keys(
+    vec: Column, dim: int, n_bands: int, band_bits: int, seed: int = 1
+) -> Column:
+    """array<long>[n_bands] of hyperplane-sign band keys, Arrow-vectorized.
+
+    Computes ``n_bands * band_bits`` deterministic hyperplane projections
+    and packs each consecutive ``band_bits`` sign bits into one long key
+    (first bit of the band is the most significant — same packing as
+    `_band_keys_spec`). Two vectors land in the same (band, key) bucket
+    iff they agree on all of that band's sign bits — the equi-joinable
+    LSH bucket unit.
+
+    The projections run as ONE numpy/BLAS matmul per Arrow batch —
+    ``(N, dim) @ (dim, n_bands·band_bits)`` → sign bits → packed longs —
+    the same shape `_lsh_candidate_pairs` has used since r11, because
+    the Column-fold form (`_band_keys_spec`) is interpreted per plane
+    per row: the r13 ANN scale probe clocked it at ~520 µs/vector
+    (267.6 s signature stage at 512k vectors) vs 2.8 s for this matmul,
+    a 96× gap that made `ann_topk_lsh` unusable at corpus scale despite
+    recall 1.000. Same deterministic `_hyperplane` planes, so keys are
+    reproducible on any executor; sign agreement between the BLAS sum
+    and the spec's left-fold sum is pinned by a per-row differential
+    test (a flip would need a projection within rounding error of 0).
+
+    Caller contract unchanged: ``vec`` must be a non-null array<double>
+    of width ``dim`` (`_valid_vecs` + `_check_dim`/`_check_query_dim`
+    enforce this on every call path; a ragged batch raises here rather
+    than packing garbage keys)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.asarray(
+        [
+            _hyperplane(dim, seed * 10007 + p + 1)
+            for p in range(n_bands * band_bits)
+        ],
+        dtype=np.float64,
+    ).T  # [dim, n_bands*band_bits]
+    pows = 2 ** np.arange(band_bits - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _keys_np(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray(list(vecs), dtype=np.float64)  # [n, dim]
+        bits = (M @ planes > 0).astype(np.int64)  # [n, bands*bits]
+        packed = bits.reshape(len(M), n_bands, band_bits) @ pows  # [n, bands]
+        return pd.Series(list(packed))
+
+    return _keys_np(vec)
 
 
 def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
@@ -749,7 +804,7 @@ def ann_topk_lsh(
     queries: DataFrame,
     dim: int | None = None,
     k: int = 5,
-    band_bits: int = 6,
+    band_bits: int | None = None,
     n_bands: int = 16,
     multiprobe_bits: int = 1,
     id_col: str = "vec_id",
@@ -771,12 +826,27 @@ def ann_topk_lsh(
 
     ``dim`` defaults to the corpus vector width; an explicit mismatch
     raises (a silent mismatch used to null every projection and collapse
-    all buckets into one — all-pairs in disguise)."""
+    all buckets into one — all-pairs in disguise).
+
+    ``band_bits=None`` (the default) SCALES WITH THE CORPUS:
+    ``clamp(ceil(log2(n / 16)), 6, 20)`` — expected random-collision
+    bucket occupancy stays ~16 rows, so candidate volume tracks the
+    true-neighbor volume instead of the corpus. A static band width is
+    the quiet 100 TB failure mode: 6-bit keys (keyspace 64) that prune
+    fine at the 2k bench corpus collide on essentially EVERY pair at
+    512k vectors — the r14 re-measure clocked defaults-at-512k at
+    95.6 s (≈ brute force with extra steps) vs 2.5 s with width keyed
+    to the corpus, recall 1.000 both. Costs one corpus count() when
+    left to auto; pass an explicit width to skip it (e.g. when the
+    caller amortizes signatures across query batches)."""
     dim = _check_dim(embeddings, vec_col, dim)
     # the query side gets the same width guard — a mismatched query
     # null-pads every projection and packs all-zero band keys (garbage
     # candidates ranked by NULL cosine, no error)
     _check_query_dim(queries, vec_col, dim)
+    if band_bits is None:
+        n = _valid_vecs(embeddings, vec_col).count()
+        band_bits = min(20, max(6, math.ceil(math.log2(max(n, 2) / 16))))
     docs = (
         _scatter(_valid_vecs(embeddings, vec_col))
         .select(

@@ -192,6 +192,34 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"ANN recall too low: {recall}"
 
 
+def test_band_keys_matches_fold_spec(spark, sf_dir):
+    """Differential pin for the r14 vectorization: the Arrow-matmul
+    `_band_keys` must pack keys IDENTICAL to the Column-fold executable
+    spec (`_band_keys_spec`, the r11-r13 production form) — per row, per
+    band, across several (n_bands, band_bits, seed) shapes including the
+    `ann_topk_lsh` default (16×6). A sign flip needs a hyperplane
+    projection within rounding error of zero, and any packing/ordering
+    bug flips whole keys — either fails this test loudly."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    )
+    for n_bands, band_bits, seed in ((16, 6, 1), (4, 12, 1), (8, 8, 3)):
+        cmp = emb.select(
+            S._band_keys(F.col("v"), 64, n_bands, band_bits, seed).alias("fast"),
+            S._band_keys_spec(F.col("v"), 64, n_bands, band_bits, seed).alias(
+                "spec"
+            ),
+        )
+        bad = cmp.filter(F.col("fast") != F.col("spec")).count()
+        n = cmp.count()
+        assert n > 0
+        assert bad == 0, (
+            f"band-key mismatch at bands={n_bands} bits={band_bits} "
+            f"seed={seed}: {bad}/{n} rows differ"
+        )
+
+
 def test_similar_pairs_lsh_matches_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ids = {

@@ -93,6 +93,11 @@ def test_ann_lsh_candidates_are_equi_join(spark, sf_dir):
     plan = audit.executed_plan(S.ann_topk_lsh(e, qs, dim=64, k=5))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # r14: band signatures must run as the Arrow-vectorized matmul
+    # (ArrowEvalPython), not interpreted Column folds — the r13 scale
+    # probe measured the fold form at ~520 µs/vector (30× slower than
+    # brute force at 512k vectors)
+    assert "ArrowEvalPython" in plan, plan
 
 
 def test_flagship_join_plan_shape(spark, sf_dir):

@@ -32,14 +32,28 @@ CodegenFallback: always interpreted, ~520 us/vector here vs ~1.4 us
 for the same flops in codegen (norms). At the bench's 2k corpus this
 hides inside session overhead, which is why BENCH never flagged it.
 
-r14 fix (product, stains the similarity family — scheduled with the
-lake seqmax work): compute signatures via one Arrow-vectorized
-mapInPandas matmul — (N, dim) @ (dim, bands*bits) -> sign bits ->
-pack band keys — shared by ann_topk_lsh and similar_pairs' LSH
-fallback. Until then the LSH leg below runs at a reduced corpus
-(ANN_PROBE_LSH_CORPUS, default 64k, measured 141.4 s interpreted with
-recall 1.000); r14 flips the default to the full 512k to PIN the fix
-and the probe then expects LSH wall within ~3x of brute."""
+r14 fix LANDED, two parts (operators/similarity.py):
+  1. `_band_keys` signatures now run as one Arrow-vectorized
+     pandas_udf matmul — (N, dim) @ (dim, bands*bits) -> sign bits ->
+     pack band keys — bit-exact vs the retained Column-fold spec
+     (`_band_keys_spec`, pinned by
+     tests/test_llm_ops.py::test_band_keys_matches_fold_spec). That
+     alone took the 512k LSH leg from 585-727 s to 95.6 s recall
+     1.000 (measured this round).
+  2. The residual 95.6 s was CANDIDATE EXPLOSION, the second static-
+     parameter scale trap: 6-bit band keys (keyspace 64) collide on
+     essentially every pair at 512k vectors, so LSH scored the whole
+     corpus. `band_bits` now defaults to corpus-scaled width
+     (clamp(ceil(log2(n/16)), 6, 20) — constant expected bucket
+     occupancy); measured sweep at 512k, recall 1.000 throughout:
+     bb=12 14.3 s, bb=16 2.5 s vs brute 9.5 s.
+Blast-radius correction vs the r13 wording: only ann_topk_lsh ever
+routed through _band_keys; similar_pairs' LSH fallback already used
+the matmul via _lsh_candidate_pairs. The LSH leg below runs at the
+FULL 512k corpus (ANN_PROBE_LSH_CORPUS) on the operator's pure-default
+auto path; the band (this host): LSH wall BELOW brute (2.5-6 s vs
+9.5-18 s) at recall >= 0.95. The reduced-corpus brute wall prints
+alongside when a smaller LSH corpus is requested."""
 import os
 import sys
 import time
@@ -67,7 +81,7 @@ base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
 )
 n0 = base.count()
 K = 10
-LSH_CORPUS = int(os.environ.get("ANN_PROBE_LSH_CORPUS", "64000"))
+LSH_CORPUS = int(os.environ.get("ANN_PROBE_LSH_CORPUS", "512000"))
 
 
 def inflate(target_rows):
@@ -127,10 +141,14 @@ lsh_truth = truth if lsh_corpus is corpus else set(
     .select("query_id", "neighbor_id")
     .collect()
 )
+if lsh_corpus is not corpus:
+    # ADVICE r13: print the brute wall at the corpus the LSH leg
+    # actually uses, so the LSH-vs-brute ratio below is measurable
+    print(f"brute@{lsh_total}: rows={len(lsh_truth)} wall={time.time() - t0:.1f}s")
 t0 = time.time()
 lsh = set(
     (r.query_id, r.neighbor_id)
-    for r in ann_topk_lsh(lsh_corpus, queries, k=K, multiprobe_bits=2)
+    for r in ann_topk_lsh(lsh_corpus, queries, k=K)
     .select("query_id", "neighbor_id")
     .collect()
 )
