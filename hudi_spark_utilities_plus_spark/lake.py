@@ -194,6 +194,114 @@ def _envelope_groups_disjoint(
         return False
 
 
+class SeqClaimStore:
+    """Minimal conditional-put surface for O(1) commit-seq allocation on
+    shared storage — the claim-dir protocol behind MOR seq allocation on
+    paths where the ``__hudi_seqmax`` sidecar (POSIX rename) is
+    unavailable. A claim is an immutable zero-payload object named
+    ``seq-%012d``; allocation is one LIST (max claimed seq) + one
+    if-none-match PUT, with a bump-and-retry on contention — natively
+    multi-writer-unique, no lock required, and durable BEFORE the log
+    append so a crash wastes a seq (gap) instead of duplicating one.
+    The LIST stays bounded because ``_drop_seqmax`` truncates claims
+    whenever the log itself is truncated (compaction advances the
+    seqbase watermark; restore rewinds the timeline).
+
+    Deployments back this with their object-store client
+    (``register_seq_claim_store``); ``claim()`` must map the store's
+    conditional-put failure (HTTP 412 / precondition failed) to False.
+    """
+
+    def list_claims(self) -> list[int]:
+        """Seq numbers currently claimed (one LIST call)."""
+        raise NotImplementedError
+
+    def claim(self, seq: int) -> bool:
+        """If-none-match PUT of ``seq-%012d``: True = claimed, False =
+        another writer holds it (caller bumps and retries)."""
+        raise NotImplementedError
+
+    def truncate(self) -> None:
+        """Delete every claim — called when the delta log itself is
+        truncated (compact/restore); the next allocation re-bootstraps
+        from the seqbase watermark / surviving log."""
+        raise NotImplementedError
+
+
+class _LocalSeqClaimStore(SeqClaimStore):
+    """Claim dir on a local filesystem: tmp + hard-link conditional put,
+    the same if-none-match model ``_publish_manifest`` uses (with the
+    identical O_EXCL fallback for linkless filesystems). Used when
+    ``hoodie.seq.allocation=claim`` forces the claim protocol on a local
+    table — e.g. to exercise exactly what an object-store deployment
+    runs — and as the probe's measurable stand-in for that deployment."""
+
+    def __init__(self, dirpath: str):
+        self.dir = dirpath
+
+    def list_claims(self) -> list[int]:
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for f in os.listdir(self.dir):
+            m = re.fullmatch(r"seq-(\d{12})\.claim", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def claim(self, seq: int) -> bool:
+        os.makedirs(self.dir, exist_ok=True)
+        target = os.path.join(self.dir, f"seq-{seq:012d}.claim")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(seq))
+        try:
+            try:
+                os.link(tmp, target)
+                return True
+            except FileExistsError:
+                return False
+            except OSError:
+                try:
+                    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    return False
+                with os.fdopen(fd, "w") as out:
+                    out.write(str(seq))
+                return True
+        finally:
+            os.unlink(tmp)
+
+    def truncate(self) -> None:
+        if not os.path.isdir(self.dir):
+            return
+        for f in os.listdir(self.dir):
+            if re.fullmatch(r"seq-(\d{12})\.claim", f):
+                try:
+                    os.remove(os.path.join(self.dir, f))
+                except FileNotFoundError:
+                    pass
+
+
+# scheme -> factory(claim_prefix_uri) -> SeqClaimStore. Deployments
+# register their object-store client here; the table resolves it by the
+# scheme of its path (see HudiTable._seq_claim_store).
+_SEQ_CLAIM_STORES: dict[str, "Callable[[str], SeqClaimStore]"] = {}
+
+
+def register_seq_claim_store(scheme: str, factory) -> None:
+    """Register a SeqClaimStore factory for a URI scheme (e.g. ``s3``).
+    ``factory`` receives the claim-dir URI ``<table-path>__hudi_seqclaim``
+    and returns the store. With a store registered, MOR seq allocation on
+    that scheme is O(1) conditional-put RPCs instead of the O(log) Spark
+    max-agg scan per append the 120-commit probe condemned."""
+    _SEQ_CLAIM_STORES[scheme.lower()] = factory
+
+
+def unregister_seq_claim_store(scheme: str) -> None:
+    _SEQ_CLAIM_STORES.pop(scheme.lower(), None)
+
+
 @dataclass
 class HudiTable:
     """A keyed, upsertable, optionally partitioned lake table.
@@ -893,8 +1001,14 @@ class HudiTable:
         and a new writer acquired between our stat and our rename), the
         steal was mistaken and the file is restored via os.link —
         conditional, so a third writer's lock created in the gap is
-        never clobbered (the victim's post-create verification handles
-        the leftovers either way)."""
+        never clobbered. Residual window: when the mistaken steal
+        dispossessed a FRESH victim that had already passed its
+        post-create verification AND a third writer created in the
+        path-absent gap, the EEXIST-failed restore leaves BOTH believing
+        they hold the lock; in that window mutual exclusion comes from
+        the manifest conditional-put, not the lock. (The victim's
+        post-create verification only protects victims that verify
+        AFTER the steal.)"""
         try:
             if time.time() - os.path.getmtime(path) <= expire_s:
                 return False  # live holder
@@ -964,34 +1078,64 @@ class HudiTable:
         os.replace(tmp, p)
 
     def _drop_seqmax(self) -> None:
-        """Invalidate the allocation sidecar. Called by every path that
-        REMOVES log entries (compact, restore) — the next _next_seq
-        falls back to the log scan / seqbase watermark, and the next
-        append re-establishes the sidecar."""
+        """Invalidate the allocation state — the sidecar AND the claim
+        dir. Called by every path that REMOVES log entries (compact,
+        restore) — the next _next_seq falls back to the log scan /
+        seqbase watermark, and the next append re-establishes whichever
+        allocation mechanism the table resolves. Claims are truncated
+        wholesale (not pruned below seqbase): both call sites re-derive
+        the correct floor afterward — compaction's advanced seqbase, or
+        restore's surviving-log rescan — and a full truncate keeps the
+        claim LIST bounded by commits-since-compaction exactly like the
+        log itself."""
         try:
             p = self._seqmax_path()
         except NotImplementedError:
-            return
-        if os.path.exists(p):
-            os.remove(p)
+            pass
+        else:
+            if os.path.exists(p):
+                os.remove(p)
+        store = self._seq_claim_store()
+        if store is not None:
+            store.truncate()
 
-    def _next_seq(self, spark: SparkSession) -> int:
-        """Monotonic commit sequence for log records, floored by the
-        post-compaction watermark.
+    def _seq_claim_store(self) -> SeqClaimStore | None:
+        """Resolve the claim-dir store for this table's path, or None
+        when the plain sidecar/log-scan path applies.
 
-        O(1) via the ``__hudi_seqmax`` sidecar (the highest seq ever
-        allocated — _append_log pre-writes it before the parquet append,
-        so a crash between the two leaves a harmless seq GAP, never a
-        duplicate). Without the sidecar this was a full delta-log scan
-        per append — O(log-since-compaction) on the MOR write hot path,
-        measured at 1.94 s/commit by commit 120 with compaction off.
-        Fallback (pre-sidecar tables, non-local filesystems): the 1-row
-        max agg over the log's seq column."""
-        if not self._has_log(spark):
-            return self._seq_base()
-        cached = self._read_seqmax()
-        if cached is not None:
-            return max(cached + 1, self._seq_base())
+        - ``hoodie.seq.allocation=claim`` forces the claim protocol:
+          local paths get the built-in hard-link store, non-local
+          schemes need a registered factory (raises otherwise — the
+          option is an explicit promise of O(1) allocation).
+        - default (``auto``): local paths keep the sidecar (measured
+          ~25% faster than the claim dir and lock-protected); non-local
+          schemes use a registered store when present, else the
+          per-append log-scan fallback (the documented degradation)."""
+        mode = str(self.options.get("hoodie.seq.allocation", "auto")).lower()
+        m = re.match(r"^([a-z][a-z0-9+.-]*)://(.*)$", self.path)
+        scheme = m.group(1) if m else None
+        claim_uri = f"{self.path.rstrip('/')}__hudi_seqclaim"
+        if scheme is None or scheme == "file":
+            if mode == "claim":
+                return _LocalSeqClaimStore(
+                    f"{self._local_fs_path().rstrip('/')}__hudi_seqclaim"
+                )
+            return None
+        factory = _SEQ_CLAIM_STORES.get(scheme)
+        if factory is not None:
+            return factory(claim_uri)
+        if mode == "claim":
+            raise NotImplementedError(
+                f"hoodie.seq.allocation=claim on scheme '{scheme}://' "
+                "needs a registered SeqClaimStore "
+                "(register_seq_claim_store) — none is registered"
+            )
+        return None
+
+    def _log_scan_next(self, spark: SparkSession) -> int:
+        """Bootstrap/fallback: the 1-row max agg over the log's seq
+        column (O(log-since-compaction) — the cost the sidecar and the
+        claim dir exist to avoid paying per append)."""
         row = (
             spark.read.option("mergeSchema", "true").parquet(self._log_path)
             .agg(F.max("__hudi_seq").alias("m"))
@@ -999,16 +1143,72 @@ class HudiTable:
         )
         return max(int(row["m"] or 0) + 1, self._seq_base())
 
+    def _next_seq(self, spark: SparkSession) -> int:
+        """Monotonic commit sequence for log records, floored by the
+        post-compaction watermark. READ-ONLY peek — allocation (which
+        must be durable and multi-writer-unique) is _alloc_seq.
+
+        O(1) via the ``__hudi_seqmax`` sidecar (the highest seq ever
+        allocated — _alloc_seq persists it before the parquet append,
+        so a crash between the two leaves a harmless seq GAP, never a
+        duplicate), or via one claim-dir LIST where a SeqClaimStore is
+        resolved (non-local schemes / forced claim mode). Without
+        either, this was a full delta-log scan per append —
+        O(log-since-compaction) on the MOR write hot path, measured at
+        1.94 s/commit by commit 120 with compaction off."""
+        store = self._seq_claim_store()
+        if store is not None:
+            # claims are the allocation ground truth — consulted BEFORE
+            # the log probe (on schemes Spark can't read directly, the
+            # probe is a guaranteed miss, and after the crash-gap case
+            # a claim can legitimately outrun the log)
+            claims = store.list_claims()
+            if claims:
+                return max(claims[-1] + 1, self._seq_base())
+        if not self._has_log(spark):
+            return self._seq_base()
+        if store is not None:
+            # claim dir empty but a log exists (pre-claim table, or
+            # post-restore truncation): bootstrap from the surviving log
+            return self._log_scan_next(spark)
+        cached = self._read_seqmax()
+        if cached is not None:
+            return max(cached + 1, self._seq_base())
+        return self._log_scan_next(spark)
+
+    def _alloc_seq(self, spark: SparkSession) -> int:
+        """Durably allocate the next commit seq BEFORE the log append.
+
+        Claim path (store resolved): one LIST for the candidate, one
+        conditional PUT to claim it, bump-and-retry on contention —
+        O(1) RPCs, multi-writer-unique with no lock (measured: 8 procs
+        × 40 claims = 320/320 distinct dense; flat [0.26…0.20] s/commit
+        over a 120-commit timeline vs the log-scan fallback's drifting
+        [0.52…0.65] s). Sidecar path: read-modify-replace under the
+        table lock. Either way a crash after allocation wastes a seq
+        (gap — the read merge and cursors don't care) instead of
+        re-issuing one (two commits sharing a seq would merge as one)."""
+        store = self._seq_claim_store()
+        if store is None:
+            seq = self._next_seq(spark)
+            self._write_seqmax(seq)
+            return seq
+        claims = store.list_claims()
+        if claims:
+            cand = max(claims[-1] + 1, self._seq_base())
+        elif self._has_log(spark):
+            cand = self._log_scan_next(spark)
+        else:
+            cand = self._seq_base()
+        while not store.claim(cand):
+            cand += 1
+        return cand
+
     def _append_log(self, df: DataFrame, op: str, spark: SparkSession) -> None:
         """MERGE_ON_READ write path: append the batch to the delta log —
         no base files are opened, the write cost is O(batch), and the
         merge is deferred to read()/compact()."""
-        seq = self._next_seq(spark)
-        # allocate-before-append: persisting the seq BEFORE the parquet
-        # write means a crash between the two wastes a seq (gap — the
-        # read merge and cursors don't care) instead of re-issuing one
-        # (two commits sharing a seq would merge as one)
-        self._write_seqmax(seq)
+        seq = self._alloc_seq(spark)
         # materialize, don't guard: on a partitioned table a log entry
         # missing the partition column (typically a key-only delete
         # marker) used to append at the log ROOT while sibling entries
@@ -2055,17 +2255,19 @@ class HudiTable:
         survives partial rewrites; files with no envelope (legacy
         manifests, unsupported key dtypes) are simply never pruned.
 
-        ``key_unique`` is the writer's SEMANTIC claim that no record
-        key appears in more than one row across the published base
-        files (full-replace commits whose payload came out of a
-        latest-wins merge assert it; bulk appends prove it from
-        envelope disjointness or don't claim it). The partition-scoped
-        MOR read uses it to skip the base-duplicate guard
-        (_base_duplicate_guard) — a FALSE claim would make that read
-        unsound, so callers only pass True on a merge-derived payload
-        or an envelope proof. Merge-head appends against a non-empty
-        head demote the claim: the merged payload spans two commits
-        and cross-commit key disjointness is unproven."""
+        ``key_unique`` is the writer's claim that no record key SPANS
+        TWO published base files. Within-file duplicates are not
+        excluded by the envelope proof: a bulk_insert batch whose
+        duplicate keys land in one output file still publishes the
+        claim. Every current consumer needs only the cross-file
+        property (the base-duplicate guard skip and the
+        overwrite/upsert propagation reason file-to-file); a consumer
+        wanting the row-level property — e.g. skipping merge dedup —
+        must NOT trust this claim. Merge-derived payloads do satisfy
+        the stronger form; envelope-proven ones may not. Merge-head
+        appends against a non-empty head demote the claim: the merged
+        payload spans two commits and cross-commit key disjointness is
+        unproven."""
         import json
 
         os.makedirs(self._manifest_dir, exist_ok=True)

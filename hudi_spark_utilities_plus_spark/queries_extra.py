@@ -2395,3 +2395,170 @@ def hudi_point_read(spark, sf_dir):
             f"expected exactly the {len(expected)} envelope-matched ones"
         )
     return df
+
+
+@query(
+    "hudi_clean_grace",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice * 2 AS p,
+             o_orderdate + INTERVAL 1 DAY AS d
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), b AS (
+      SELECT o_orderkey, o_totalprice + 7 AS p,
+             o_orderdate + INTERVAL 2 DAY AS d
+      FROM orders WHERE o_orderkey % 9 = 0
+    ), merged AS (
+      SELECT o.o_orderkey,
+             COALESCE(b.p, a.p, o.o_totalprice) AS o_totalprice,
+             COALESCE(b.d, a.d, o.o_orderdate) AS o_orderdate
+      FROM orders o
+      LEFT JOIN a USING (o_orderkey)
+      LEFT JOIN b USING (o_orderkey)
+    ), extra AS (
+      SELECT -o_orderkey AS o_orderkey,
+             2.0 AS o_totalprice,
+             TIMESTAMP '1990-01-02' AS o_orderdate
+      FROM (SELECT o_orderkey FROM orders WHERE o_orderkey > 0
+            ORDER BY o_orderkey LIMIT 10)
+    )
+    SELECT * FROM merged UNION ALL SELECT * FROM extra
+    """,
+)
+def hudi_clean_grace(spark, sf_dir):
+    """§1.2 the cleaner's CONCURRENT-WRITER grace path (Hudi's
+    modification-age retention guard, the posture Iceberg's
+    remove-orphan-files shares): an in-flight commit writes its data
+    files BEFORE publishing its manifest, so to a concurrent cleaner
+    those files are indistinguishable from crashed-writer debris —
+    except by age. ``clean(grace_seconds=g)`` must reclaim aged
+    debris (a crashed writer's orphan AND superseded versions' files)
+    while files younger than the grace age SURVIVE untouched and can
+    still publish afterward.
+
+    Scenario (validated in the r13 /tmp prototype, lifted verbatim):
+    three published versions + an AGED crashed-writer orphan + a YOUNG
+    in-flight commit (files written through the real commit path,
+    manifest unpublished). First clean(keep_last=1, grace_seconds=3600)
+    reclaims exactly the aged debris; physical assertions pin the
+    reclaimed-set membership, the survivor files' mtimes, and
+    byte-identical reads across the clean. The in-flight commit then
+    publishes (merge-head conditional put, +10 disjoint keys) and is
+    later superseded, aged, and reclaimed by a second clean with reads
+    exact throughout. The query RAISES on any divergence; the returned
+    frame is the final snapshot the oracle recomputes."""
+    import os
+    import tempfile
+    import time as _time
+
+    from .lake import HudiTable
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="clean_grace_q_") + "/t"
+    t = HudiTable(
+        path=path,
+        record_key="o_orderkey",
+        precombine="o_orderdate",
+        options={"hoodie.commit.mode": "manifest"},
+    )
+    t.bulk_insert(o)
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ),
+        spark,
+    )
+    t.upsert(
+        o.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 7)
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")
+        ),
+        spark,
+    )
+    if len(t._manifest_versions()) != 3:
+        raise AssertionError(f"expected 3 versions, got {t._manifest_versions()}")
+    head_state = t.read(spark).persist()
+    head_rows = head_state.count()
+    # aged crashed-writer orphan: files on disk, no manifest, mtime old
+    orphan_dir = os.path.join(path, "data", "commit-crashed")
+    o.limit(5).withColumn("o_totalprice", F.lit(-1.0)).write.parquet(orphan_dir)
+    # young in-flight commit through the REAL commit path: files
+    # written, manifest not yet published — 10 brand-new disjoint keys
+    # o_orderkey > 0: key 0 would negate to itself and collide with the
+    # genesis row (whose newer precombine would then win, desyncing the
+    # oracle's blind union)
+    inflight_rows = (
+        o.filter(F.col("o_orderkey") > 0)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            F.lit(1.0).alias("o_totalprice"),
+            F.lit("1990-01-01").cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    in_files, in_ranges, in_pranges = t._manifest_write_batch(inflight_rows)
+    live_head = set(t._manifest_files())
+    aged = _time.time() - 7200  # older than the 3600 s grace
+    for dirpath, _, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            if fp not in live_head and fp not in set(in_files):
+                os.utime(fp, (aged, aged))
+    survivor_mtimes = {p: os.path.getmtime(p) for p in in_files}
+    stats = t.clean(keep_last=1, grace_seconds=3600)
+    if stats["manifests_removed"] != 2:
+        raise AssertionError(f"grace clean removed {stats} — expected 2 manifests")
+    if os.path.isdir(orphan_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(orphan_dir)
+    ):
+        raise AssertionError("aged crashed-writer orphan survived the clean")
+    on_disk = {
+        os.path.join(dirpath, f)
+        for dirpath, _, files in os.walk(os.path.join(path, "data"))
+        for f in files
+        if f.endswith(".parquet")
+    }
+    if on_disk != live_head | set(in_files):
+        raise AssertionError(
+            "grace clean left wrong file set: "
+            f"{len(on_disk)} on disk vs {len(live_head)} live + "
+            f"{len(in_files)} in-flight"
+        )
+    # survivor mtime-pin: the grace guard must not have touched them
+    for p_, m in survivor_mtimes.items():
+        if not os.path.exists(p_) or os.path.getmtime(p_) != m:
+            raise AssertionError(f"in-flight survivor disturbed: {p_}")
+    if t.read(spark).subtract(head_state).count() != 0 or head_state.subtract(
+        t.read(spark)
+    ).count() != 0:
+        raise AssertionError("snapshot read changed across the grace clean")
+    # the in-flight commit now PUBLISHES (merge-head conditional put)
+    t._publish_manifest(
+        in_files, merge_head=True, ranges=in_ranges, pranges=in_pranges
+    )
+    if t.read(spark).count() != head_rows + 10:
+        raise AssertionError("published in-flight commit rows missing")
+    # supersede the in-flight file (rewrite its keys), age it, clean
+    # again: now it is legitimately reclaimable — reads stay exact
+    t.upsert(
+        inflight_rows.withColumn("o_totalprice", F.lit(2.0)).withColumn(
+            "o_orderdate", F.lit("1990-01-02").cast("timestamp")
+        ),
+        spark,
+    )
+    for p_ in in_files:
+        if os.path.exists(p_):
+            os.utime(p_, (aged, aged))
+    live_final = set(t._manifest_files())
+    t.clean(keep_last=1, grace_seconds=3600)
+    leftover = [p_ for p_ in in_files if os.path.exists(p_) and p_ not in live_final]
+    if leftover:
+        raise AssertionError(f"superseded in-flight files survived: {leftover}")
+    head_state.unpersist()
+    return t.read(spark)

@@ -3464,3 +3464,221 @@ def test_lock_serializes_overwrite_vs_upsert_on_partitioned_manifest(
     # both commits published a manifest version; no lock leaked
     assert t._manifest_versions()[-1] == v0 + 2
     assert not os.path.exists(t.path + "__hudi_lock"), "lock leaked"
+
+
+# -- seq claim dir (r14: O(1) non-local MOR seq allocation) -------------
+
+
+class _MemClaimStore:
+    """In-memory SeqClaimStore with RPC counters — the unit-test stand-in
+    for an object-store client registered via register_seq_claim_store.
+    put-if-absent over a dict models the if-none-match PUT exactly."""
+
+    def __init__(self):
+        self.claims: set[int] = set()
+        self.rpc = {"list": 0, "put": 0}
+
+    def list_claims(self):
+        self.rpc["list"] += 1
+        return sorted(self.claims)
+
+    def claim(self, seq: int) -> bool:
+        self.rpc["put"] += 1
+        if seq in self.claims:
+            return False
+        self.claims.add(seq)
+        return True
+
+    def truncate(self) -> None:
+        self.claims.clear()
+
+
+def test_seq_claim_nonlocal_allocation_is_o1(spark):
+    """On a non-local scheme with a registered SeqClaimStore, MOR seq
+    allocation is O(1) conditional-put RPCs — one LIST + one PUT per
+    allocation, never the per-append Spark log scan (the O(log) cost
+    the 120-commit probe condemned). The log-scan fallback is
+    monkeypatch-poisoned to prove it is never consulted once claims
+    exist."""
+    from hudi_spark_utilities_plus_spark import lake as L
+
+    store = _MemClaimStore()
+    L.register_seq_claim_store("mem-s3", lambda uri: store)
+    try:
+        t = HudiTable(
+            path="mem-s3://bucket/tbl",
+            record_key="id",
+            precombine="ver",
+            table_type="MERGE_ON_READ",
+        )
+        # bootstrap: empty claim dir + no log -> seqbase floor (0)
+        assert t._alloc_seq(spark) == 0
+        # poison the fallback: every later allocation must be claim-only
+        orig = t._log_scan_next
+        t._log_scan_next = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("claim path fell back to the Spark log scan")
+        )
+        base = dict(store.rpc)
+        for expect in (1, 2, 3):
+            assert t._alloc_seq(spark) == expect
+        dl = store.rpc["list"] - base["list"]
+        dp = store.rpc["put"] - base["put"]
+        assert dl == 3 and dp == 3, (dl, dp)  # 1 LIST + 1 PUT each
+        t._log_scan_next = orig
+        # contention: a racing writer claims the candidate BETWEEN our
+        # LIST and our PUT -> exactly one extra PUT (bump-and-retry),
+        # still no log scan
+        inner_list = store.list_claims
+
+        def stale_list():
+            out = inner_list()
+            store.claims.add(4)  # the racer lands after our LIST
+            return out
+
+        store.list_claims = stale_list
+        base = dict(store.rpc)
+        assert t._alloc_seq(spark) == 5
+        store.list_claims = inner_list
+        assert store.rpc["put"] - base["put"] == 2
+        # peek (_next_seq) is read-only: one LIST, no PUT
+        base = dict(store.rpc)
+        assert t._next_seq(spark) == 6
+        assert store.rpc["list"] - base["list"] == 1
+        assert store.rpc["put"] == base["put"]
+        # truncation (what _drop_seqmax does on compact/restore)
+        t._drop_seqmax()
+        assert store.claims == set()
+    finally:
+        L.unregister_seq_claim_store("mem-s3")
+
+
+def test_seq_claim_concurrent_allocators_unique_dense(spark):
+    """Claims are natively multi-writer-unique WITHOUT the table lock:
+    concurrent allocators against one store produce distinct, dense
+    seqs (the /tmp prototype measured 320/320 distinct dense across 8
+    OS processes; threads exercise the same code path here)."""
+    import threading as th
+
+    from hudi_spark_utilities_plus_spark import lake as L
+
+    store = _MemClaimStore()
+    # wrap claim with a tiny stagger to widen the race window
+    inner = store.claim
+
+    def racy_claim(seq):
+        import time as _time
+
+        _time.sleep(0.001)
+        return inner(seq)
+
+    store.claim = racy_claim
+    L.register_seq_claim_store("mem-s3b", lambda uri: store)
+    try:
+        t = HudiTable(
+            path="mem-s3b://bucket/tbl",
+            record_key="id",
+            precombine="ver",
+            table_type="MERGE_ON_READ",
+        )
+        got: list[int] = []
+        lock = th.Lock()
+
+        def alloc():
+            for _ in range(25):
+                s = t._alloc_seq(spark)
+                with lock:
+                    got.append(s)
+
+        threads = [th.Thread(target=alloc) for _ in range(8)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=120)
+        assert len(got) == 200
+        assert sorted(got) == list(range(200)), "seqs not distinct+dense"
+    finally:
+        L.unregister_seq_claim_store("mem-s3b")
+
+
+def test_seq_claim_mode_forced_local_full_lifecycle(spark, tmp_path):
+    """hoodie.seq.allocation=claim on a local table routes allocation
+    through the hard-link claim dir (the object-store protocol,
+    measurable on this filesystem): full MOR lifecycle — writes, merge
+    reads, compaction (claims truncated, seqbase advances, cursors
+    stay valid), incremental read — stays exact, and the claim files
+    mirror the allocated seqs."""
+    t = HudiTable(
+        path=str(tmp_path / "claimt"),
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+        options={"hoodie.seq.allocation": "claim"},
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "id int, ver int, v string"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame([(1, 2, "a2"), (3, 1, "c")], "id int, ver int, v string")
+    )
+    t.delete(spark.createDataFrame([(2,)], "id int"))
+    claim_dir = t.path + "__hudi_seqclaim"
+    assert os.path.isdir(claim_dir)
+    claimed = sorted(
+        int(f[4:16]) for f in os.listdir(claim_dir) if f.endswith(".claim")
+    )
+    assert claimed == [0, 1], claimed  # upsert=0, delete=1
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {1: "a2", 3: "c"}
+    cursor = t.latest_commit_seq(spark)
+    t.compact(spark)
+    # compaction truncates claims and advances the seqbase watermark
+    assert sorted(
+        int(f[4:16]) for f in os.listdir(claim_dir) if f.endswith(".claim")
+    ) == []
+    t.upsert(
+        spark.createDataFrame([(4, 1, "d")], "id int, ver int, v string")
+    )
+    # post-compaction allocation continues MONOTONIC from seqbase
+    claimed = sorted(
+        int(f[4:16]) for f in os.listdir(claim_dir) if f.endswith(".claim")
+    )
+    assert claimed == [2], claimed
+    inc = {r["id"] for r in t.read_incremental(spark, since_seq=cursor).collect()}
+    assert inc == {4}
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == {
+        1: "a2", 3: "c", 4: "d",
+    }
+
+
+def test_seq_claim_mode_nonlocal_without_store_raises():
+    """hoodie.seq.allocation=claim is an explicit promise of O(1)
+    allocation: on a scheme with no registered store it must refuse
+    loudly, not silently degrade to the per-append log scan."""
+    t = HudiTable(
+        path="s3://bucket/tbl",
+        record_key="id",
+        precombine="ver",
+        table_type="MERGE_ON_READ",
+        options={"hoodie.seq.allocation": "claim"},
+    )
+    with pytest.raises(NotImplementedError, match="SeqClaimStore"):
+        t._seq_claim_store()
+
+
+def test_seq_claim_local_store_conditional_put(tmp_path):
+    """The built-in local claim store: put-if-absent wins exactly once
+    per seq across racing writers (hard-link conditional put), listing
+    parses only well-formed claim names, truncate empties."""
+    from hudi_spark_utilities_plus_spark.lake import _LocalSeqClaimStore
+
+    d = str(tmp_path / "claims")
+    a, b = _LocalSeqClaimStore(d), _LocalSeqClaimStore(d)
+    assert a.claim(0) is True
+    assert b.claim(0) is False  # conditional put: loser fails
+    assert b.claim(1) is True
+    (tmp_path / "claims" / "garbage.txt").write_text("x")
+    assert a.list_claims() == [0, 1]
+    a.truncate()
+    assert a.list_claims() == []
+    assert os.path.exists(tmp_path / "claims" / "garbage.txt")

@@ -17,7 +17,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 def run(tag, options):
     p = f"/tmp/probe/t_{tag}"
-    for d in (p, p + "__hudi_log"):
+    for d in (p, p + "__hudi_log", p + "__hudi_seqclaim"):
         shutil.rmtree(d, ignore_errors=True)
     for f in (p + "__hudi_seqbase", p + "__hudi_seqmax"):
         if os.path.exists(f):
@@ -39,4 +39,9 @@ def run(tag, options):
 
 run("compaction_off", {})
 run("compaction_on", {"hoodie.compact.inline": "true"})
+# r14: seq allocation through the claim-dir conditional put (the
+# object-store protocol, forced on this local path) — must stay FLAT
+# like the sidecar, vs the log-scan fallback's per-append drift the
+# r13 /tmp prototype measured at [0.52..0.65] s
+run("claim_alloc", {"hoodie.seq.allocation": "claim"})
 spark.stop()
