@@ -36,74 +36,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order. Round-13 window (VERDICT r12 "Next" #1 — the
-# ZERO-PRODUCT-CHURN clear of both old cohorts), COMPUTED by
-# tools/ledger.py at the committed tree, which reports 0 stale /
-# 0 never / 0 red and suggests exactly this head: the 16 remaining
-# r5-row ids + the 33 r6-row ids (49 — after this window every
-# registered id's latest row is r7+) + the one spare slot spent on the
-# oldest r7 row (alphabetically agg_bitmap_distinct, per the verdict).
-# No r13 product commit stains a queries/operators dependency — the
-# round is test/measure/docs-only precisely so this 49-id backlog fits
-# the 50-slot window (SURVEY §14 has the arithmetic and the deferred
-# ADVICE items that would otherwise have re-stained lake.py's 24-id
-# closure).
+# in dict order. Round-14 window, COMPUTED by tools/ledger.py at the
+# committed tree after the round's two product commits (similarity
+# vectorization 94977ab + lake claim-dir/cleaner 2ba3249): the 33
+# stained-or-new ids (7 similarity-family, 25 lake-family, plus the new
+# hudi_clean_grace) + 17 spare slots on the oldest r7 rows — exactly the
+# ledger's suggested head, matching SURVEY §14.17's window arithmetic
+# (lake 25 ∪ similarity 7 = 32, + 1 new id, + ~16 r7 spares; the
+# remaining r7 rows rotate in r15).
 _CHECK_ORDER = [
-    # the 16 remaining r5-row ids (oldest rows in the registry)
-    "join_semi",
-    "json_funcs",
-    "math_funcs",
-    "null_funcs",
-    "project_expr",
-    "scan_parquet",
-    "set_union",
-    "sort_limit_topk",
-    "str_funcs",
-    "stream_recovery",
-    "struct_access",
-    "subquery_in",
-    "tpch_q12_shape",
-    "transform_sql",
-    "win_lead",
-    "win_rank",
-    # the 33 r6-row ids — the rest of the old cohort
-    "agg_cube",
-    "agg_decimal_total",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_mode",
-    "agg_percentile",
-    "agg_salted",
-    "date_arith",
-    "derive_partition_dt",
-    "distinct_rows",
-    "filter_in",
-    "filter_null",
-    "flatten_array_struct",
-    "flatten_cartesian",
-    "hist_totalprice",
-    "join_anti",
-    "join_cross",
-    "join_full",
-    "join_salted",
-    "pivot_status",
-    "set_except",
-    "set_intersect",
-    "stream_session",
-    "stream_tumbling",
-    "subquery_exists",
-    "tpch_q10_shape",
-    "tpch_q18_shape",
-    "tpch_q1_shape",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "unpivot_measures",
-    "win_lag",
-    "win_running_sum",
-    # spare slot: the oldest r7 row, alphabetical
-    "agg_bitmap_distinct",
-    # ---- window edge: position 50 ----
-    # anything not listed appends in registration order (see _ordered)
+    # stained/new ids (this round's product commits)
+    "hudi_clean_grace",
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "dedup_embedding_semantic",
+    "embedding_quantize",
+    "embedding_similar_pairs",
+    "embedding_similar_pairs_lsh",
+    "binlog_purge_recovery",
+    "binlog_stream_scan",
+    "es_scan",
+    "hudi_cdc_read",
+    "hudi_clean_reclaim",
+    "hudi_cluster_read",
+    "hudi_filegroup_prune",
+    "hudi_hive_sync_read",
+    "hudi_incremental_read",
+    "hudi_insert_overwrite",
+    "hudi_manifest_commit",
+    "hudi_mor_read",
+    "hudi_mor_ro_read",
+    "hudi_partition_overwrite",
+    "hudi_partitioned_upsert",
+    "hudi_point_read",
+    "hudi_rectify_sizes",
+    "hudi_restore_read",
+    "hudi_schema_evolution",
+    "hudi_time_travel",
+    "hudi_upsert",
+    "mongo_scan",
+    "stream_demux",
+    "stream_demux_recovery",
+    "stream_demux_transform",
+    # 17 spare slots: the oldest r7 rows, alphabetical (ledger order)
+    "agg_hll_partitioned_union",
+    "agg_percentile_sketch",
+    "ansi_try_funcs",
+    "collation_group",
+    "downsample_ohlc",
+    "html_boilerplate_strip",
+    "join_interval_bucketed",
+    "log_parse_extract",
+    "map_access",
+    "order_nulls",
+    "outlier_zscore",
+    "sample_stratified",
+    "scd2_build",
+    "sql_pipe_syntax",
+    "stream_complete_agg",
+    "stream_dedup_watermark",
+    "stream_sliding",
 ]
 
 
