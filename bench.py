@@ -71,6 +71,10 @@ HEADLINE = [
     # the prefix-filtered near-dup join
     "mm_audio_energy",
     "dedup_containment",
+    # round-14: dynamic partition overwrite on the manifest commit path
+    # (drop/carry/rewrite classification; files carried by reference) —
+    # VERDICT r13 ask 3; first recording establishes its baseline
+    "hudi_partition_overwrite",
 ]
 
 
