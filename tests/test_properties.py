@@ -450,6 +450,11 @@ _hudi_ops = st.lists(
         # staging + directory swap — the oldest partitioned path, now
         # also driven through the random sequences incl. `overwrite`
         ("COPY_ON_WRITE", None, True),
+        # r14: MOR with claim-dir seq allocation forced — the
+        # conditional-put allocator (hoodie.seq.allocation=claim) under
+        # the same random sequences, incl. interleaved compaction's
+        # claim truncation + seqbase floor re-derivation
+        ("MERGE_ON_READ", "claim", False),
     ],
 )
 def test_hudi_table_matches_dict_replay(
@@ -472,7 +477,11 @@ def test_hudi_table_matches_dict_replay(
             if inline
             else {}
         )
-        if commit_mode:
+        if commit_mode == "claim":
+            # not a commit mode: the claim-dir seq ALLOCATOR forced on
+            # a plain MOR table (see the parametrize comment)
+            opts["hoodie.seq.allocation"] = "claim"
+        elif commit_mode:
             opts["hoodie.commit.mode"] = commit_mode
         t = HudiTable(
             path=f"{tmp}/t",
