@@ -999,3 +999,155 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (train once, query many — the amortization path)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train and PERSIST an IVF index at ``path``: deterministic k-means
+    over the corpus (same `_kmeans` machinery as `ivf_topk`), then the
+    assigned corpus — id, double vector, precomputed norm — written as
+    parquet **hive-partitioned by cluster**, with the k centroids in a
+    ``_centroids.json`` sidecar (k·dim floats — driver metadata).
+
+    This is the amortization path the one-shot `ivf_topk` cannot offer:
+    the r13 ANN scale probe measured k-means training DOMINATING its
+    512k-vector wall (29.6 s vs 17.8 s brute) — a cost that is pure
+    waste when the same corpus serves many query batches. Here training
+    is paid once at build; every `ivf_index_topk` afterwards probes
+    n_probe clusters per query and the cluster directory layout turns
+    probing into **static partition pruning** — only the probed
+    clusters' files are ever opened (test-pinned via inputFiles). At
+    100 TB the cluster column is exactly the lake partition key.
+
+    Returns ``{"n_clusters", "dim", "rows"}``. Raises on an empty or
+    all-invalid corpus (an index over nothing is a caller bug, not an
+    empty result)."""
+    import json
+    import os as _os
+
+    docs = (
+        _scatter(_valid_vecs(embeddings, vec_col))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("d_norm", l2_norm(F.col("v")))
+    )
+    docs = materialize(docs)
+    first = docs.select(F.size("v").alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    dim = int(first["d"])
+    assigned, cents = _kmeans(
+        docs, "v", "neighbor_id", n_clusters, kmeans_iters
+    )
+    (
+        assigned.select("neighbor_id", "v", "d_norm", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path.rstrip('/')}/data")
+    )
+    rows = docs.count()
+    meta = {
+        "n_clusters": len(cents),
+        "dim": dim,
+        "rows": rows,
+        "centroids": [[cid, cvec] for cid, cvec in cents],
+    }
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path.rstrip('/')}/_centroids.json", "w") as fh:
+        json.dump(meta, fh)
+    return {"n_clusters": len(cents), "dim": dim, "rows": rows}
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (`build_ivf_index`).
+
+    The k centroids load driver-side from the sidecar (metadata); each
+    query's n_probe nearest clusters come from a broadcast centroid
+    crossjoin + per-query window — identical math to `ivf_topk`'s
+    search half. The union of probed clusters across the query batch is
+    collected (≤ n_clusters ints) and applied as a STATIC ``cluster IN
+    (...)`` filter on the hive-partitioned index read, so Spark's
+    partition pruning opens only the probed clusters' files — no
+    training job, no full-corpus scan. Scoring and ranking match
+    `ivf_topk` exactly (same tie order), so recall characteristics are
+    identical for the same (n_clusters, n_probe)."""
+    import json
+
+    with open(f"{path.rstrip('/')}/_centroids.json") as fh:
+        meta = json.load(fh)
+    dim = int(meta["dim"])
+    _check_query_dim(queries, vec_col, dim)
+    qs = (
+        _valid_vecs(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+        )
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
+    )
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in meta["centroids"]],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    qd = qs.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist", _sq_dist(F.col("q_vec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cluster")
+    probes = (
+        qd.withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "cluster")
+    )
+    probes = materialize(probes)
+    probed = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    )  # ≤ n_clusters ints — metadata
+    if not probed:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cos_sim double, rnk int",
+        )
+    idx = spark.read.parquet(f"{path.rstrip('/')}/data").filter(
+        F.col("cluster").isin(probed)
+    )
+    cand = idx.join(
+        F.broadcast(probes),
+        (idx["cluster"] == probes["cluster"])
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn(
+        "cos_sim",
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("v")),
+            F.col("q_norm") * F.col("d_norm"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -1465,3 +1465,78 @@ def test_text_and_multimodal_degenerate_inputs(spark):
         )
         # the bound side is exact: scale ratios imply one side == 224
         assert 224 in (r["out_w"], r["out_h"])
+
+
+def test_ivf_index_build_query_and_partition_pruning(spark, sf_dir, tmp_path):
+    """Persisted IVF index: build once (k-means paid at build), then
+    query with NO training job and a partition-pruned read — only the
+    probed clusters' files are opened (inputFiles-pinned). Results
+    must EXACTLY match the one-shot ivf_topk at the same
+    (n_clusters, n_probe, kmeans_iters): same deterministic k-means,
+    same scoring, same tie order."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    idx_path = str(tmp_path / "ivf")
+    meta = S.build_ivf_index(emb, idx_path, n_clusters=4, kmeans_iters=2)
+    assert meta["n_clusters"] == 4 and meta["dim"] == 64
+    assert os.path.exists(os.path.join(idx_path, "_centroids.json"))
+    # hive layout: one directory per cluster
+    part_dirs = {
+        d for d in os.listdir(os.path.join(idx_path, "data"))
+        if d.startswith("cluster=")
+    }
+    assert part_dirs == {f"cluster={i}" for i in range(4)}, part_dirs
+
+    got = S.ivf_index_topk(spark, idx_path, qs, k=5, n_probe=2)
+    want = S.ivf_topk(emb, qs, k=5, n_clusters=4, n_probe=2, kmeans_iters=2)
+    g = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in got.collect()}
+    w = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in want.collect()}
+    assert g == w, "persisted-index results diverge from one-shot ivf_topk"
+
+    # partition pruning, pinned two ways for a single-query n_probe=1
+    # run: (a) the executed plan carries a PartitionFilters entry on the
+    # cluster column (the pruning mechanism), and (b) input_file_name()
+    # at execution — the files ACTUALLY read, where inputFiles() would
+    # report the unpruned FileIndex — touches exactly one cluster dir
+    from hudi_spark_utilities_plus_spark.plans import audit
+
+    one_q = emb.filter(F.col("vec_id") == 0)
+    res = S.ivf_index_topk(spark, idx_path, one_q, k=3, n_probe=1)
+    assert res.count() == 3
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cluster[^\]]*)\]",
+                  audit.executed_plan(res))
+    assert m and m.group(1).strip(), audit.executed_plan(res)
+    probed_scan = spark.read.parquet(os.path.join(idx_path, "data")).filter(
+        F.col("cluster") == 0
+    )
+    touched = {
+        r[0].split("/data/")[1].split("/")[0]
+        for r in probed_scan.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {"cluster=0"}, touched
+
+
+def test_ivf_index_guards(spark, sf_dir, tmp_path):
+    """Empty corpus refuses to build; mismatched query width refuses to
+    query; an empty query frame returns an empty typed result."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivf2")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S.build_ivf_index(emb.filter(F.lit(False)), str(tmp_path / "nope"))
+    S.build_ivf_index(emb, idx_path, n_clusters=2, kmeans_iters=1)
+    bad_q = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="width"):
+        S.ivf_index_topk(spark, idx_path, bad_q)
+    empty = S.ivf_index_topk(spark, idx_path, emb.filter(F.lit(False)), k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rnk",
+    ]

@@ -49,7 +49,13 @@ r14 fix LANDED, two parts (operators/similarity.py):
      bb=12 14.3 s, bb=16 2.5 s vs brute 9.5 s.
 Blast-radius correction vs the r13 wording: only ann_topk_lsh ever
 routed through _band_keys; similar_pairs' LSH fallback already used
-the matmul via _lsh_candidate_pairs. The LSH leg below runs at the
+the matmul via _lsh_candidate_pairs.
+
+Also r14: a PERSISTED-IVF-index leg (build_ivf_index/ivf_index_topk)
+— the amortization path for the "k-means training dominates" finding
+on the one-shot IVF: training paid once at build (~28-30 s at 512k),
+each query batch then partition-prunes to its probed clusters
+(warm 1.9-6 s, recall 1.000 vs one-shot 23-31 s per call). The LSH leg below runs at the
 FULL 512k corpus (ANN_PROBE_LSH_CORPUS) on the operator's pure-default
 auto path; the band (this host): LSH wall BELOW brute (2.5-6 s vs
 9.5-18 s) at recall >= 0.95. The reduced-corpus brute wall prints
@@ -131,6 +137,36 @@ print(
     f"ivf@512k: rows={len(ivf)} wall={time.time() - t0:.1f}s "
     f"recall@{K}={len(ivf & truth) / len(truth):.3f}"
 )
+
+# r14 leg: PERSISTED IVF index — training paid once at build, each
+# query batch partition-prunes to its probed clusters. Band (this
+# host): build ~28-30 s, warm query batch 1.9-6 s (vs the one-shot
+# ivf_topk's 23-31 s, which retrains per call), recall 1.000.
+import shutil as _shutil
+
+from hudi_spark_utilities_plus_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_index_topk,
+)
+
+_idx = "/tmp/probe/ivf_index_512k"
+_shutil.rmtree(_idx, ignore_errors=True)
+t0 = time.time()
+build_ivf_index(corpus, _idx, n_clusters=32, kmeans_iters=2)
+print(f"ivf_index build@512k: wall={time.time() - t0:.1f}s")
+for rep in (1, 2):
+    t0 = time.time()
+    idxq = set(
+        (r.query_id, r.neighbor_id)
+        for r in ivf_index_topk(spark, _idx, queries, k=K, n_probe=4)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    print(
+        f"ivf_index query rep{rep}: rows={len(idxq)} "
+        f"wall={time.time() - t0:.1f}s "
+        f"recall@{K}={len(idxq & truth) / len(truth):.3f}"
+    )
 
 lsh_corpus = corpus if LSH_CORPUS >= total else inflate(LSH_CORPUS)
 lsh_total = lsh_corpus.count()
