@@ -1534,3 +1534,56 @@ def test_xls_biff_roundtrip_matches_written_grid(spark, grid, tmp_path_factory):
         for row in grid
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# vectorized band keys vs the Column-fold spec (r14 differential)
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.one_of(
+                st.just(0.0),
+                st.floats(
+                    min_value=-10.0,
+                    max_value=10.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+            ),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_bands=st.integers(1, 3),
+    band_bits=st.integers(1, 4),
+    seed=st.integers(1, 5),
+)
+def test_band_keys_matmul_matches_fold_spec(
+    spark, vecs, n_bands, band_bits, seed
+):
+    """The Arrow-matmul `_band_keys` must pack keys identical to the
+    Column-fold spec on ADVERSARIAL vectors hand-written fixtures miss
+    — all-zero vectors (every projection 0 → every sign bit 0),
+    negatives, float32-representable values near sign boundaries —
+    across random (bands, bits, seed) shapes. A BLAS-vs-left-fold
+    summation difference can only flip a key when a projection lands
+    within rounding error of zero; this quantifies over that space."""
+    from hudi_spark_utilities_plus_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    cmp = df.select(
+        S._band_keys(F.col("v"), 6, n_bands, band_bits, seed).alias("fast"),
+        S._band_keys_spec(F.col("v"), 6, n_bands, band_bits, seed).alias(
+            "spec"
+        ),
+    )
+    assert cmp.filter(F.col("fast") != F.col("spec")).count() == 0
