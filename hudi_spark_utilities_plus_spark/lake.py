@@ -224,7 +224,17 @@ class SeqClaimStore:
     def truncate(self) -> None:
         """Delete every claim — called when the delta log itself is
         truncated (compact/restore); the next allocation re-bootstraps
-        from the seqbase watermark / surviving log."""
+        from the seqbase watermark / surviving log.
+
+        CONCURRENCY SCOPE: allocation needs no lock against OTHER
+        ALLOCATORS (the conditional put arbitrates), but truncation must
+        EXCLUDE allocators — a truncate racing an in-flight allocation
+        could delete a just-won claim before its log append lands,
+        letting a later writer re-claim the same seq (two commits merge
+        as one). Both callers (compact, restore) already run under the
+        table lock (@_locked); cross-process deployments get the same
+        guarantee from the filesystem lock provider / their maintenance
+        scheduler, the standard Hudi table-service posture."""
         raise NotImplementedError
 
 
