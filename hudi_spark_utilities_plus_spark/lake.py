@@ -213,7 +213,9 @@ class SeqClaimStore:
     """
 
     def list_claims(self) -> list[int]:
-        """Seq numbers currently claimed (one LIST call)."""
+        """Seq numbers currently claimed (one LIST call). Order is NOT
+        required — consumers take max(); a store may return its
+        listing order verbatim."""
         raise NotImplementedError
 
     def claim(self, seq: int) -> bool:
@@ -310,6 +312,11 @@ def register_seq_claim_store(scheme: str, factory) -> None:
 
 def unregister_seq_claim_store(scheme: str) -> None:
     _SEQ_CLAIM_STORES.pop(scheme.lower(), None)
+
+
+# sentinel distinguishing "store not yet resolved" from "resolved to
+# None" in _next_seq's _store parameter and the per-instance memo
+_UNRESOLVED = object()
 
 
 @dataclass
@@ -1120,7 +1127,21 @@ class HudiTable:
         - default (``auto``): local paths keep the sidecar (measured
           ~25% faster than the claim dir and lock-protected); non-local
           schemes use a registered store when present, else the
-          per-append log-scan fallback (the documented degradation)."""
+          per-append log-scan fallback (the documented degradation).
+
+        Memoized per instance: resolution inputs (path, options,
+        registry entry) are fixed for the table's lifetime, and a
+        deployment factory may construct a real store client — paying
+        that per append (the hot path the claim dir exists to make
+        O(1)) would be wrong."""
+        memo = self.__dict__.get("_seq_store_memo", _UNRESOLVED)
+        if memo is not _UNRESOLVED:
+            return memo
+        store = self._resolve_seq_claim_store()
+        self.__dict__["_seq_store_memo"] = store
+        return store
+
+    def _resolve_seq_claim_store(self) -> SeqClaimStore | None:
         mode = str(self.options.get("hoodie.seq.allocation", "auto")).lower()
         m = re.match(r"^([a-z][a-z0-9+.-]*)://(.*)$", self.path)
         scheme = m.group(1) if m else None
@@ -1153,7 +1174,9 @@ class HudiTable:
         )
         return max(int(row["m"] or 0) + 1, self._seq_base())
 
-    def _next_seq(self, spark: SparkSession) -> int:
+    def _next_seq(
+        self, spark: SparkSession, _store: object = _UNRESOLVED
+    ) -> int:
         """Monotonic commit sequence for log records, floored by the
         post-compaction watermark. READ-ONLY peek — allocation (which
         must be durable and multi-writer-unique) is _alloc_seq.
@@ -1165,31 +1188,50 @@ class HudiTable:
         resolved (non-local schemes / forced claim mode). Without
         either, this was a full delta-log scan per append —
         O(log-since-compaction) on the MOR write hot path, measured at
-        1.94 s/commit by commit 120 with compaction off."""
-        store = self._seq_claim_store()
+        1.94 s/commit by commit 120 with compaction off.
+
+        The claim and sidecar floors are COMBINED, not either/or: on a
+        local table whose ``hoodie.seq.allocation`` flipped between
+        writes, one mechanism can be stale-low (auto→claim leaves the
+        sidecar behind; claim→auto→claim leaves old claims behind), and
+        trusting the stale one alone would re-issue a live seq — two
+        commits sharing a seq merge as one. _alloc_seq keeps the
+        sidecar coherent on every claim allocation for the same
+        reason."""
+        store = (
+            self._seq_claim_store() if _store is _UNRESOLVED else _store
+        )
+        cached = self._read_seqmax()
+        floor = self._seq_base() if cached is None else max(
+            cached + 1, self._seq_base()
+        )
         if store is not None:
-            # claims are the allocation ground truth — consulted BEFORE
-            # the log probe (on schemes Spark can't read directly, the
-            # probe is a guaranteed miss, and after the crash-gap case
-            # a claim can legitimately outrun the log)
+            # claims are allocation ground truth — consulted BEFORE the
+            # log probe (on schemes Spark can't read directly, the probe
+            # is a guaranteed miss, and after the crash-gap case a claim
+            # can legitimately outrun the log)
             claims = store.list_claims()
             if claims:
-                return max(claims[-1] + 1, self._seq_base())
+                # max(), not claims[-1]: the abstract list_claims
+                # contract does not require sorted order, and a
+                # deployment store returning listing order would
+                # otherwise re-allocate a crash-gap seq below the max
+                return max(max(claims) + 1, floor)
         if not self._has_log(spark):
-            return self._seq_base()
+            return floor
         if store is not None:
             # claim dir empty but a log exists (pre-claim table, or
             # post-restore truncation): bootstrap from the surviving log
-            return self._log_scan_next(spark)
-        cached = self._read_seqmax()
+            return max(self._log_scan_next(spark), floor)
         if cached is not None:
-            return max(cached + 1, self._seq_base())
-        return self._log_scan_next(spark)
+            return floor
+        return max(self._log_scan_next(spark), floor)
 
     def _alloc_seq(self, spark: SparkSession) -> int:
         """Durably allocate the next commit seq BEFORE the log append.
 
-        Claim path (store resolved): one LIST for the candidate, one
+        Claim path (store resolved): one LIST for the candidate (via
+        the _next_seq peek — same floors, computed once), one
         conditional PUT to claim it, bump-and-retry on contention —
         O(1) RPCs, multi-writer-unique with no lock (measured: 8 procs
         × 40 claims = 320/320 distinct dense; flat [0.26…0.20] s/commit
@@ -1197,22 +1239,20 @@ class HudiTable:
         [0.52…0.65] s). Sidecar path: read-modify-replace under the
         table lock. Either way a crash after allocation wastes a seq
         (gap — the read merge and cursors don't care) instead of
-        re-issuing one (two commits sharing a seq would merge as one)."""
+        re-issuing one (two commits sharing a seq would merge as one).
+
+        The sidecar is (re)written on BOTH paths — on claim allocations
+        it is redundant for the claim protocol itself but keeps the
+        sidecar coherent, so flipping ``hoodie.seq.allocation`` back to
+        auto on a local table continues the timeline instead of
+        re-issuing seqs (no-op on schemes with no local sidecar)."""
         store = self._seq_claim_store()
-        if store is None:
-            seq = self._next_seq(spark)
-            self._write_seqmax(seq)
-            return seq
-        claims = store.list_claims()
-        if claims:
-            cand = max(claims[-1] + 1, self._seq_base())
-        elif self._has_log(spark):
-            cand = self._log_scan_next(spark)
-        else:
-            cand = self._seq_base()
-        while not store.claim(cand):
-            cand += 1
-        return cand
+        seq = self._next_seq(spark, _store=store)
+        if store is not None:
+            while not store.claim(seq):
+                seq += 1
+        self._write_seqmax(seq)
+        return seq
 
     def _append_log(self, df: DataFrame, op: str, spark: SparkSession) -> None:
         """MERGE_ON_READ write path: append the batch to the delta log —

@@ -1124,9 +1124,30 @@ def ivf_index_topk(
         r["cluster"] for r in probes.select("cluster").distinct().collect()
     )  # ≤ n_clusters ints — metadata
     if not probed:
+        # empty result with the SAME schema the non-empty path yields:
+        # query_id typed like the caller's id column, neighbor_id like
+        # the persisted index's — a hardcoded long here would
+        # type-skew unions/writers on exactly the empty-input edge
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        from pyspark.sql.types import DoubleType
+
+        qid_t = queries.schema[id_col].dataType
+        nid_t = (
+            spark.read.parquet(f"{path.rstrip('/')}/data")
+            .schema["neighbor_id"]
+            .dataType
+        )
         return spark.createDataFrame(
             [],
-            "query_id long, neighbor_id long, cos_sim double, rnk int",
+            StructType(
+                [
+                    StructField("query_id", qid_t),
+                    StructField("neighbor_id", nid_t),
+                    StructField("cos_sim", DoubleType()),
+                    StructField("rnk", IntegerType()),
+                ]
+            ),
         )
     idx = spark.read.parquet(f"{path.rstrip('/')}/data").filter(
         F.col("cluster").isin(probed)

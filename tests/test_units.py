@@ -3475,19 +3475,29 @@ class _MemClaimStore:
     put-if-absent over a dict models the if-none-match PUT exactly."""
 
     def __init__(self):
+        import threading as _th
+
         self.claims: set[int] = set()
         self.rpc = {"list": 0, "put": 0}
+        # the real stores' conditional put is atomic (hard-link /
+        # if-none-match); the stand-in must be too, or the concurrency
+        # test races its own fixture instead of the allocator
+        self._mu = _th.Lock()
 
     def list_claims(self):
         self.rpc["list"] += 1
-        return sorted(self.claims)
+        # deliberately UNSORTED (descending): the abstract contract does
+        # not require order — a consumer trusting claims[-1] instead of
+        # max() would re-allocate a crash-gap seq below the max
+        return sorted(self.claims, reverse=True)
 
     def claim(self, seq: int) -> bool:
         self.rpc["put"] += 1
-        if seq in self.claims:
-            return False
-        self.claims.add(seq)
-        return True
+        with self._mu:
+            if seq in self.claims:
+                return False
+            self.claims.add(seq)
+            return True
 
     def truncate(self) -> None:
         self.claims.clear()
@@ -3682,3 +3692,54 @@ def test_seq_claim_local_store_conditional_put(tmp_path):
     a.truncate()
     assert a.list_claims() == []
     assert os.path.exists(tmp_path / "claims" / "garbage.txt")
+
+
+def test_seq_claim_mode_flip_stays_monotonic(spark, tmp_path):
+    """Flipping hoodie.seq.allocation between auto and claim on an
+    existing local MOR table must never re-issue a live seq (two
+    commits sharing a seq merge as one): the claim path keeps the
+    sidecar coherent on every allocation, and the peek combines the
+    claim and sidecar floors — found by the r14 review, pinned here in
+    both flip directions."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    path = str(tmp_path / "flip")
+
+    def tbl(mode):
+        return HudiTable(
+            path=path,
+            record_key="id",
+            precombine="ver",
+            table_type="MERGE_ON_READ",
+            options={"hoodie.seq.allocation": mode} if mode else {},
+        )
+
+    rows = lambda k, ver: spark.createDataFrame(  # noqa: E731
+        [(k, ver, f"v{ver}")], "id int, ver int, v string"
+    )
+    # auto: seqs 0, 1 via the sidecar
+    t = tbl(None)
+    t.bulk_insert(rows(1, 1))
+    t.upsert(rows(1, 2))
+    t.upsert(rows(1, 3))
+    assert t.latest_commit_seq(spark) == 1
+    # flip to claim: must continue at 2 (log bootstrap), and keep the
+    # sidecar coherent for the flip back
+    t = tbl("claim")
+    t.upsert(rows(1, 4))
+    assert t.latest_commit_seq(spark) == 2
+    # flip back to auto: the stale pre-flip sidecar (1) must NOT win —
+    # seq 3, not a duplicate of the claim-allocated 2
+    t = tbl(None)
+    t.upsert(rows(1, 5))
+    assert t.latest_commit_seq(spark) == 3
+    # flip to claim again: stale-low claims ({2}) must not win either —
+    # the sidecar floor lifts the candidate past the auto-allocated 3
+    t = tbl("claim")
+    t.upsert(rows(1, 6))
+    assert t.latest_commit_seq(spark) == 4
+    # every commit distinct: 5 log entries at 5 distinct seqs, newest wins
+    log = spark.read.parquet(path + "__hudi_log")
+    seqs = sorted(r["__hudi_seq"] for r in log.select("__hudi_seq").collect())
+    assert seqs == [0, 1, 2, 3, 4], seqs
+    assert [r["v"] for r in t.read(spark).collect()] == ["v6"]
