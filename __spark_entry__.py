@@ -40,15 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed tree after the round's two product commits (similarity
 # vectorization 94977ab + lake claim-dir/cleaner 2ba3249): the 33
 # stained-or-new ids (7 similarity-family, 25 lake-family, plus the new
-# hudi_clean_grace) + 17 spare slots on the oldest r7 rows — exactly the
-# ledger's suggested head, matching SURVEY §14.17's window arithmetic
-# (lake 25 ∪ similarity 7 = 32, + 1 new id, + ~16 r7 spares; the
-# remaining r7 rows rotate in r15).
+# hudi_clean_grace) + spare slots on the oldest r7 rows — the ledger's
+# suggested head, matching SURVEY §14.17's window arithmetic (lake 25 ∪
+# similarity 7 = 32, + new ids, + r7 spares; remaining r7 rows rotate in
+# r15). Late-round amendment: ``ann_topk_ivf_index`` (the persisted-IVF
+# registry id SURVEY §15.13(a) had deferred to r15) registered while the
+# similarity family is already in-window, displacing the last r7 spare
+# (stream_sliding, green on its r7 row) back to the r15 backlog — this
+# keeps r15's window arithmetic sound (text 36 + 9 r7 leftovers ≤ 50
+# without re-staining similarity).
 _CHECK_ORDER = [
     # stained/new ids (this round's product commits)
     "hudi_clean_grace",
     "ann_topk",
     "ann_topk_ivf",
+    "ann_topk_ivf_index",
     "ann_topk_lsh",
     "dedup_embedding_semantic",
     "embedding_quantize",
@@ -79,7 +85,7 @@ _CHECK_ORDER = [
     "stream_demux",
     "stream_demux_recovery",
     "stream_demux_transform",
-    # 17 spare slots: the oldest r7 rows, alphabetical (ledger order)
+    # 16 spare slots: the oldest r7 rows, alphabetical (ledger order)
     "agg_hll_partitioned_union",
     "agg_percentile_sketch",
     "ansi_try_funcs",
@@ -96,7 +102,6 @@ _CHECK_ORDER = [
     "sql_pipe_syntax",
     "stream_complete_agg",
     "stream_dedup_watermark",
-    "stream_sliding",
 ]
 
 

@@ -534,6 +534,136 @@ def ann_topk_ivf(spark, sf_dir):
     )
 
 
+@query(
+    "ann_topk_ivf_index",
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS match_ok,
+           TRUE AS prune_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def ann_topk_ivf_index(spark, sf_dir):
+    """Persisted-IVF ANN: S.build_ivf_index trains the deterministic
+    k-means ONCE and writes the assigned corpus hive-partitioned by
+    cluster; S.ivf_index_topk then answers with NO training job and a
+    partition-pruned read (the amortization path the r13 ANN probe
+    asked for — k-means dominated one-shot IVF's 512k wall). Flag-form
+    contract at corpus granularity, the ann_topk_ivf model:
+      ``n_queries`` — oracle-exact query count;
+      ``recall_ok`` — mean recall vs brute-force top-5 >= 0.35
+        (identical math to ivf_topk at the same (8, 3): measured mean
+        0.54 at sf0.01);
+      ``match_ok`` — the indexed results EQUAL one-shot ivf_topk on
+        (query_id, rnk, neighbor_id) — same seeded k-means, same
+        scoring, same tie order: amortization must not change answers;
+      ``prune_ok`` — a 2-query batch (probes <= 6 of 8 clusters) runs
+        with a PartitionFilters entry on the cluster column in its
+        executed plan, its neighbors all live in the recomputed probed
+        clusters, and a probed-cluster read physically opens files only
+        under those partition dirs (input_file_name at execution) —
+        the static pruning that makes the persisted index the 100 TB
+        path."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+    import tempfile
+
+    from .plans import audit
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    idx_path = _os.path.join(tempfile.mkdtemp(prefix="ivf_index_"), "ivf")
+    meta = S.build_ivf_index(e, idx_path, n_clusters=8, kmeans_iters=2)
+
+    ann = S.ivf_index_topk(spark, idx_path, qs, k=5, n_probe=3)
+    keyed = ann.select("query_id", "rnk", "neighbor_id")
+    want = S.ivf_topk(
+        e, qs, k=5, n_clusters=8, n_probe=3, kmeans_iters=2
+    ).select("query_id", "rnk", "neighbor_id")
+    match_ok = (
+        keyed.exceptAll(want).count() == 0
+        and want.exceptAll(keyed).count() == 0
+    )
+
+    # pruning leg: 2 fixed queries -> union of probes <= 6 < 8 clusters
+    two = qs.filter(F.col("vec_id").isin([0, 50]))
+    res2 = S.ivf_index_topk(spark, idx_path, two, k=5, n_probe=3)
+    plan_ok = bool(
+        _re.search(
+            r"PartitionFilters: \[[^\]]*cluster[^\]]*\]",
+            audit.executed_plan(res2),
+        )
+    )
+    # recompute the probed set from the persisted sidecar (driver-side:
+    # 2 vectors x 8 centroids), same (sq-dist, cluster) tie order as
+    # ivf_index_topk; cross-validated below against the real path — a
+    # divergence would surface as a neighbor outside the probed set
+    with open(f"{idx_path}/_centroids.json") as fh:
+        cents = _json.load(fh)["centroids"]
+    probed: set[int] = set()
+    for r in two.select("embedding").collect():
+        v = [float(x) for x in r["embedding"]]
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(v, c)), int(cid))
+            for cid, c in cents
+        )
+        probed |= {cid for _, cid in d[:3]}
+    idx = spark.read.parquet(f"{idx_path}/data")
+    neigh_clusters = {
+        r["cluster"]
+        for r in res2.join(
+            idx, res2["neighbor_id"] == idx["neighbor_id"]
+        ).select(idx["cluster"]).distinct().collect()
+    }
+    touched_dirs = {
+        r[0].split("/data/")[1].split("/")[0]
+        for r in idx.filter(F.col("cluster").isin(sorted(probed)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    n_files_total = len(
+        _glob.glob(f"{idx_path}/data/cluster=*/*.parquet")
+    )
+    n_files_probed = len(
+        [
+            f
+            for c in probed
+            for f in _glob.glob(f"{idx_path}/data/cluster={c}/*.parquet")
+        ]
+    )
+    prune_ok = (
+        plan_ok
+        and len(probed) < meta["n_clusters"]
+        and neigh_clusters <= probed
+        and touched_dirs <= {f"cluster={c}" for c in probed}
+        and n_files_probed < n_files_total
+    )
+
+    bf = S.cosine_topk_bruteforce(e, qs, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    per_q = qs.select(F.col("vec_id").alias("query_id")).join(
+        hits, "query_id", "left"
+    )
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            (
+                F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.lit(5.0))
+                >= F.lit(0.35)
+            ).alias("recall_ok"),
+        )
+        .withColumn("match_ok", F.lit(bool(match_ok)))
+        .withColumn("prune_ok", F.lit(bool(prune_ok)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization / repetition quality / deterministic sampling
 # ---------------------------------------------------------------------------
