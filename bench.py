@@ -75,6 +75,10 @@ HEADLINE = [
     # (drop/carry/rewrite classification; files carried by reference) —
     # VERDICT r13 ask 3; first recording establishes its baseline
     "hudi_partition_overwrite",
+    # round-14 late batch: exact substring dedup (grid-shingle island
+    # merge, operators/spans.py); first recording establishes its
+    # baseline (isolated warm walls 1.5 s at sf0.1)
+    "dedup_substring_spans",
 ]
 
 

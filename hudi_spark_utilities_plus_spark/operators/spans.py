@@ -1,0 +1,164 @@
+"""Exact substring (duplicated-span) dedup for LLM training corpora.
+
+The dedup family in dedup.py removes *documents*; this module finds the
+duplicated *regions inside* documents — the "memorized boilerplate"
+target of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better"). A distributed suffix
+array is the wrong shape for Spark; the equivalent shuffle-bounded
+relational program is a fixed-grid shingle join:
+
+1. each document ≥ L chars emits shingles of length L at stride s
+   (grid positions 0, s, 2s, …, ≤ n−L) — ``n/s`` rows per doc, each
+   carrying a 32-byte SHA-256 key instead of the span text;
+2. a shingle key that occurs in ≥ ``min_docs`` DISTINCT documents is
+   cross-document duplicated (within-doc repetition is deliberately
+   excluded — that is text_repetition's domain);
+3. each document's duplicated grid positions merge into maximal
+   [span_start, span_end) regions by classic island detection (a
+   running max-end window), so overlapping shingles at stride < L
+   report one region, not L/s fragments.
+
+Resolution is grid-granular: a true duplicated substring is detected
+iff it covers ≥ 1 full grid shingle, and reported region bounds snap to
+the grid (extend by up to s−1 chars left / L−1 right of the true span).
+stride = L gives the cheapest scan (no overlap), stride = L/2 the usual
+recall/cost point — at 100 TB the shingle frame is (n/s)·32 B per doc
+through ONE exchange.
+
+Scale notes: the distinct-doc count runs as two combiner-friendly
+stages — ``(key, doc_id) distinct`` (map-side combine collapses a
+doc's internal repeats) then ``count per key`` — so a boilerplate span
+appearing millions of times never funnels raw rows to one reducer;
+the island merge is a per-doc window over ≤ n/s rows. No Python UDFs,
+no driver collects: every stage is built-in columnar expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grid_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int,
+    stride: int,
+) -> DataFrame:
+    """(doc_id, pos, k): SHA-256 keys of length-L shingles on the
+    stride grid, docs shorter than L excluded (they have no grid)."""
+    if span_len <= 0 or stride <= 0:
+        raise ValueError("span_len and stride must be positive")
+    n = F.length(F.col(text_col)).cast("long")
+    eligible = df.filter(n >= F.lit(span_len)).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        n.alias("_n"),
+    )
+    return eligible.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("_n") - F.lit(span_len),
+                F.lit(stride).cast("long"),
+            )
+        ).alias("pos"),
+        "_text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.sha2(
+            F.col("_text").substr(
+                (F.col("pos") + 1).cast("int"), F.lit(span_len)
+            ),
+            256,
+        ).alias("k"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated regions per document.
+
+    Returns (doc_id, span_start, span_end, n_shingles): 0-based
+    char offsets, end exclusive, one row per merged island of grid
+    shingles whose SHA-256 key appears in ≥ ``min_docs`` distinct
+    documents. Deterministic for a given corpus and grid.
+    """
+    sh = _grid_shingles(df, text_col, id_col, span_len, stride)
+    # two-stage distinct-doc count: (k, doc) distinct collapses a
+    # doc's internal repeats map-side; the per-key count then sees at
+    # most one row per (key, doc) — hot boilerplate keys stay partial-
+    # aggregable instead of funneling raw shingles to one reducer
+    dup_keys = (
+        sh.select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= F.lit(min_docs))
+        .select("k")
+    )
+    hits = sh.join(dup_keys, "k", "semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_grp", grp)
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").alias("n_shingles"),
+        )
+        .drop("_grp")
+    )
+
+
+def substring_dup_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-char budget and the keep/drop verdict.
+
+    Returns one row per input document (including short and clean
+    ones): (doc_id, doc_len, dup_chars, keep) where ``dup_chars`` sums
+    the merged duplicated regions of :func:`duplicated_spans` and
+    ``keep`` is the integer-exact majority test ``2·dup_chars <
+    doc_len`` — a document more than half covered by cross-document
+    boilerplate is dropped. Integer arithmetic end to end: no float
+    ratio crosses the engine boundary.
+    """
+    spans = duplicated_spans(df, text_col, id_col, span_len, stride, min_docs)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_chars")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("doc_len"),
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "doc_len",
+        F.coalesce(F.col("dup_chars"), F.lit(0).cast("long")).alias(
+            "dup_chars"
+        ),
+        (
+            F.lit(2) * F.coalesce(F.col("dup_chars"), F.lit(0).cast("long"))
+            < F.col("doc_len")
+        ).alias("keep"),
+    )

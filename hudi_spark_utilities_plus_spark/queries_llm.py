@@ -18,6 +18,7 @@ from .operators import dedup as D
 from .operators.dedup import scatter
 from .operators import multimodal as M
 from .operators import similarity as S
+from .operators import spans as SP
 from .operators import text as T
 from .queries import query
 
@@ -248,6 +249,95 @@ def dedup_minhash_lsh(spark, sf_dir):
     shares the exact-Jaccard oracle."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return D.minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+# shared islands CTE for the substring-dedup pair: fixed-grid L=64/s=32
+# shingles, sha256 keys, cross-doc (>= 2 distinct docs) duplicates,
+# merged per doc into maximal regions by running-max island detection —
+# the DuckDB mirror of operators/spans.py (both substr calls are
+# char-indexed in both engines, so no ASCII guard is needed)
+_SPAN_ISLANDS_CTE = """
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 64
+    ), sh AS (
+      SELECT doc_id,
+             CAST(UNNEST(generate_series(0, n - 64, 32)) AS BIGINT) AS pos,
+             text
+      FROM d
+    ), sp AS (
+      SELECT doc_id, pos, sha256(substr(text, pos + 1, 64)) AS k FROM sh
+    ), dup AS (
+      SELECT k FROM sp GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos, pos + 64 AS e
+      FROM sp WHERE k IN (SELECT k FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), g AS (
+      SELECT doc_id, pos, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+             COUNT(*) AS n_shingles
+      FROM g GROUP BY doc_id, grp
+    )
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SPAN_ISLANDS_CTE
+    + """
+    SELECT doc_id, span_start, span_end, n_shingles FROM spans
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring dedup, detection half (Lee et al. 2022 by way of
+    a shuffle-bounded shingle join instead of a suffix array): maximal
+    per-doc regions covered by length-64 grid shingles (stride 32)
+    whose SHA-256 key occurs in >= 2 distinct documents. Exact oracle:
+    DuckDB recomputes the same grid, distinct-doc counts, and island
+    merge relationally."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return SP.duplicated_spans(
+        d, "text", "doc_id", span_len=64, stride=32, min_docs=2
+    )
+
+
+@query(
+    "dedup_substring_coverage",
+    oracle=_SPAN_ISLANDS_CTE
+    + """
+    , cov AS (
+      SELECT doc_id,
+             CAST(SUM(span_end - span_start) AS BIGINT) AS dup_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           CAST(length(d0.text) AS BIGINT) AS doc_len,
+           COALESCE(cov.dup_chars, 0) AS dup_chars,
+           (2 * COALESCE(cov.dup_chars, 0)
+              < CAST(length(d0.text) AS BIGINT)) AS keep
+    FROM documents d0 LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dedup_substring_coverage(spark, sf_dir):
+    """Exact substring dedup, filter half: per-doc duplicated-char
+    budget from the merged regions plus the integer-exact majority
+    verdict (drop when 2*dup_chars >= doc_len). Every document rows out
+    — short and clean docs carry dup_chars = 0, keep = true."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return SP.substring_dup_coverage(
+        d, "text", "doc_id", span_len=64, stride=32, min_docs=2
+    )
 
 
 @query(

@@ -1540,3 +1540,50 @@ def test_ivf_index_guards(spark, sf_dir, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "neighbor_id", "cos_sim", "rnk",
     ]
+
+
+def test_duplicated_spans_fixture(spark):
+    """Substring dedup on a crafted corpus: a 16-char block shared by
+    two docs merges its three overlapping grid hits (L=8, s=4) into ONE
+    [0, 16) region; a doc with TWO shared blocks separated by unique
+    middles reports two islands; within-doc-only repetition (distinct
+    docs = 1) and sub-L docs report nothing."""
+    from hudi_spark_utilities_plus_spark.operators import spans as SP
+
+    shared = "ABCDEFGHIJKLMNOP"        # 16 chars
+    shared2 = "0a1b2c3d4e5f6g7h"       # 16 chars, disjoint 8-grams
+    rows = [
+        (1, shared + "qrstuvwxyz!?????"),          # dup [0,16) of 32
+        (2, shared + "QRSTUVWXYZ678###"),          # dup [0,16) of 32
+        (3, "zyxwvutsrqponmlkjihgfedcba"),         # clean
+        (4, "tiny"),                               # < span_len: no grid
+        (5, "1234567812345678123456781234"),       # within-doc only
+        (6, shared + "!!!###$$$%%%" + shared2),    # two islands, len 44
+        (7, shared + "&&&***((();;" + shared2),    # two islands, len 44
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in SP.duplicated_spans(df, span_len=8, stride=4).collect()
+    }
+    assert got == {
+        (1, 0, 16, 3), (2, 0, 16, 3),
+        (6, 0, 16, 3), (6, 28, 44, 3),
+        (7, 0, 16, 3), (7, 28, 44, 3),
+    }, got
+
+    cov = {
+        r["doc_id"]: (r["doc_len"], r["dup_chars"], r["keep"])
+        for r in SP.substring_dup_coverage(
+            df, span_len=8, stride=4
+        ).collect()
+    }
+    # doc 1: exactly half duplicated -> 2*16 == 32 is NOT < 32 -> drop
+    assert cov[1] == (32, 16, False)
+    assert cov[2] == (32, 16, False)
+    assert cov[3] == (26, 0, True)
+    assert cov[4] == (4, 0, True)       # sub-L doc still rows out
+    assert cov[5] == (28, 0, True)      # within-doc repeats don't count
+    assert cov[6] == (44, 32, False)
+    assert cov[7] == (44, 32, False)
+    assert len(cov) == 7

@@ -480,3 +480,17 @@ def test_mixture_interleave_avoids_single_partition(spark, sf_dir):
     global-ordering standard)."""
     plan = audit.executed_plan(QUERIES["mixture_interleave"](spark, sf_dir))
     assert "SinglePartition" not in plan, plan
+
+
+def test_substring_dedup_stays_jvm_side(spark, sf_dir):
+    """dedup_substring_spans is a pure built-in Column program — grid
+    shingles via sequence/explode/substr/sha2, two-stage distinct-doc
+    counting, window island merge. The plan must carry no Python eval
+    node (the hot path runs inside codegen/columnar JVM stages) and no
+    cartesian/nested-loop join: candidate generation is the keyed semi
+    join, never all-pairs."""
+    df = QUERIES["dedup_substring_spans"](spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -18,7 +18,8 @@ cd "$(dirname "$0")/../.."
 FAILED=0
 for p in timeline_probe probe_pointread partition_read_probe \
          partitioned_overwrite_probe incremental_read_probe \
-         demux_scale_probe ann_scale_probe dedup100k_probe; do
+         demux_scale_probe ann_scale_probe dedup100k_probe \
+         substring_scale_probe; do
   echo "=== $p ===" | tee -a "$LOG"
   python "tools/probes/$p.py" 2>"${LOG%.log}.$p.stderr" \
     | { grep -v "^\[Stage" || true; } | tee -a "$LOG"
