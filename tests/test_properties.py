@@ -1587,3 +1587,86 @@ def test_band_keys_matmul_matches_fold_spec(
         ),
     )
     assert cmp.filter(F.col("fast") != F.col("spec")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# substring dedup (grid shingles + island merge) vs direct Python
+# ---------------------------------------------------------------------------
+
+
+def _ref_substring(rows, L, s, min_docs=2):
+    """Direct-Python reference for duplicated_spans/_dup_coverage:
+    dict-of-sets shingle index, per-doc sorted island merge."""
+    from collections import defaultdict
+
+    owners: dict[str, set[int]] = defaultdict(set)
+    grid: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for doc_id, text in rows:
+        n = len(text)
+        if n < L:
+            continue
+        for pos in range(0, n - L + 1, s):
+            k = text[pos : pos + L]
+            owners[k].add(doc_id)
+            grid[doc_id].append((pos, k))
+    spans = set()
+    cov = {doc_id: 0 for doc_id, _ in rows}
+    for doc_id, lst in grid.items():
+        hits = sorted(p for p, k in lst if len(owners[k]) >= min_docs)
+        cur_s = cur_e = None
+        cnt = 0
+        for p in hits:
+            if cur_s is None or p > cur_e:
+                if cur_s is not None:
+                    spans.add((doc_id, cur_s, cur_e, cnt))
+                    cov[doc_id] += cur_e - cur_s
+                cur_s, cur_e, cnt = p, p + L, 1
+            else:
+                cur_e, cnt = p + L, cnt + 1
+        if cur_s is not None:
+            spans.add((doc_id, cur_s, cur_e, cnt))
+            cov[doc_id] += cur_e - cur_s
+    keep = {
+        doc_id: (2 * cov[doc_id] < len(text), len(text))
+        for doc_id, text in rows
+    }
+    return spans, cov, keep
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    ),
+    span_len=st.integers(3, 5),
+    stride=st.integers(1, 6),
+)
+def test_substring_dedup_matches_python_reference(
+    spark, texts, span_len, stride
+):
+    """Two-char alphabet forces dense shingle collisions; stride may
+    exceed span_len (gapped grid). Spans, per-doc duplicated chars,
+    and the keep verdict must all equal the direct computation."""
+    from hudi_spark_utilities_plus_spark.operators import spans as SP
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_shingles"])
+        for r in SP.duplicated_spans(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    got_cov = {
+        r["doc_id"]: (r["doc_len"], r["dup_chars"], r["keep"])
+        for r in SP.substring_dup_coverage(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    want_spans, want_cov, want_keep = _ref_substring(rows, span_len, stride)
+    assert got_spans == want_spans
+    assert got_cov == {
+        d: (n, want_cov[d], k) for d, (k, n) in want_keep.items()
+    }
