@@ -45,18 +45,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # similarity 7 = 32, + new ids, + r7 spares; remaining r7 rows rotate in
 # r15). Late-round amendments: ``ann_topk_ivf_index`` (the persisted-IVF
 # registry id SURVEY §15.13(a) had deferred to r15) registered while the
-# similarity family is already in-window, and the substring-dedup pair
-# ``dedup_substring_spans`` / ``dedup_substring_coverage`` (new module
-# operators/spans.py — stains nothing else). The three new ids displace
-# the last three r7 spares (stream_sliding, stream_dedup_watermark,
-# stream_complete_agg — all green on their r7 rows) back to the r15
-# backlog; r15's window arithmetic stays sound (text 36 + 11 r7
-# leftovers ≤ 50 without re-staining similarity).
+# similarity family is already in-window, and the substring-dedup trio
+# ``dedup_substring_spans`` / ``dedup_substring_coverage`` /
+# ``dedup_substring_strip`` (new module operators/spans.py — stains
+# nothing else). The four new ids displace the last four r7 spares
+# (stream_sliding, stream_dedup_watermark, stream_complete_agg,
+# sql_pipe_syntax — all green on their r7 rows) back to the r15
+# backlog; r15's window arithmetic stays sound (text-family closure 36
+# ∪ 11 r7 leftovers ≤ 47 of 50 without re-staining similarity).
 _CHECK_ORDER = [
     # stained/new ids (this round's product commits)
     "hudi_clean_grace",
     "dedup_substring_spans",
     "dedup_substring_coverage",
+    "dedup_substring_strip",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_index",
@@ -90,7 +92,7 @@ _CHECK_ORDER = [
     "stream_demux",
     "stream_demux_recovery",
     "stream_demux_transform",
-    # 14 spare slots: the oldest r7 rows, alphabetical (ledger order)
+    # 13 spare slots: the oldest r7 rows, alphabetical (ledger order)
     "agg_hll_partitioned_union",
     "agg_percentile_sketch",
     "ansi_try_funcs",
@@ -104,7 +106,6 @@ _CHECK_ORDER = [
     "outlier_zscore",
     "sample_stratified",
     "scd2_build",
-    "sql_pipe_syntax",
 ]
 
 

@@ -341,6 +341,75 @@ def dedup_substring_coverage(spark, sf_dir):
 
 
 @query(
+    "dedup_substring_strip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 64
+    ), sh AS (
+      SELECT doc_id,
+             CAST(UNNEST(generate_series(0, n - 64, 32)) AS BIGINT) AS pos,
+             text
+      FROM d
+    ), sp AS (
+      SELECT doc_id, pos, sha256(substr(text, pos + 1, 64)) AS k FROM sh
+    ), meta AS (
+      SELECT k, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner
+      FROM sp GROUP BY k
+    ), hits AS (
+      SELECT sp.doc_id, sp.pos, sp.pos + 64 AS e
+      FROM sp JOIN meta USING (k)
+      WHERE meta.nd >= 2 AND sp.doc_id <> meta.owner
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), g AS (
+      SELECT doc_id, pos, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM isl
+    ), cuts AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+      FROM g GROUP BY doc_id, grp
+    ), cut2 AS (
+      SELECT c.doc_id, d0.text, c.s, c.e,
+             COALESCE(LAG(c.e) OVER (
+               PARTITION BY c.doc_id ORDER BY c.s), 0) AS prev_e
+      FROM cuts c JOIN documents d0 USING (doc_id)
+    ), recon AS (
+      SELECT doc_id,
+             string_agg(substr(text, CAST(prev_e + 1 AS BIGINT),
+                               CAST(s - prev_e AS BIGINT)),
+                        '' ORDER BY s)
+               || substr(MIN(text), CAST(MAX(e) + 1 AS BIGINT))
+               AS cleaned_text,
+             CAST(SUM(e - s) AS BIGINT) AS removed_chars
+      FROM cut2 GROUP BY doc_id
+    )
+    SELECT d0.doc_id,
+           COALESCE(r.cleaned_text, d0.text) AS cleaned_text,
+           COALESCE(r.removed_chars, 0) AS removed_chars
+    FROM documents d0 LEFT JOIN recon r USING (doc_id)
+    """,
+)
+def dedup_substring_strip(spark, sf_dir):
+    """Exact substring dedup, transformation half: splice OUT each
+    doc's cross-document duplicated regions, keeping the minimal-
+    doc_id owner's copy per shingle key (every doc rows out; clean or
+    canonical docs pass through verbatim). Exact oracle: DuckDB
+    recomputes the owner rule, the removable-hit island merge, and the
+    splice (string_agg of kept segments ordered by cut position)."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return SP.strip_duplicated_spans(
+        d, "text", "doc_id", span_len=64, stride=32, min_docs=2
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=_SHINGLE_CTE
     + """

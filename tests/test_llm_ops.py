@@ -1587,3 +1587,21 @@ def test_duplicated_spans_fixture(spark):
     assert cov[6] == (44, 32, False)
     assert cov[7] == (44, 32, False)
     assert len(cov) == 7
+
+    # transformation half: the minimal owner of a shared block keeps
+    # its copy; everyone else gets the block spliced out. doc 1 owns
+    # the prefix block (min doc_id), doc 6 owns shared2.
+    stripped = {
+        r["doc_id"]: (r["cleaned_text"], r["removed_chars"])
+        for r in SP.strip_duplicated_spans(
+            df, span_len=8, stride=4
+        ).collect()
+    }
+    assert stripped[1] == (rows[0][1], 0)              # canonical: intact
+    assert stripped[2] == ("QRSTUVWXYZ678###", 16)     # prefix cut
+    assert stripped[3] == (rows[2][1], 0)
+    assert stripped[4] == ("tiny", 0)
+    assert stripped[5] == (rows[4][1], 0)              # within-doc: kept
+    assert stripped[6] == ("!!!###$$$%%%" + shared2, 16)  # owns shared2
+    assert stripped[7] == ("&&&***((();;", 32)         # loses both
+    assert len(stripped) == 7

@@ -1670,3 +1670,48 @@ def test_substring_dedup_matches_python_reference(
     assert got_cov == {
         d: (n, want_cov[d], k) for d, (k, n) in want_keep.items()
     }
+
+    got_strip = {
+        r["doc_id"]: (r["cleaned_text"], r["removed_chars"])
+        for r in SP.strip_duplicated_spans(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    assert got_strip == _ref_strip(rows, span_len, stride)
+
+
+def _ref_strip(rows, L, s, min_docs=2):
+    """Direct-Python reference for strip_duplicated_spans: per-key
+    minimal owner keeps; other owners' hits merge and splice out."""
+    from collections import defaultdict
+
+    owners: dict[str, set[int]] = defaultdict(set)
+    grid: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for doc_id, text in rows:
+        n = len(text)
+        if n < L:
+            continue
+        for pos in range(0, n - L + 1, s):
+            k = text[pos : pos + L]
+            owners[k].add(doc_id)
+            grid[doc_id].append((pos, k))
+    out = {}
+    for doc_id, text in rows:
+        hits = sorted(
+            p
+            for p, k in grid.get(doc_id, [])
+            if len(owners[k]) >= min_docs and doc_id != min(owners[k])
+        )
+        cuts = []
+        for p in hits:
+            if cuts and p <= cuts[-1][1]:
+                cuts[-1][1] = p + L
+            else:
+                cuts.append([p, p + L])
+        kept, last = [], 0
+        for cs, ce in cuts:
+            kept.append(text[last:cs])
+            last = ce
+        kept.append(text[last:])
+        out[doc_id] = ("".join(kept), sum(ce - cs for cs, ce in cuts))
+    return out
