@@ -48,11 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # similarity family is already in-window, and the substring-dedup trio
 # ``dedup_substring_spans`` / ``dedup_substring_coverage`` /
 # ``dedup_substring_strip`` (new module operators/spans.py — stains
-# nothing else). The four new ids displace the last four r7 spares
-# (stream_sliding, stream_dedup_watermark, stream_complete_agg,
-# sql_pipe_syntax — all green on their r7 rows) back to the r15
-# backlog; r15's window arithmetic stays sound (text-family closure 36
-# ∪ 11 r7 leftovers ≤ 47 of 50 without re-staining similarity).
+# nothing else). The four new ids plus the dedup_simhash re-row (see
+# below) displace the last five r7 spares (stream_sliding,
+# stream_dedup_watermark, stream_complete_agg, sql_pipe_syntax,
+# scd2_build — all green on their r7 rows) back to the r15 backlog;
+# r15's window arithmetic stays sound (text-family closure 36 ∪ 12 r7
+# leftovers ≤ 48 of 50 without re-staining similarity).
 _CHECK_ORDER = [
     # stained/new ids (this round's product commits)
     "hudi_clean_grace",

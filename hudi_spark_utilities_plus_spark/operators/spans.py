@@ -94,28 +94,11 @@ def duplicated_spans(
     documents. Deterministic for a given corpus and grid.
     """
     sh = _grid_shingles(df, text_col, id_col, span_len, stride)
-    # two-stage distinct-doc count: (k, doc) distinct collapses a
-    # doc's internal repeats map-side; the per-key count then sees at
-    # most one row per (key, doc) — hot boilerplate keys stay partial-
-    # aggregable instead of funneling raw shingles to one reducer
-    dup_keys = (
-        sh.select("k", "doc_id")
-        .distinct()
-        .groupBy("k")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= F.lit(min_docs))
-        .select("k")
-    )
-    hits = sh.join(dup_keys, "k", "semi").select(
-        "doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    hits = sh.join(
+        _dup_key_meta(sh, min_docs).select("k"), "k", "semi"
+    ).select("doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e"))
     return (
-        hits.withColumn("_grp", grp)
-        .groupBy("doc_id", "_grp")
+        _merge_islands(hits)
         .agg(
             F.min("pos").alias("span_start"),
             F.max("e").alias("span_end"),
@@ -123,6 +106,36 @@ def duplicated_spans(
         )
         .drop("_grp")
     )
+
+
+def _dup_key_meta(sh: DataFrame, min_docs: int) -> DataFrame:
+    """(k, nd, owner) for keys in ≥ min_docs distinct docs. Two-stage
+    distinct-doc count: (k, doc) distinct collapses a doc's internal
+    repeats map-side; the per-key agg then sees at most one row per
+    (key, doc) — hot boilerplate keys stay partial-aggregable instead
+    of funneling raw shingles to one reducer."""
+    return (
+        sh.select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= F.lit(min_docs))
+    )
+
+
+def _merge_islands(hits: DataFrame):
+    """Classic island detection over (doc_id, pos, e): a per-doc
+    running max-end window breaks a new group whenever the next hit
+    starts past everything seen so far. Returns the GROUPED frame
+    (doc_id, _grp) so each caller picks its own aggregates."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return hits.withColumn("_grp", grp).groupBy("doc_id", "_grp")
 
 
 def strip_duplicated_spans(
@@ -153,29 +166,13 @@ def strip_duplicated_spans(
     boilerplate keys stay partial-aggregable.
     """
     sh = _grid_shingles(df, text_col, id_col, span_len, stride)
-    key_meta = (
-        sh.select("k", "doc_id")
-        .distinct()
-        .groupBy("k")
-        .agg(
-            F.count("*").alias("nd"),
-            F.min("doc_id").alias("owner"),
-        )
-        .filter(F.col("nd") >= F.lit(min_docs))
-        .select("k", "owner")
-    )
     removable = (
-        sh.join(key_meta, "k")
+        sh.join(_dup_key_meta(sh, min_docs).select("k", "owner"), "k")
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e"))
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    brk = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    grp = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
     cuts = (
-        removable.withColumn("_grp", grp)
-        .groupBy("doc_id", "_grp")
+        _merge_islands(removable)
         .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
         .groupBy("doc_id")
         .agg(
@@ -235,13 +232,14 @@ def substring_dup_coverage(
 ) -> DataFrame:
     """Per-document duplicated-char budget and the keep/drop verdict.
 
-    Returns one row per input document (including short and clean
-    ones): (doc_id, doc_len, dup_chars, keep) where ``dup_chars`` sums
-    the merged duplicated regions of :func:`duplicated_spans` and
-    ``keep`` is the integer-exact majority test ``2·dup_chars <
-    doc_len`` — a document more than half covered by cross-document
-    boilerplate is dropped. Integer arithmetic end to end: no float
-    ratio crosses the engine boundary.
+    Returns one row per input document (including short, clean, and
+    empty ones): (doc_id, doc_len, dup_chars, keep) where ``dup_chars``
+    sums the merged duplicated regions of :func:`duplicated_spans` and
+    ``keep`` is the integer-exact majority test ``2·dup_chars ≤
+    doc_len`` — a document MORE than half covered by cross-document
+    boilerplate is dropped; exactly-half and empty documents keep
+    (dup_chars 0 of 0 is clean, not fully-duplicated). Integer
+    arithmetic end to end: no float ratio crosses the engine boundary.
     """
     spans = duplicated_spans(df, text_col, id_col, span_len, stride, min_docs)
     cov = spans.groupBy("doc_id").agg(
@@ -259,6 +257,6 @@ def substring_dup_coverage(
         ),
         (
             F.lit(2) * F.coalesce(F.col("dup_chars"), F.lit(0).cast("long"))
-            < F.col("doc_len")
+            <= F.col("doc_len")
         ).alias("keep"),
     )

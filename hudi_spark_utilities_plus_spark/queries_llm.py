@@ -251,12 +251,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
-# shared islands CTE for the substring-dedup pair: fixed-grid L=64/s=32
-# shingles, sha256 keys, cross-doc (>= 2 distinct docs) duplicates,
-# merged per doc into maximal regions by running-max island detection —
-# the DuckDB mirror of operators/spans.py (both substr calls are
-# char-indexed in both engines, so no ASCII guard is needed)
-_SPAN_ISLANDS_CTE = """
+# shared CTEs for the substring-dedup family — the DuckDB mirror of
+# operators/spans.py (both engines' substr is char-indexed, so no ASCII
+# guard is needed). _GRID_CTE is the ONE definition of the grid
+# (L=64/s=32 shingles, sha256 keys); every substring oracle builds on
+# it so a grid change can never leave the family grading against
+# different grids.
+_GRID_CTE = """
     WITH d AS (
       SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
       FROM documents WHERE length(text) >= 64
@@ -267,7 +268,12 @@ _SPAN_ISLANDS_CTE = """
       FROM d
     ), sp AS (
       SELECT doc_id, pos, sha256(substr(text, pos + 1, 64)) AS k FROM sh
-    ), dup AS (
+    )"""
+
+# cross-doc (>= 2 distinct docs) duplicates merged per doc into maximal
+# regions by running-max island detection
+_SPAN_ISLANDS_CTE = _GRID_CTE + """
+    , dup AS (
       SELECT k FROM sp GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
     ), hits AS (
       SELECT doc_id, pos, pos + 64 AS e
@@ -325,15 +331,16 @@ def dedup_substring_spans(spark, sf_dir):
            CAST(length(d0.text) AS BIGINT) AS doc_len,
            COALESCE(cov.dup_chars, 0) AS dup_chars,
            (2 * COALESCE(cov.dup_chars, 0)
-              < CAST(length(d0.text) AS BIGINT)) AS keep
+              <= CAST(length(d0.text) AS BIGINT)) AS keep
     FROM documents d0 LEFT JOIN cov USING (doc_id)
     """,
 )
 def dedup_substring_coverage(spark, sf_dir):
     """Exact substring dedup, filter half: per-doc duplicated-char
     budget from the merged regions plus the integer-exact majority
-    verdict (drop when 2*dup_chars >= doc_len). Every document rows out
-    — short and clean docs carry dup_chars = 0, keep = true."""
+    verdict (drop only when MORE than half duplicated: 2*dup_chars >
+    doc_len; exactly-half and empty docs keep). Every document rows
+    out — short and clean docs carry dup_chars = 0, keep = true."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"])
     return SP.substring_dup_coverage(
         d, "text", "doc_id", span_len=64, stride=32, min_docs=2
@@ -342,18 +349,9 @@ def dedup_substring_coverage(spark, sf_dir):
 
 @query(
     "dedup_substring_strip",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-      FROM documents WHERE length(text) >= 64
-    ), sh AS (
-      SELECT doc_id,
-             CAST(UNNEST(generate_series(0, n - 64, 32)) AS BIGINT) AS pos,
-             text
-      FROM d
-    ), sp AS (
-      SELECT doc_id, pos, sha256(substr(text, pos + 1, 64)) AS k FROM sh
-    ), meta AS (
+    oracle=_GRID_CTE
+    + """
+    , meta AS (
       SELECT k, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner
       FROM sp GROUP BY k
     ), hits AS (
@@ -730,16 +728,23 @@ def ann_topk_ivf_index(spark, sf_dir):
 
     from .plans import audit
 
+    from .operators.materialize import materialize
+
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     qs = e.filter(F.col("vec_id") % 50 == 0)
     idx_path = _os.path.join(tempfile.mkdtemp(prefix="ivf_index_"), "ivf")
     meta = S.build_ivf_index(e, idx_path, n_clusters=8, kmeans_iters=2)
 
-    ann = S.ivf_index_topk(spark, idx_path, qs, k=5, n_probe=3)
+    # materialize both top-k frames: each feeds multiple actions below
+    # (two exceptAll counts, the recall join, the returned aggregate) —
+    # without it every action re-runs the index query and, for `want`,
+    # the one-shot pipeline's whole k-means training
+    ann = materialize(S.ivf_index_topk(spark, idx_path, qs, k=5, n_probe=3))
     keyed = ann.select("query_id", "rnk", "neighbor_id")
-    want = S.ivf_topk(
-        e, qs, k=5, n_clusters=8, n_probe=3, kmeans_iters=2
-    ).select("query_id", "rnk", "neighbor_id")
+    want = materialize(
+        S.ivf_topk(e, qs, k=5, n_clusters=8, n_probe=3, kmeans_iters=2)
+        .select("query_id", "rnk", "neighbor_id")
+    )
     match_ok = (
         keyed.exceptAll(want).count() == 0
         and want.exceptAll(keyed).count() == 0

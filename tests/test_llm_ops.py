@@ -1578,13 +1578,14 @@ def test_duplicated_spans_fixture(spark):
             df, span_len=8, stride=4
         ).collect()
     }
-    # doc 1: exactly half duplicated -> 2*16 == 32 is NOT < 32 -> drop
-    assert cov[1] == (32, 16, False)
-    assert cov[2] == (32, 16, False)
+    # doc 1: EXACTLY half duplicated -> 2*16 <= 32 -> keeps (the rule
+    # drops only MORE-than-half; empty docs keep by the same test)
+    assert cov[1] == (32, 16, True)
+    assert cov[2] == (32, 16, True)
     assert cov[3] == (26, 0, True)
     assert cov[4] == (4, 0, True)       # sub-L doc still rows out
     assert cov[5] == (28, 0, True)      # within-doc repeats don't count
-    assert cov[6] == (44, 32, False)
+    assert cov[6] == (44, 32, False)    # 64 > 44: more than half -> drop
     assert cov[7] == (44, 32, False)
     assert len(cov) == 7
 

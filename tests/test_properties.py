@@ -1627,7 +1627,7 @@ def _ref_substring(rows, L, s, min_docs=2):
             spans.add((doc_id, cur_s, cur_e, cnt))
             cov[doc_id] += cur_e - cur_s
     keep = {
-        doc_id: (2 * cov[doc_id] < len(text), len(text))
+        doc_id: (2 * cov[doc_id] <= len(text), len(text))
         for doc_id, text in rows
     }
     return spans, cov, keep
