@@ -1,19 +1,38 @@
-"""100k-doc substring-dedup regression probe (dedup100k precedent):
-inflate sf0.1 documents to 100k with KNOWN duplicated-span structure —
-every 3rd base doc's copies share the full original body (tail-mutated
-copies), so the grid detector must find large cross-copy regions —
-run duplicated_spans (L=64, s=32), time it, and pin determinism: span
-count and duplicated-char total must be EXACT across back-to-back runs
-(the wall tracks host load; the counts are the regression signal).
+"""Substring-dedup regression probe (dedup100k precedent): inflate the
+sf0.1 documents to SUBSTRING_PROBE_DOCS docs (default 100k) with KNOWN
+duplicated-span structure — every 3rd base doc's copies share the full
+original body (tail-mutated copies), so the grid detector must find
+large cross-copy regions — run duplicated_spans (L=64, s=32), time it,
+and pin determinism: span count and duplicated-char total must be
+EXACT across back-to-back runs (the wall tracks host load; the counts
+are the regression signal).
 
-Band (r14, quiet host): exactly 93,142 spans / 26,437,664 dup chars
-over 100k docs (~900k grid shingles), walls ~5-7 s per run.
+Second leg, HOT-KEY SKEW: plant one 64-char block at position 0 of
+EVERY document — a single shingle key owned by the whole corpus, the
+boilerplate-header shape 100 TB corpora actually have. The two-stage
+distinct-doc aggregation must stay partial-aggregable (no single-
+reducer funnel), and every doc must report a span starting at 0.
+
+Bands (r14, quiet host):
+  default leg @100k — exactly 93,142 spans / 26,437,664 dup chars
+  (~900k grid shingles), walls ~2.5-7 s per run;
+  skew leg @100k — exactly 100,000 docs with a span at 0 (149,246
+  spans), wall ~3 s — the hot key must NOT blow the wall up;
+  1M-doc measurement (SUBSTRING_PROBE_DOCS=1000000, recorded r14):
+  exactly 959,158 spans / 272,702,496 dup chars both runs (slightly
+  super-10× the 100k counts — more copies per base doc match each
+  other), walls 38.8/20.1 s (~8× on 10× docs, near-linear); skew leg
+  1,000,000/1,000,000 docs at 7.9 s.
 """
-import sys, time
+import os, sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from hudi_spark_utilities_plus_spark.operators.spans import duplicated_spans
+
+TARGET = int(os.environ.get("SUBSTRING_PROBE_DOCS", "100000"))
+HOT = "#" * 40 + "COMMON-LICENSE-HEADER-BLOCK#... "[:24]  # 64 chars
+assert len(HOT) == 64, len(HOT)
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -27,7 +46,7 @@ docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
     "doc_id", "text"
 )
 n0 = docs.count()
-reps = 100_000 // n0
+reps = TARGET // n0
 inflated = docs
 for k in range(1, reps):
     mut = docs.select(
@@ -64,4 +83,23 @@ for run in (1, 2):
         print(f"NONDETERMINISTIC: {prev} != {(n_spans, dup_chars)}")
         sys.exit(1)
     prev = (n_spans, dup_chars)
+
+# hot-key skew leg: one block shared by EVERY doc
+skewed = inflated.select(
+    "doc_id", F.concat(F.lit(HOT), F.col("text")).alias("text")
+).persist()
+skewed.count()
+t0 = time.time()
+sk = duplicated_spans(skewed, "text", "doc_id", 64, 32).persist()
+at_zero = sk.filter(F.col("span_start") == 0).select("doc_id").distinct().count()
+sk_spans = sk.count()
+sk.unpersist()
+skewed.unpersist()
+print(
+    f"skew: docs={total} docs_with_span_at_0={at_zero} spans={sk_spans} "
+    f"wall={time.time()-t0:.1f}s"
+)
+if at_zero != total:
+    print(f"SKEW MISS: {at_zero} != {total}")
+    sys.exit(1)
 spark.stop()
