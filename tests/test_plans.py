@@ -494,3 +494,11 @@ def test_substring_dedup_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # partitioning reuse: the island-merge window hashes on doc_id and
+    # the final (doc_id, _grp) aggregate must RIDE that exchange —
+    # HashPartitioning(doc_id) already clusters the grouping keys, so a
+    # second doc_id shuffle in the plan is a regression
+    import re as _re
+
+    doc_exchanges = _re.findall(r"Exchange hashpartitioning\(doc_id", plan)
+    assert len(doc_exchanges) == 1, plan
