@@ -1172,3 +1172,223 @@ def ivf_index_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): codebook → codes → ADC shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def build_pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    bits: int = 4,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train a product-quantization codebook: split the vector into
+    ``m`` contiguous subspaces of ``dim/m`` dims and run the SAME
+    deterministic `_kmeans` per subspace (2^``bits`` centroids
+    requested; tiny corpora may yield fewer — the dense per-subspace
+    centroid LIST is the code alphabet either way). ``m`` sequential
+    k-means passes over sliced columns; only m · 2^bits small centroid
+    vectors ever reach the driver.
+
+    Returns ``{"m", "bits", "dim", "dsub", "codebooks"}`` where
+    ``codebooks[i]`` is the dense centroid list for subspace i. At
+    100 TB this is a train-once artifact (persist the dict as JSON
+    next to the encoded corpus, the `_centroids.json` pattern)."""
+    docs = _scatter(_valid_vecs(embeddings, vec_col)).select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    first = docs.select(F.size("_v").alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("cannot train a PQ codebook on an empty corpus")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    docs = materialize(docs)
+    codebooks = []
+    for i in range(m):
+        sub = docs.select(
+            "_id", F.slice(F.col("_v"), i * dsub + 1, dsub).alias("_s")
+        )
+        _, cents = _kmeans(sub, "_s", "_id", 2**bits, kmeans_iters)
+        codebooks.append(
+            [[float(x) for x in vec] for _, vec in sorted(cents)]
+        )
+    return {
+        "m": m,
+        "bits": bits,
+        "dim": dim,
+        "dsub": dsub,
+        "codebooks": codebooks,
+    }
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against a trained codebook: (neighbor_id,
+    codes array<int>, d_norm). One Arrow pass computes every
+    subspace's argmin via numpy (batch × centroid distance matrices);
+    ``d_norm`` is the EXACT JVM-side L2 norm, kept so downstream
+    cosine scoring only approximates the dot product, never the norm.
+    8-bit-ish codes per subspace replace dim doubles — the 100 TB
+    storage story (64-dim float64 → m small ints + one double)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m, dsub = codebook["m"], codebook["dsub"]
+    cents = [
+        np.asarray(cb, dtype=np.float64) for cb in codebook["codebooks"]
+    ]
+
+    @pandas_udf("array<int>")
+    def _codes_np(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray(list(vecs), dtype=np.float64)  # [n, dim]
+        out = np.empty((len(M), m), dtype=np.int32)
+        for i in range(m):
+            S = M[:, i * dsub : (i + 1) * dsub]  # [n, dsub]
+            # ||s - c||^2 argmin == (||c||^2 - 2 s·c) argmin
+            d2 = (cents[i] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                S @ cents[i].T
+            )
+            out[:, i] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    docs = _scatter(_valid_vecs(embeddings, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    _check_query_dim(docs, "_v", codebook["dim"])
+    return docs.select(
+        "neighbor_id",
+        _codes_np(F.col("_v")).alias("codes"),
+        l2_norm(F.col("_v")).alias("d_norm"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    bits: int = 4,
+    shortlist: int = 100,
+    codebook: dict | None = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric-distance shortlisting plus
+    EXACT cosine rerank — the standard two-stage: ADC (per-query
+    lookup tables over the code alphabet, a table-gather per corpus
+    row instead of a dim-wide dot) proposes ``shortlist`` candidates
+    per query; the true vectors of only those candidates are fetched
+    (a keyed semi-shape join) and rescored with the exact cosine, so
+    returned cos_sim values and tie order match brute force wherever
+    the shortlist contains the true neighbors.
+
+    The query batch is collected driver-side and broadcast into the
+    scoring UDF — same broadcast-query contract as
+    `cosine_topk_bruteforce` (a query BATCH, not a second corpus).
+    Pass ``codebook``/``encoded`` to reuse train-once artifacts;
+    omitted, both are built from the corpus (the one-shot form)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if codebook is None:
+        codebook = build_pq_codebook(
+            embeddings, m=m, bits=bits, id_col=id_col, vec_col=vec_col
+        )
+    m, dsub = codebook["m"], codebook["dsub"]
+    if encoded is None:
+        encoded = pq_encode(embeddings, codebook, id_col, vec_col)
+    qs = (
+        _valid_vecs(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+        )
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
+    )
+    _check_query_dim(qs, "q_vec", codebook["dim"])
+    qrows = qs.select("query_id", "q_vec").collect()  # query batch
+    if not qrows:
+        return qs.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
+        )
+    q_ids = [r["query_id"] for r in qrows]
+    cents = [
+        np.asarray(cb, dtype=np.float64) for cb in codebook["codebooks"]
+    ]
+    # per-query ADC tables: T[q][i][c] = q_sub_i · centroid_c — the dot
+    # product decomposes over subspaces, so score = sum of m lookups
+    tables = []
+    for r in qrows:
+        qv = np.asarray(r["q_vec"], dtype=np.float64)
+        tables.append(
+            [qv[i * dsub : (i + 1) * dsub] @ cents[i].T for i in range(m)]
+        )
+
+    @pandas_udf("array<double>")
+    def _adc_np(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.asarray(list(codes), dtype=np.int64)  # [n, m]
+        out = np.zeros((len(C), len(tables)), dtype=np.float64)
+        for qi, tab in enumerate(tables):
+            s = np.zeros(len(C), dtype=np.float64)
+            for i in range(m):
+                s += tab[i][C[:, i]]
+            out[:, qi] = s
+        return pd.Series(list(out))
+
+    scored = encoded.select(
+        "neighbor_id",
+        "d_norm",
+        F.posexplode(_adc_np(F.col("codes"))).alias("qi", "adc"),
+    )
+    q_id_df = F.array(*[F.lit(q) for q in q_ids])
+    cand = scored.select(
+        q_id_df[F.col("qi")].alias("query_id"),
+        "neighbor_id",
+        # approximate cosine: ADC dot over the EXACT norms — ranking
+        # only; the rerank below replaces it with the true cosine
+        F.try_divide(F.col("adc"), F.col("d_norm")).alias("adc_cos"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: fetch true vectors for shortlist rows only
+    docs = _scatter(_valid_vecs(embeddings, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("d_norm", l2_norm(F.col("v")))
+    fetched = short.join(docs, "neighbor_id")
+    exact = fetched.join(F.broadcast(qs), "query_id").withColumn(
+        "cos_sim",
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("v")),
+            F.col("q_norm") * F.col("d_norm"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

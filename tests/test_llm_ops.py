@@ -1606,3 +1606,69 @@ def test_duplicated_spans_fixture(spark):
     assert stripped[6] == ("!!!###$$$%%%" + shared2, 16)  # owns shared2
     assert stripped[7] == ("&&&***((();;", 32)         # loses both
     assert len(stripped) == 7
+
+
+def test_pq_codebook_encode_and_topk(spark, sf_dir):
+    """Product quantization: deterministic per-subspace codebooks,
+    Arrow-batched encoding (codes in-alphabet, exact norms), ADC
+    shortlist + exact-cosine rerank recall vs brute force, and the
+    train-once contract — one-shot pq_topk equals the prebuilt
+    codebook/encoded path exactly (same deterministic k-means)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    cb = S.build_pq_codebook(emb, m=8, bits=4)
+    assert cb["dim"] == 64 and cb["dsub"] == 8 and len(cb["codebooks"]) == 8
+    assert all(1 <= len(c) <= 16 for c in cb["codebooks"])
+
+    enc = S.pq_encode(emb, cb)
+    rows = enc.collect()
+    sizes = [len(c) for c in cb["codebooks"]]
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < sizes[i] for i, c in enumerate(r["codes"]))
+        assert r["d_norm"] > 0
+    again = {r["neighbor_id"]: tuple(r["codes"]) for r in S.pq_encode(emb, cb).collect()}
+    assert {r["neighbor_id"]: tuple(r["codes"]) for r in rows} == again
+
+    pq = S.pq_topk(emb, qs, k=5, codebook=cb, encoded=enc, shortlist=100)
+    bf = S.cosine_topk_bruteforce(emb, qs, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    recall = len(got & want) / len(want)
+    # uniform random vectors are PQ's worst case; measured 0.88 at a
+    # 100-of-500 shortlist — a broken codebook or gather lands near 0.2
+    assert recall >= 0.8, recall
+
+    one = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in S.pq_topk(emb, qs, k=5, m=8, bits=4, shortlist=100).collect()
+    }
+    two = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in pq.collect()
+    }
+    assert one == two, "one-shot PQ diverges from the prebuilt-artifact path"
+
+
+def test_pq_guards_and_planted_duplicate(spark):
+    """dim % m != 0 and an empty corpus refuse loudly; a query whose
+    exact duplicate lives in the corpus retrieves it at rank 1 with
+    cos_sim 1.0 (the shortlist covers the corpus, rerank is exact)."""
+    import pytest as _pytest
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.build_pq_codebook(df, m=3, bits=2)
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S.build_pq_codebook(df.filter(F.lit(False)), m=4, bits=2)
+
+    dup_of_7 = [(999, rows[7][1])]
+    q = spark.createDataFrame(dup_of_7, "vec_id long, embedding array<double>")
+    res = S.pq_topk(df, q, k=3, m=4, bits=2, shortlist=40)
+    top = res.filter(F.col("rnk") == 1).first()
+    assert top["neighbor_id"] == 7, top
+    assert abs(top["cos_sim"] - 1.0) < 1e-12

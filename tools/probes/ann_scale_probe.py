@@ -59,7 +59,10 @@ each query batch then partition-prunes to its probed clusters
 FULL 512k corpus (ANN_PROBE_LSH_CORPUS) on the operator's pure-default
 auto path; the band (this host): LSH wall BELOW brute (2.5-6 s vs
 9.5-18 s) at recall >= 0.95. The reduced-corpus brute wall prints
-alongside when a smaller LSH corpus is requested."""
+alongside when a smaller LSH corpus is requested. Sixth leg (r14):
+product quantization — train-once codebook + Arrow-encoded codes, ADC
+shortlist + exact rerank; band in the leg comment (queries ~4-7 s at
+recall 1.000, an order under brute on the same host)."""
 import os
 import sys
 import time
@@ -192,4 +195,38 @@ print(
     f"lsh@{lsh_total}: rows={len(lsh)} wall={time.time() - t0:.1f}s "
     f"recall@{K}={len(lsh & lsh_truth) / len(lsh_truth):.3f}"
 )
+
+# PQ leg (r14): codebook + encode are train-once artifacts; the query
+# is an ADC table-gather shortlist + exact rerank. Band (quiet host
+# readings scale with the brute leg): build ~60-110 s, encode ~8-16 s,
+# query reps ~4-7 s at shortlist=1024, recall 1.000 (loaded-host r14
+# first recording: build 108 s, encode 15.8 s, queries 6.5/5.9 s vs
+# brute 95.7 s on the same host).
+from hudi_spark_utilities_plus_spark.operators.similarity import (
+    build_pq_codebook,
+    pq_encode,
+    pq_topk,
+)
+
+t0 = time.time()
+_cb = build_pq_codebook(corpus, m=8, bits=8, kmeans_iters=2)
+print(f"pq build@512k: wall={time.time() - t0:.1f}s")
+t0 = time.time()
+_enc = pq_encode(corpus, _cb).persist()
+_enc.count()
+print(f"pq encode@512k: wall={time.time() - t0:.1f}s")
+for rep in (1, 2):
+    t0 = time.time()
+    pq = set(
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(
+            corpus, queries, k=K, codebook=_cb, encoded=_enc, shortlist=1024
+        )
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    print(
+        f"pq query rep{rep}: rows={len(pq)} wall={time.time() - t0:.1f}s "
+        f"recall@{K}={len(pq & truth) / len(truth):.3f}"
+    )
 spark.stop()
