@@ -67,6 +67,7 @@ _CHECK_ORDER = [
     "ann_topk_ivf",
     "ann_topk_ivf_index",
     "ann_topk_lsh",
+    "ann_topk_pq",
     "dedup_embedding_semantic",
     "embedding_quantize",
     "embedding_similar_pairs",
@@ -96,7 +97,7 @@ _CHECK_ORDER = [
     "stream_demux",
     "stream_demux_recovery",
     "stream_demux_transform",
-    # 12 spare slots: the oldest r7 rows, alphabetical (ledger order)
+    # 11 spare slots: the oldest r7 rows, alphabetical (ledger order)
     "agg_hll_partitioned_union",
     "agg_percentile_sketch",
     "ansi_try_funcs",
@@ -108,7 +109,6 @@ _CHECK_ORDER = [
     "map_access",
     "order_nulls",
     "outlier_zscore",
-    "sample_stratified",
 ]
 
 
