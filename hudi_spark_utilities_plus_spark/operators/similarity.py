@@ -1066,8 +1066,20 @@ def build_ivf_index(
         "centroids": [[cid, cvec] for cid, cvec in cents],
     }
     _os.makedirs(path, exist_ok=True)
-    with open(f"{path.rstrip('/')}/_centroids.json", "w") as fh:
+    # Publish the sidecar ATOMICALLY (tmp + os.replace, the lake.py
+    # seqmax-sidecar pattern), and only now — after the parquet data
+    # write above succeeded. A crash mid-dump must leave either no
+    # sidecar (index clearly absent, rebuild starts clean) or a
+    # complete one; an in-place json.dump could strand a TRUNCATED
+    # file that fails every later ivf_index_topk with an opaque JSON
+    # decode error and poisons rebuilds over the same path.
+    final = f"{path.rstrip('/')}/_centroids.json"
+    tmp = f"{final}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, final)
     return {"n_clusters": len(cents), "dim": dim, "rows": rows}
 
 
@@ -1275,55 +1287,16 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    m: int = 8,
-    bits: int = 4,
-    shortlist: int = 100,
-    codebook: dict | None = None,
-    encoded: DataFrame | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _pq_shortlist_driver(
+    encoded: DataFrame, qrows: list, codebook: dict, shortlist: int
 ) -> DataFrame:
-    """Approximate top-k via PQ asymmetric-distance shortlisting plus
-    EXACT cosine rerank — the standard two-stage: ADC (per-query
-    lookup tables over the code alphabet, a table-gather per corpus
-    row instead of a dim-wide dot) proposes ``shortlist`` candidates
-    per query; the true vectors of only those candidates are fetched
-    (a keyed semi-shape join) and rescored with the exact cosine, so
-    returned cos_sim values and tie order match brute force wherever
-    the shortlist contains the true neighbors.
-
-    The query batch is collected driver-side and broadcast into the
-    scoring UDF — same broadcast-query contract as
-    `cosine_topk_bruteforce` (a query BATCH, not a second corpus).
-    Pass ``codebook``/``encoded`` to reuse train-once artifacts;
-    omitted, both are built from the corpus (the one-shot form)."""
+    """Broadcast-query ADC shortlist (the small-batch path): per-query
+    lookup tables are built DRIVER-side from the collected query batch
+    and shipped in the UDF closure — one table-gather pass over the
+    encoded corpus, `cosine_topk_bruteforce`'s broadcast-query shape."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    if codebook is None:
-        codebook = build_pq_codebook(
-            embeddings, m=m, bits=bits, id_col=id_col, vec_col=vec_col
-        )
     m, dsub = codebook["m"], codebook["dsub"]
-    if encoded is None:
-        encoded = pq_encode(embeddings, codebook, id_col, vec_col)
-    qs = (
-        _valid_vecs(queries, vec_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            as_double(F.col(vec_col)).alias("q_vec"),
-        )
-        .withColumn("q_norm", l2_norm(F.col("q_vec")))
-    )
-    _check_query_dim(qs, "q_vec", codebook["dim"])
-    qrows = qs.select("query_id", "q_vec").collect()  # query batch
-    if not qrows:
-        return qs.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rnk int"
-        )
     q_ids = [r["query_id"] for r in qrows]
     cents = [
         np.asarray(cb, dtype=np.float64) for cb in codebook["codebooks"]
@@ -1360,24 +1333,261 @@ def pq_topk(
         q_id_df[F.col("qi")].alias("query_id"),
         "neighbor_id",
         # approximate cosine: ADC dot over the EXACT norms — ranking
-        # only; the rerank below replaces it with the true cosine
+        # only; the rerank in pq_topk replaces it with the true cosine
         F.try_divide(F.col("adc"), F.col("d_norm")).alias("adc_cos"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adc_cos").desc(), F.col("neighbor_id")
     )
-    short = (
+    return (
         cand.withColumn("srnk", F.row_number().over(ws))
         .filter(F.col("srnk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
+
+
+def _pq_shortlist_blocked(
+    encoded: DataFrame,
+    qs: DataFrame,
+    codebook: dict,
+    shortlist: int,
+    q_block_rows: int = 2048,
+    c_block_rows: int = 65536,
+) -> DataFrame:
+    """Executor-side ADC shortlist for BULK query batches — no driver
+    collect anywhere, so the query set can itself be corpus-sized.
+
+    Block nested-loop over (corpus-block × query-block) cells via a
+    cogrouped ``applyInPandas``: both sides get a block id (pmod of
+    xxhash64 — no global sort, no monotonic-id materialization) and are
+    replicated across the OTHER side's block range by a broadcast
+    crossjoin of the tiny block-id ranges. Each cogroup cell builds the
+    ADC tables for ITS query chunk from the broadcast-size codebook in
+    the UDF closure (the same subspace matmul as the driver path, just
+    computed on the executor) and emits a per-cell top-``shortlist``
+    per query, selected over *non-self* candidates with the exact
+    (-adc, neighbor_id) tie order; a global per-query window over the
+    ≤ c_blocks·shortlist survivors then yields the same shortlist set
+    the single-window driver path would (global top-s of a union is
+    contained in the union of per-cell top-s).
+
+    Scale accounting at 100 TB: shuffle volume is n_corpus·q_blocks
+    code rows (m small ints + a norm each — the 100×-smaller encoded
+    form, never the raw vectors) plus n_q·c_blocks query vectors;
+    per-task memory is one corpus chunk (≤ c_block_rows codes) plus
+    one query chunk (≤ q_block_rows vectors), scored in ≤256-query
+    tiles so the [chunk × tile] score matrix stays ~130 MB; cell count
+    c_blocks·q_blocks gives the scheduler uniform work units. Zero-norm
+    corpus rows score -inf (ranked last — the driver path's NULL-last
+    ordering) rather than dividing by zero."""
+    import math
+
+    spark = qs.sparkSession
+    m, dsub = codebook["m"], codebook["dsub"]
+    cents = [
+        np.asarray(cb, dtype=np.float64) for cb in codebook["codebooks"]
+    ]
+    enc = materialize(encoded.select("neighbor_id", "codes", "d_norm"))
+    n_enc = enc.count()  # cheap: counts the materialized blocks
+    n_q = qs.count()
+    if n_enc == 0 or n_q == 0:
+        return (
+            qs.select("query_id")
+            .join(enc.select("neighbor_id"), F.lit(False))
+            .select("query_id", "neighbor_id")
+        )
+    c_blocks = max(1, math.ceil(n_enc / c_block_rows))
+    q_blocks = max(1, math.ceil(n_q / q_block_rows))
+    encb = enc.withColumn(
+        "cblk", F.pmod(F.xxhash64("neighbor_id"), F.lit(c_blocks)).cast("int")
+    )
+    qsb = qs.select("query_id", "q_vec").withColumn(
+        "qblk", F.pmod(F.xxhash64("query_id"), F.lit(q_blocks)).cast("int")
+    )
+    qrange = spark.range(q_blocks).select(F.col("id").cast("int").alias("qblk"))
+    crange = spark.range(c_blocks).select(F.col("id").cast("int").alias("cblk"))
+    enc_rep = encb.crossJoin(F.broadcast(qrange))  # corpus × every q-block
+    qs_rep = qsb.crossJoin(F.broadcast(crange))  # queries × every c-block
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("query_id", qs.schema["query_id"].dataType),
+            StructField("neighbor_id", enc.schema["neighbor_id"].dataType),
+            StructField("adc_cos", DoubleType()),
+        ]
+    )
+    s_n = int(shortlist)
+    q_tile = 256
+
+    def _score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: corpus chunk (neighbor_id, codes, d_norm), right: query
+        # chunk (query_id, q_vec) — one (cblk, qblk) cell
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "adc_cos"])
+        C = np.asarray(list(left["codes"]), dtype=np.int64)  # [n, m]
+        dn = left["d_norm"].to_numpy(dtype=np.float64)
+        nid = left["neighbor_id"].to_numpy()
+        Q = np.asarray(list(right["q_vec"]), dtype=np.float64)  # [q, dim]
+        qid = right["query_id"].to_numpy()
+        pos = dn > 0.0
+        outs = []
+        for t0 in range(0, len(Q), q_tile):
+            Qt = Q[t0 : t0 + q_tile]
+            S = np.zeros((len(C), len(Qt)), dtype=np.float64)
+            for i in range(m):
+                # ADC tables for this tile, executor-side: [tile, n_cents]
+                T = Qt[:, i * dsub : (i + 1) * dsub] @ cents[i].T
+                S += T[:, C[:, i]].T  # gather per corpus row -> [n, tile]
+            A = np.where(pos[:, None], S / np.where(pos, dn, 1.0)[:, None], -np.inf)
+            for j in range(len(Qt)):
+                col = A[:, j]
+                # top-(s+1) then drop the self row: the top-s of the
+                # non-self candidates survives exactly
+                take = min(s_n + 1, len(col))
+                part = (
+                    np.argpartition(-col, take - 1)[:take]
+                    if take < len(col)
+                    else np.arange(len(col))
+                )
+                order = np.lexsort((nid[part], -col[part]))
+                sel = part[order]
+                sel = sel[nid[sel] != qid[t0 + j]][:s_n]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qid[t0 + j], len(sel)),
+                            "neighbor_id": nid[sel],
+                            "adc_cos": col[sel],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "adc_cos"])
+        return pd.concat(outs, ignore_index=True)
+
+    cand = (
+        enc_rep.groupBy("cblk", "qblk")
+        .cogroup(qs_rep.groupBy("cblk", "qblk"))
+        .applyInPandas(_score, schema=out_schema)
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= s_n)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    bits: int = 4,
+    shortlist: int = 100,
+    codebook: dict | None = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_query_limit: int = 8192,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric-distance shortlisting plus
+    EXACT cosine rerank — the standard two-stage: ADC (per-query
+    lookup tables over the code alphabet, a table-gather per corpus
+    row instead of a dim-wide dot) proposes ``shortlist`` candidates
+    per query; the true vectors of only those candidates are fetched
+    (a keyed semi-shape join) and rescored with the exact cosine, so
+    returned cos_sim values and tie order match brute force wherever
+    the shortlist contains the true neighbors.
+
+    ``driver_query_limit`` picks the shortlist engine. At or below it
+    (a query BATCH, not a second corpus — the ceiling is the one knob
+    to tune if driver memory differs), the batch is collected and
+    broadcast into the scoring UDF, `cosine_topk_bruteforce`'s
+    contract. ABOVE it, nothing is ever collected: the blocked
+    cogroup path (`_pq_shortlist_blocked`) computes the same ADC
+    tables executor-side per (corpus-block × query-block) cell, so
+    million-query batches carry no driver ceiling; ≤ 0 forces the
+    blocked path outright. Both engines feed the same exact-rerank
+    tail and agree on the result wherever per-cell shortlists cover
+    the global one (always, when ``shortlist`` ≥ the corpus size).
+    Bulk query sets that re-run against ONE long-lived corpus are
+    still better served by `ann_topk_ivf_index` — its partition-pruned
+    reads skip the full-corpus scan this path always pays.
+    Pass ``codebook``/``encoded`` to reuse train-once artifacts;
+    omitted, both are built from the corpus (the one-shot form)."""
+    if codebook is None:
+        codebook = build_pq_codebook(
+            embeddings, m=m, bits=bits, id_col=id_col, vec_col=vec_col
+        )
+    m, dsub = codebook["m"], codebook["dsub"]
+    if encoded is None:
+        encoded = pq_encode(embeddings, codebook, id_col, vec_col)
+    qs = (
+        _valid_vecs(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("q_vec"),
+        )
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
+    )
+    _check_query_dim(qs, "q_vec", codebook["dim"])
+    qrows = None
+    if driver_query_limit > 0:
+        # limit(N+1) probes the batch size AND doubles as the collect on
+        # the small path — at ≤ N rows the "limit" is the whole batch
+        probe = (
+            qs.select("query_id", "q_vec")
+            .limit(driver_query_limit + 1)
+            .collect()
+        )
+        if len(probe) <= driver_query_limit:
+            qrows = probe
+    if qrows is not None and not qrows:
+        # empty result typed from the INPUTS: query_id like the caller's
+        # id column, neighbor_id like the encoded corpus id — a
+        # hardcoded long here would type-skew unions/writers on exactly
+        # the empty-input edge (the hazard ivf_index_topk's empty-probes
+        # branch guards against)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        return qs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", queries.schema[id_col].dataType),
+                    StructField(
+                        "neighbor_id", encoded.schema["neighbor_id"].dataType
+                    ),
+                    StructField("cos_sim", DoubleType()),
+                    StructField("rnk", IntegerType()),
+                ]
+            ),
+        )
+    if qrows is not None:
+        short = _pq_shortlist_driver(encoded, qrows, codebook, shortlist)
+    else:
+        short = _pq_shortlist_blocked(encoded, qs, codebook, shortlist)
     # exact rerank: fetch true vectors for shortlist rows only
     docs = _scatter(_valid_vecs(embeddings, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("d_norm", l2_norm(F.col("v")))
     fetched = short.join(docs, "neighbor_id")
-    exact = fetched.join(F.broadcast(qs), "query_id").withColumn(
+    # the query side is broadcast only when it IS the small side — on
+    # the bulk path a forced broadcast of a corpus-sized query set
+    # would be the driver ceiling all over again; AQE picks the join
+    q_side = F.broadcast(qs) if qrows is not None else qs
+    exact = fetched.join(q_side, "query_id").withColumn(
         "cos_sim",
         F.try_divide(
             dot(F.col("q_vec"), F.col("v")),

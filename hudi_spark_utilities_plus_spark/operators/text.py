@@ -1,10 +1,17 @@
 """Text-analysis operators for LLM-data pipelines, 100 TB-scale design.
 
-All hot-path expressions are JVM-side built-ins (whole-stage codegen, no
-Python round-trips): tokenization via split/regexp, language-ID via
-stopword-hit counting, quality scoring via length/punct/stopword ratios,
+All hot-path expressions are JVM-side built-ins — no Python round-trips
+anywhere: tokenization via split/regexp, language-ID via stopword-hit
+counting, quality scoring via length/punct/stopword ratios,
 fingerprinting via SHA-256 and a Karp-Rabin rolling hash expressed with
-``F.aggregate`` (a fold executed inside codegen, not a UDF).
+``F.aggregate``. Precision on the execution tier: the scalar built-ins
+run inside whole-stage codegen, but Catalyst higher-order functions
+(``aggregate``/``transform``/``filter`` lambdas) evaluate as INTERPRETED
+expressions outside the codegen stage — still JVM-side and Arrow-free,
+one fold per row, roughly an order cheaper than a Python UDF crossing
+but not free (the r13 plan audit's "single-fold-per-row acceptable"
+band; the r14 `_band_keys` fix is what the HOT multi-fold shape costs
+when this distinction is ignored).
 
 Everything is a narrow per-row transform — embarrassingly parallel, no
 shuffle — so throughput scales linearly with executors.

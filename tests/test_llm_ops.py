@@ -1522,7 +1522,13 @@ def test_ivf_index_build_query_and_partition_pruning(spark, sf_dir, tmp_path):
 
 def test_ivf_index_guards(spark, sf_dir, tmp_path):
     """Empty corpus refuses to build; mismatched query width refuses to
-    query; an empty query frame returns an empty typed result."""
+    query; an empty query frame returns an empty typed result; the
+    centroid sidecar is published atomically (complete JSON, no tmp
+    debris — a crash mid-dump must never strand a truncated sidecar
+    that poisons every later ivf_index_topk)."""
+    import json as _json
+    import os as _os
+
     import pytest as _pytest
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1530,6 +1536,10 @@ def test_ivf_index_guards(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="empty corpus"):
         S.build_ivf_index(emb.filter(F.lit(False)), str(tmp_path / "nope"))
     S.build_ivf_index(emb, idx_path, n_clusters=2, kmeans_iters=1)
+    assert not [f for f in _os.listdir(idx_path) if ".tmp." in f]
+    with open(_os.path.join(idx_path, "_centroids.json")) as fh:
+        side = _json.load(fh)  # parses => complete, not truncated
+    assert len(side["centroids"]) == side["n_clusters"] == 2
     bad_q = spark.createDataFrame(
         [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
@@ -1672,3 +1682,89 @@ def test_pq_guards_and_planted_duplicate(spark):
     top = res.filter(F.col("rnk") == 1).first()
     assert top["neighbor_id"] == 7, top
     assert abs(top["cos_sim"] - 1.0) < 1e-12
+
+
+def test_pq_blocked_path_matches_driver_path(spark, sf_dir):
+    """The executor-side blocked-cogroup ADC path (bulk query batches,
+    VERDICT r14 ask 4) returns EXACTLY the driver-broadcast path's
+    top-k: at a shortlist covering the corpus both engines rerank the
+    same candidate set with the exact cosine, so equality is a
+    contract, not a recall statement. Blocks are forced tiny so the
+    parity run crosses MANY (corpus-block x query-block) cells, and
+    the plan is pinned: the blocked engine runs a cogrouped Arrow UDF
+    (FlatMapCoGroupsInPandas) and never collects the query batch; the
+    driver engine never cogroups."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    cb = S.build_pq_codebook(emb, m=8, bits=4)
+    enc = S.pq_encode(emb, cb)
+
+    drv = S.pq_topk(emb, qs, k=5, codebook=cb, encoded=enc, shortlist=600)
+    blk = S.pq_topk(
+        emb, qs, k=5, codebook=cb, encoded=enc, shortlist=600,
+        driver_query_limit=0,
+    )
+    d = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], round(r["cos_sim"], 12))
+        for r in drv.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], round(r["cos_sim"], 12))
+        for r in blk.collect()
+    )
+    assert d == b and len(d) > 0
+
+    # many-cell crossing: shortlist still covers the corpus, so the
+    # union-of-cell-top-s must reconstruct the identical global result
+    qsd = S._valid_vecs(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("q_vec"),
+    )
+    cells = S._pq_shortlist_blocked(
+        enc, qsd, cb, 600, q_block_rows=3, c_block_rows=50
+    )
+    n_q = qsd.count()
+    n_corpus = enc.count()
+    assert cells.count() == n_q * (n_corpus - 1)  # every non-self pair
+
+    assert "FlatMapCoGroupsInPandas" in blk._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in drv._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pq_threshold_boundary_and_typed_empty(spark):
+    """driver_query_limit semantics: a batch AT the limit stays on the
+    broadcast engine, one past it flips to the blocked engine, and both
+    return the same neighbors. Empty query batches return a frame typed
+    from the INPUTS (string ids stay strings — the hardcoded-long skew
+    the r14 ADVICE flagged)."""
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) - 8.0 for j in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 4)
+    cb = S.build_pq_codebook(emb, m=4, bits=2)
+    enc = S.pq_encode(emb, cb)
+    at = S.pq_topk(
+        emb, qs, k=3, codebook=cb, encoded=enc, shortlist=30,
+        driver_query_limit=4,
+    )
+    past = S.pq_topk(
+        emb, qs, k=3, codebook=cb, encoded=enc, shortlist=30,
+        driver_query_limit=3,
+    )
+    plan_at = at._jdf.queryExecution().executedPlan().toString()
+    plan_past = past._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan_at
+    assert "FlatMapCoGroupsInPandas" in plan_past
+    a = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in at.collect())
+    p = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in past.collect())
+    assert a == p and len(a) == 12
+
+    s_emb = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    e = S.pq_topk(s_emb, s_emb.filter(F.lit(False)), k=3, m=4, bits=2)
+    assert e.schema["query_id"].dataType.simpleString() == "string"
+    assert e.schema["neighbor_id"].dataType.simpleString() == "string"
+    assert e.count() == 0

@@ -133,3 +133,50 @@ def test_jdbc_import_derby_end_to_end(spark, tmp_path, derby_table):
     )
     out = {r["ID"]: r["NAME"] for r in spark.read.parquet(lake).collect()}
     assert out == {1: "ss", 2: "bb"}
+
+
+def test_jdbc_partitioned_parallel_read(spark, derby_table):
+    """A5: partitionColumn/lowerBound/upperBound/numPartitions yield a
+    REAL N-way range-split JDBC scan (docs/jdbc/01.JDBC
+    Ingestion.md:39-45), not just forwarded strings — pinned three
+    ways against the live Derby engine: the relation plans
+    numPartitions tasks, the executed plan carries the split count,
+    and spark_partition_id() proves each range lands in its own
+    partition with every row accounted for exactly once."""
+    from hudi_spark_utilities_plus_spark.sources.registry import read_jdbc
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_table)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE stu_part (id BIGINT PRIMARY KEY, v INT)")
+    st.execute(
+        "INSERT INTO stu_part VALUES " + ", ".join(
+            f"({i}, {i * 10})" for i in range(1, 9)
+        )
+    )
+    conn.close()
+    df = read_jdbc(
+        spark,
+        {
+            "url": derby_table,
+            "dbtable": "stu_part",
+            "partitionColumn": "id",
+            "lowerBound": "1",
+            "upperBound": "9",
+            "numPartitions": "4",
+        },
+    )
+    assert df.rdd.getNumPartitions() == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=4" in plan, plan
+    from pyspark.sql import functions as F
+
+    by_part = {
+        r["pid"]: sorted(r["ids"])
+        for r in df.select(F.spark_partition_id().alias("pid"), "id")
+        .groupBy("pid")
+        .agg(F.collect_list("id").alias("ids"))
+        .collect()
+    }
+    # stride (9-1)/4 = 2: partitions own [<3], [3,4], [5,6], [>=7]
+    assert by_part == {0: [1, 2], 1: [3, 4], 2: [5, 6], 3: [7, 8]}, by_part
