@@ -55,60 +55,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # r15's window arithmetic stays sound (text-family closure 36 ∪ 12 r7
 # leftovers ≤ 48 of 50 without re-staining similarity).
 _CHECK_ORDER = [
-    # stained/new ids (this round's product commits)
-    "hudi_clean_grace",
-    "dedup_substring_spans",
-    "dedup_substring_coverage",
-    "dedup_substring_strip",
-    # re-rowed: the ledger's conservative function-range tracking counts
-    # the strip insertion bordering dedup_simhash's decorator as a stain
-    "dedup_simhash",
+    # r15 window (ledger-computed at the product tree): the 41-id
+    # text-closure stain (which CONTAINS the similarity + spans
+    # families via similarity->dedup->text imports) + the new
+    # dedup_substring_refine + 8 oldest-r7 spares; the 5 remaining
+    # r7 rows (subquery_scalar, text_normalize, url_canonicalize,
+    # win_first_last, win_forward_fill) roll to r16.
+    "dedup_substring_refine",
+    "chunk_documents",
+    "contamination_check",
+    "corpus_filter_funnel",
+    "dedup_components",
+    "dedup_containment",
+    "dedup_editdistance",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "graph_triangle_count",
+    "keyword_extract",
+    "lang_id",
+    "mm_features",
+    "mm_frame_sample",
+    "mm_audio_energy",
+    "mm_resize",
+    "ngram_bigrams",
+    "pack_token_budget",
+    "pii_scrub",
+    "quality_model_score",
+    "sample_hash_docs",
+    "split_train_val",
+    "text_quality",
+    "text_repetition",
+    "tfidf_topterms",
+    "token_counts",
+    "word_freq",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_index",
     "ann_topk_lsh",
     "ann_topk_pq",
     "dedup_embedding_semantic",
+    "dedup_simhash",
+    "dedup_substring_coverage",
+    "dedup_substring_spans",
+    "dedup_substring_strip",
     "embedding_quantize",
     "embedding_similar_pairs",
     "embedding_similar_pairs_lsh",
-    "binlog_purge_recovery",
-    "binlog_stream_scan",
-    "es_scan",
-    "hudi_cdc_read",
-    "hudi_clean_reclaim",
-    "hudi_cluster_read",
-    "hudi_filegroup_prune",
-    "hudi_hive_sync_read",
-    "hudi_incremental_read",
-    "hudi_insert_overwrite",
-    "hudi_manifest_commit",
-    "hudi_mor_read",
-    "hudi_mor_ro_read",
-    "hudi_partition_overwrite",
-    "hudi_partitioned_upsert",
-    "hudi_point_read",
-    "hudi_rectify_sizes",
-    "hudi_restore_read",
-    "hudi_schema_evolution",
-    "hudi_time_travel",
-    "hudi_upsert",
-    "mongo_scan",
-    "stream_demux",
-    "stream_demux_recovery",
-    "stream_demux_transform",
-    # 11 spare slots: the oldest r7 rows, alphabetical (ledger order)
-    "agg_hll_partitioned_union",
-    "agg_percentile_sketch",
-    "ansi_try_funcs",
-    "collation_group",
-    "downsample_ohlc",
-    "html_boilerplate_strip",
-    "join_interval_bucketed",
-    "log_parse_extract",
-    "map_access",
-    "order_nulls",
-    "outlier_zscore",
+    "sample_stratified",
+    "scd2_build",
+    "sql_pipe_syntax",
+    "stream_complete_agg",
+    "stream_dedup_watermark",
+    "stream_sliding",
+    "stream_static_join",
+    "subquery_not_in_nulls",
 ]
 
 

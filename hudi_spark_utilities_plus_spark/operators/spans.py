@@ -260,3 +260,223 @@ def substring_dup_coverage(
             <= F.col("doc_len")
         ).alias("keep"),
     )
+
+
+def _common_prefix_len(a, b):
+    """Character count of the common prefix of two string columns —
+    a bounded single fold per row (flanks are < stride chars), the
+    same interpreted-HOF shape as the strip splice. NULL on either
+    side (a window edge) counts as 0."""
+    mlen = F.least(F.length(a), F.length(b))
+    seq = (
+        F.when(mlen >= 1, F.sequence(F.lit(1), mlen.cast("int")))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    fold = F.aggregate(
+        seq,
+        F.struct(F.lit(True).alias("go"), F.lit(0).alias("n")),
+        lambda acc, i: F.struct(
+            (acc["go"] & (a.substr(i, F.lit(1)) == b.substr(i, F.lit(1)))).alias("go"),
+            F.when(
+                acc["go"] & (a.substr(i, F.lit(1)) == b.substr(i, F.lit(1))),
+                acc["n"] + 1,
+            )
+            .otherwise(acc["n"])
+            .alias("n"),
+        ),
+        lambda acc: acc["n"],
+    )
+    return F.coalesce(
+        F.when(a.isNull() | b.isNull(), F.lit(0)).otherwise(fold), F.lit(0)
+    )
+
+
+def refine_span_bounds(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 64,
+    stride: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-boundary refinement over the grid-snapped islands of
+    :func:`duplicated_spans` — the optional second pass VERDICT r14
+    named (Lee et al. 2022 exact-boundary semantics at stride > 1).
+
+    Returns one row per island: (doc_id, span_start, span_end,
+    n_shingles, exact_start, exact_end) where the exact bounds extend
+    the grid bounds by the number of flank characters that are
+    genuinely part of a duplicated context: a boundary character run
+    counts iff it also flanks ANOTHER occurrence of the island's
+    boundary shingle key (the key is already cross-document by
+    construction; partner occurrences may sit in any document,
+    including same-document repeats of that key). Extensions are
+    capped at stride−1 by construction — a shared run of ≥ stride
+    chars past the boundary would contain the *adjacent grid shingle*
+    of every grid-aligned partner and the island would already have
+    grown — so the refinement exactly closes the snap-to-grid gap for
+    the alignment class the detector sees.
+
+    Shape, flagged-regions-only: the pass touches (a) the islands
+    (already small), (b) the occurrences of ISLAND-BOUNDARY keys only,
+    immediately collapsed to distinct (key, flank) groups with a
+    count — a boilerplate key in a million documents contributes a
+    handful of distinct flanks, never a million comparison rows. Per
+    key group the best partner extension is max common-prefix with
+    the lexicographic NEIGHBOR flanks (the classic sorted-neighbor
+    LCP bound: for any set of strings, each element's maximum LCP is
+    attained at an adjacent element in sorted order), plus full flank
+    length when the identical flank occurs ≥ 2 times. One window per
+    side, one bounded fold per row, no UDFs, no collects."""
+    sh = _grid_shingles(df, text_col, id_col, span_len, stride)
+    dup = _dup_key_meta(sh, min_docs).select("k")
+    sh_dup = sh.join(dup, "k")
+    hits = sh_dup.select(
+        "doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e")
+    )
+    spans = (
+        _merge_islands(hits)
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").alias("n_shingles"),
+        )
+        .drop("_grp")
+    )
+    if stride <= 1:
+        # the grid IS character-exact at stride 1 — nothing to refine
+        return spans.select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            "n_shingles",
+            F.col("span_start").alias("exact_start"),
+            F.col("span_end").alias("exact_end"),
+        )
+    fl = stride - 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.length(F.col(text_col)).cast("long").alias("_n"),
+    )
+    # flanks of EVERY occurrence of a duplicated key, collapsed to
+    # (k, flank, cnt) groups: left flank reversed so common-SUFFIX
+    # becomes common-prefix under one shared fold
+    occ = sh_dup.join(base, "doc_id")
+    lfl = F.least(F.lit(fl).cast("long"), F.col("pos"))
+    rfl = F.least(
+        F.lit(fl).cast("long"),
+        F.col("_n") - (F.col("pos") + F.lit(span_len)),
+    )
+    lgroups = (
+        occ.select(
+            "k",
+            F.reverse(
+                F.col("_text").substr(
+                    (F.col("pos") - lfl + 1).cast("int"), lfl.cast("int")
+                )
+            ).alias("flank"),
+        )
+        .groupBy("k", "flank")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rgroups = (
+        occ.select(
+            "k",
+            F.col("_text")
+            .substr(
+                (F.col("pos") + F.lit(span_len) + 1).cast("int"),
+                rfl.cast("int"),
+            )
+            .alias("flank"),
+        )
+        .groupBy("k", "flank")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def _ext(groups: DataFrame) -> DataFrame:
+        w = Window.partitionBy("k").orderBy("flank")
+        prev_lcp = _common_prefix_len(
+            F.col("flank"), F.lag("flank").over(w)
+        )
+        next_lcp = _common_prefix_len(
+            F.col("flank"), F.lead("flank").over(w)
+        )
+        return groups.select(
+            "k",
+            "flank",
+            F.when(F.col("cnt") >= 2, F.length("flank"))
+            .otherwise(F.greatest(prev_lcp, next_lcp))
+            .cast("long")
+            .alias("ext"),
+        )
+
+    lext = _ext(lgroups)
+    rext = _ext(rgroups)
+    # island boundary keys + this island's own flanks
+    spb = spans.join(base, "doc_id")
+    l_anchor = F.least(F.lit(fl).cast("long"), F.col("span_start"))
+    r_anchor = F.least(
+        F.lit(fl).cast("long"), F.col("_n") - F.col("span_end")
+    )
+    keyed = (
+        spb.join(
+            sh.select(
+                "doc_id",
+                F.col("pos").alias("span_start"),
+                F.col("k").alias("k_l"),
+            ),
+            ["doc_id", "span_start"],
+        )
+        .join(
+            sh.select(
+                "doc_id",
+                (F.col("pos") + F.lit(span_len)).alias("span_end"),
+                F.col("k").alias("k_r"),
+            ),
+            ["doc_id", "span_end"],
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            "n_shingles",
+            F.col("k_l"),
+            F.col("k_r"),
+            F.reverse(
+                F.col("_text").substr(
+                    (F.col("span_start") - l_anchor + 1).cast("int"),
+                    l_anchor.cast("int"),
+                )
+            ).alias("lflank"),
+            F.col("_text")
+            .substr((F.col("span_end") + 1).cast("int"), r_anchor.cast("int"))
+            .alias("rflank"),
+        )
+    )
+    out = (
+        keyed.join(
+            lext.select(
+                F.col("k").alias("k_l"),
+                F.col("flank").alias("lflank"),
+                F.col("ext").alias("ext_l"),
+            ),
+            ["k_l", "lflank"],
+        )
+        .join(
+            rext.select(
+                F.col("k").alias("k_r"),
+                F.col("flank").alias("rflank"),
+                F.col("ext").alias("ext_r"),
+            ),
+            ["k_r", "rflank"],
+        )
+    )
+    return out.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_shingles",
+        (F.col("span_start") - F.col("ext_l")).alias("exact_start"),
+        (F.col("span_end") + F.col("ext_r")).alias("exact_end"),
+    )

@@ -408,6 +408,94 @@ def dedup_substring_strip(spark, sf_dir):
 
 
 @query(
+    "dedup_substring_refine",
+    oracle=_SPAN_ISLANDS_CTE
+    + """
+    , occ AS (
+      SELECT sp.k, sp.pos, d.text, d.n
+      FROM sp JOIN d USING (doc_id)
+      WHERE sp.k IN (SELECT k FROM dup)
+    ), lg AS (
+      SELECT k,
+             reverse(substr(text,
+               CAST(pos - LEAST(31, pos) + 1 AS BIGINT),
+               CAST(LEAST(31, pos) AS BIGINT))) AS flank,
+             COUNT(*) AS cnt
+      FROM occ GROUP BY 1, 2
+    ), rg AS (
+      SELECT k,
+             substr(text, CAST(pos + 64 + 1 AS BIGINT),
+               CAST(LEAST(31, n - pos - 64) AS BIGINT)) AS flank,
+             COUNT(*) AS cnt
+      FROM occ GROUP BY 1, 2
+    ), nums AS (
+      SELECT UNNEST(generate_series(1, 31)) AS i
+    ), lx0 AS (
+      SELECT k, flank, cnt,
+             LAG(flank) OVER (PARTITION BY k ORDER BY flank) AS pf,
+             LEAD(flank) OVER (PARTITION BY k ORDER BY flank) AS nf
+      FROM lg
+    ), rx0 AS (
+      SELECT k, flank, cnt,
+             LAG(flank) OVER (PARTITION BY k ORDER BY flank) AS pf,
+             LEAD(flank) OVER (PARTITION BY k ORDER BY flank) AS nf
+      FROM rg
+    ), lext AS (
+      SELECT x.k, x.flank,
+             CASE WHEN x.cnt >= 2 THEN CAST(length(x.flank) AS BIGINT)
+                  ELSE COALESCE(MAX(CASE WHEN n2.i <= length(x.flank)
+                         AND ((substr(x.flank, 1, n2.i) = substr(x.pf, 1, n2.i))
+                           OR (substr(x.flank, 1, n2.i) = substr(x.nf, 1, n2.i)))
+                         THEN n2.i END), 0) END AS ext
+      FROM lx0 x LEFT JOIN nums n2 ON TRUE
+      GROUP BY x.k, x.flank, x.cnt, x.pf, x.nf
+    ), rext AS (
+      SELECT x.k, x.flank,
+             CASE WHEN x.cnt >= 2 THEN CAST(length(x.flank) AS BIGINT)
+                  ELSE COALESCE(MAX(CASE WHEN n2.i <= length(x.flank)
+                         AND ((substr(x.flank, 1, n2.i) = substr(x.pf, 1, n2.i))
+                           OR (substr(x.flank, 1, n2.i) = substr(x.nf, 1, n2.i)))
+                         THEN n2.i END), 0) END AS ext
+      FROM rx0 x LEFT JOIN nums n2 ON TRUE
+      GROUP BY x.k, x.flank, x.cnt, x.pf, x.nf
+    ), bf AS (
+      SELECT s2.doc_id, s2.span_start, s2.span_end, s2.n_shingles,
+             spl.k AS k_l, spr.k AS k_r,
+             reverse(substr(d.text,
+               CAST(s2.span_start - LEAST(31, s2.span_start) + 1 AS BIGINT),
+               CAST(LEAST(31, s2.span_start) AS BIGINT))) AS lflank,
+             substr(d.text, CAST(s2.span_end + 1 AS BIGINT),
+               CAST(LEAST(31, d.n - s2.span_end) AS BIGINT)) AS rflank
+      FROM spans s2
+      JOIN sp spl ON spl.doc_id = s2.doc_id AND spl.pos = s2.span_start
+      JOIN sp spr ON spr.doc_id = s2.doc_id AND spr.pos = s2.span_end - 64
+      JOIN d ON d.doc_id = s2.doc_id
+    )
+    SELECT bf.doc_id, bf.span_start, bf.span_end, bf.n_shingles,
+           CAST(bf.span_start - le.ext AS BIGINT) AS exact_start,
+           CAST(bf.span_end + re.ext AS BIGINT) AS exact_end
+    FROM bf
+    JOIN lext le ON le.k = bf.k_l AND le.flank = bf.lflank
+    JOIN rext re ON re.k = bf.k_r AND re.flank = bf.rflank
+    """,
+)
+def dedup_substring_refine(spark, sf_dir):
+    """Exact substring dedup, boundary-refinement pass (VERDICT r14's
+    optional capability): the grid-snapped islands of
+    dedup_substring_spans plus character-exact bounds — each boundary
+    extends by the flank characters shared with another occurrence of
+    the island's boundary shingle key (capped at stride-1 = 31 by the
+    adjacent-grid-shingle argument in the operator docstring). Exact
+    oracle: DuckDB recomputes the flank groups, the sorted-neighbor
+    LCP (as an uncorrelated 31-row series join), and the boundary
+    joins relationally."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    return SP.refine_span_bounds(
+        d, "text", "doc_id", span_len=64, stride=32, min_docs=2
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=_SHINGLE_CTE
     + """

@@ -1768,3 +1768,35 @@ def test_pq_threshold_boundary_and_typed_empty(spark):
     assert e.schema["query_id"].dataType.simpleString() == "string"
     assert e.schema["neighbor_id"].dataType.simpleString() == "string"
     assert e.count() == 0
+
+
+def test_refine_span_bounds_fixture(spark):
+    """Boundary refinement on a crafted corpus: a 28-char block planted
+    at offsets 2 and 6 of two docs (equal mod stride 4, so the grid
+    detects it) leaves stride-snap gaps of 2 chars on each side; the
+    refinement must recover the character-exact copy bounds. stride=1
+    is the identity (grid already exact)."""
+    from hudi_spark_utilities_plus_spark.operators import spans as SP
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWX"
+    copy = "zz" + shared + "qq"  # the true duplicated region, 28 chars
+    d1 = "01" + copy + "345678"  # copy at [2, 30)
+    d2 = "ABCDEF" + copy + "GHI"  # copy at [6, 34)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["span_start"], r["span_end"], r["exact_start"], r["exact_end"]
+        )
+        for r in SP.refine_span_bounds(
+            df, span_len=8, stride=4, min_docs=2
+        ).collect()
+    }
+    # grid snaps to [4,28)/[8,32); exact bounds recover the full copy
+    assert got == {1: (4, 28, 2, 30), 2: (8, 32, 6, 34)}, got
+
+    one = SP.refine_span_bounds(df, span_len=8, stride=1, min_docs=2)
+    for r in one.collect():
+        assert r["exact_start"] == r["span_start"]
+        assert r["exact_end"] == r["span_end"]

@@ -1715,3 +1715,119 @@ def _ref_strip(rows, L, s, min_docs=2):
         kept.append(text[last:])
         out[doc_id] = ("".join(kept), sum(ce - cs for cs, ce in cuts))
     return out
+
+
+def _ref_refine(rows, L, s, min_docs=2):
+    """Direct-Python reference for refine_span_bounds, implementing
+    the CONTRACT directly (brute-force max-LCP over every other
+    occurrence of the boundary key) rather than the operator's
+    sorted-neighbor shortcut — so the property run also validates the
+    neighbor-LCP equivalence."""
+    from collections import defaultdict
+
+    owners: dict[str, set[int]] = defaultdict(set)
+    grid: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for doc_id, text in rows:
+        n = len(text)
+        if n < L:
+            continue
+        for pos in range(0, n - L + 1, s):
+            k = text[pos : pos + L]
+            owners[k].add(doc_id)
+            grid[doc_id].append((pos, k))
+    dup = {k for k, v in owners.items() if len(v) >= min_docs}
+    fl = max(0, s - 1)
+    lpool: dict[str, list[str]] = defaultdict(list)
+    rpool: dict[str, list[str]] = defaultdict(list)
+    texts = dict(rows)
+    for doc_id, lst in grid.items():
+        text = texts[doc_id]
+        for pos, k in lst:
+            if k in dup:
+                lpool[k].append(text[max(0, pos - fl) : pos][::-1])
+                rpool[k].append(text[pos + L : pos + L + fl])
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    def best_ext(pool, f):
+        best, self_skipped = 0, False
+        for g in pool:
+            if g == f and not self_skipped:
+                self_skipped = True  # the island's own occurrence
+                continue
+            best = max(best, lcp(f, g))
+        return best
+
+    out = set()
+    for doc_id, lst in grid.items():
+        text = texts[doc_id]
+        hits = sorted((p, k) for p, k in lst if k in dup)
+        islands = []
+        for p, k in hits:
+            if islands and p <= islands[-1][1]:
+                islands[-1][1] = p + L
+                islands[-1][2] += 1
+                islands[-1][4] = k
+            else:
+                islands.append([p, p + L, 1, k, k])
+        for st_, en, cnt, kl, kr in islands:
+            if s <= 1:
+                out.add((doc_id, st_, en, cnt, st_, en))
+                continue
+            lf = text[max(0, st_ - fl) : st_][::-1]
+            rf = text[en : en + fl]
+            out.add(
+                (
+                    doc_id,
+                    st_,
+                    en,
+                    cnt,
+                    st_ - best_ext(lpool[kl], lf),
+                    en + best_ext(rpool[kr], rf),
+                )
+            )
+    return out
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    ),
+    span_len=st.integers(3, 5),
+    stride=st.integers(1, 6),
+)
+def test_refine_span_bounds_matches_python_reference(
+    spark, texts, span_len, stride
+):
+    """Boundary refinement vs the brute-force reference: grid bounds,
+    island counts, AND the character-exact bounds must all match —
+    including stride 1 (identity), stride > span_len (gapped grid),
+    doc-edge-truncated flanks, and the two-char alphabet's dense
+    key collisions."""
+    from hudi_spark_utilities_plus_spark.operators import spans as SP
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (
+            r["doc_id"],
+            r["span_start"],
+            r["span_end"],
+            r["n_shingles"],
+            r["exact_start"],
+            r["exact_end"],
+        )
+        for r in SP.refine_span_bounds(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    assert got == _ref_refine(rows, span_len, stride)

@@ -229,4 +229,55 @@ for rep in (1, 2):
         f"pq query rep{rep}: rows={len(pq)} wall={time.time() - t0:.1f}s "
         f"recall@{K}={len(pq & truth) / len(truth):.3f}"
     )
+
+# PQ BULK leg (r15, VERDICT r14 ask 4's closure measurement): a
+# 100k-query batch — the corpus queries itself, the self-join shape of
+# corpus-wide near-neighbor mining — driven through pq_topk's blocked
+# cogroup engine (driver_query_limit exceeded), which must (a) never
+# collect the query batch (plan pinned: FlatMapCoGroupsInPandas
+# present) and (b) return brute-truth recall on the 32 sampled probe
+# queries embedded in the batch. ANN_PROBE_BULK_Q=0 skips the leg.
+BULK_Q = int(os.environ.get("ANN_PROBE_BULK_Q", "100000"))
+if BULK_Q > 0:
+    corpus_bulk = inflate(BULK_Q)
+    nb = corpus_bulk.count()
+    # truth for the 32 SAMPLED queries, taken from the corpus itself
+    # (the bulk run queries with the jittered corpus rows, so the
+    # truth must use those same vectors, not the unjittered base)
+    sample_q = corpus_bulk.filter(F.col("vec_id") < 32)
+    t0 = time.time()
+    truth_bulk = set(
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(corpus_bulk, sample_q, k=K)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    print(f"brute@{nb} (bulk-leg truth): wall={time.time() - t0:.1f}s")
+    t0 = time.time()
+    cbb = build_pq_codebook(corpus_bulk, m=8, bits=8, kmeans_iters=2)
+    encb = pq_encode(corpus_bulk, cbb).persist()
+    encb.count()
+    print(f"pq bulk build+encode@{nb}: wall={time.time() - t0:.1f}s")
+    t0 = time.time()
+    bulk = pq_topk(
+        corpus_bulk,
+        corpus_bulk,  # EVERY corpus vector is a query — 100k batch
+        k=K,
+        codebook=cbb,
+        encoded=encb,
+        shortlist=64,
+    )
+    plan = bulk._jdf.queryExecution().executedPlan().toString()
+    sampled = set(
+        (r.query_id, r.neighbor_id)
+        for r in bulk.filter(F.col("query_id") < 32)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    print(
+        f"pq bulk query@{nb}x{nb}: sampled_rows={len(sampled)} "
+        f"wall={time.time() - t0:.1f}s "
+        f"recall@{K}={len(sampled & truth_bulk) / len(truth_bulk):.3f} "
+        f"blocked_path={'FlatMapCoGroupsInPandas' in plan}"
+    )
 spark.stop()
