@@ -79,6 +79,10 @@ HEADLINE = [
     # merge, operators/spans.py); first recording establishes its
     # baseline (isolated warm walls 1.5 s at sf0.1)
     "dedup_substring_spans",
+    # round-15: boundary refinement over the substring islands (flank
+    # groups + sorted-neighbor LCP); first recording establishes its
+    # baseline
+    "dedup_substring_refine",
 ]
 
 
