@@ -502,3 +502,16 @@ def test_substring_dedup_stays_jvm_side(spark, sf_dir):
 
     doc_exchanges = _re.findall(r"Exchange hashpartitioning\(doc_id", plan)
     assert len(doc_exchanges) == 1, plan
+
+
+def test_refine_span_bounds_stays_jvm_side(spark, sf_dir):
+    """dedup_substring_refine adds flank-group windows and boundary
+    joins on top of the spans program — still a pure built-in Column
+    program: no Python eval node anywhere, and no cartesian/nested-loop
+    join (boundary lookups are keyed equi-joins; the LCP is a bounded
+    per-row fold, not a pairwise compare)."""
+    df = QUERIES["dedup_substring_refine"](spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
