@@ -36,31 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate covers the FIRST 50 entries of ``queries()``
-# in dict order. Round-14 window, COMPUTED by tools/ledger.py at the
-# committed tree after the round's two product commits (similarity
-# vectorization 94977ab + lake claim-dir/cleaner 2ba3249): the 33
-# stained-or-new ids (7 similarity-family, 25 lake-family, plus the new
-# hudi_clean_grace) + spare slots on the oldest r7 rows — the ledger's
-# suggested head, matching SURVEY §14.17's window arithmetic (lake 25 ∪
-# similarity 7 = 32, + new ids, + r7 spares; remaining r7 rows rotate in
-# r15). Late-round amendments: ``ann_topk_ivf_index`` (the persisted-IVF
-# registry id SURVEY §15.13(a) had deferred to r15) registered while the
-# similarity family is already in-window, and the substring-dedup trio
-# ``dedup_substring_spans`` / ``dedup_substring_coverage`` /
-# ``dedup_substring_strip`` (new module operators/spans.py — stains
-# nothing else). The four new ids plus the dedup_simhash re-row (see
-# below) displace the last five r7 spares (stream_sliding,
-# stream_dedup_watermark, stream_complete_agg, sql_pipe_syntax,
-# scd2_build — all green on their r7 rows) back to the r15 backlog;
-# r15's window arithmetic stays sound (text-family closure 36 ∪ 12 r7
-# leftovers ≤ 48 of 50 without re-staining similarity).
+# in dict order. ONE window rationale lives here (the current round's);
+# history belongs to SURVEY's per-round sections and the LEDGER_r*.json
+# artifacts, not an ever-growing comment.
 _CHECK_ORDER = [
-    # r15 window (ledger-computed at the product tree): the 41-id
-    # text-closure stain (which CONTAINS the similarity + spans
-    # families via similarity->dedup->text imports) + the new
-    # dedup_substring_refine + 8 oldest-r7 spares; the 5 remaining
-    # r7 rows (subquery_scalar, text_normalize, url_canonicalize,
-    # win_first_last, win_forward_fill) roll to r16.
+    # r15 window (ledger-computed at the product tree, LEDGER_r15.json):
+    # the 41-id text-closure stain — the r15 product commits touch
+    # operators/text.py, and the closure CONTAINS the similarity + spans
+    # families via similarity->dedup->text imports, which is what made
+    # this round's similarity/spans work stain-free — + the new
+    # dedup_substring_refine + 8 oldest-r7 spares = 50 exactly; the 5
+    # remaining r7 rows (subquery_scalar, text_normalize,
+    # url_canonicalize, win_first_last, win_forward_fill) roll to r16.
     "dedup_substring_refine",
     "chunk_documents",
     "contamination_check",

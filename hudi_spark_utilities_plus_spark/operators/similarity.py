@@ -1444,13 +1444,22 @@ def _pq_shortlist_blocked(
             for j in range(len(Qt)):
                 col = A[:, j]
                 # top-(s+1) then drop the self row: the top-s of the
-                # non-self candidates survives exactly
+                # non-self candidates survives exactly. argpartition
+                # breaks VALUE ties arbitrarily, so the boundary tie
+                # group is widened to ALL rows at the cut value before
+                # the (-adc, neighbor_id) lexsort — otherwise two runs
+                # (or the two engines) could keep different members of
+                # a tied group and the containment argument breaks on
+                # exactly the duplicate-heavy corpora dedup exists for
                 take = min(s_n + 1, len(col))
-                part = (
-                    np.argpartition(-col, take - 1)[:take]
-                    if take < len(col)
-                    else np.arange(len(col))
-                )
+                if take < len(col):
+                    part = np.argpartition(-col, take - 1)[:take]
+                    v = col[part].min()
+                    part = np.union1d(
+                        part[col[part] > v], np.flatnonzero(col == v)
+                    )
+                else:
+                    part = np.arange(len(col))
                 order = np.lexsort((nid[part], -col[part]))
                 sel = part[order]
                 sel = sel[nid[sel] != qid[t0 + j]][:s_n]
@@ -1524,7 +1533,6 @@ def pq_topk(
         codebook = build_pq_codebook(
             embeddings, m=m, bits=bits, id_col=id_col, vec_col=vec_col
         )
-    m, dsub = codebook["m"], codebook["dsub"]
     if encoded is None:
         encoded = pq_encode(embeddings, codebook, id_col, vec_col)
     qs = (

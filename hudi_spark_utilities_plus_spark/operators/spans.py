@@ -328,7 +328,14 @@ def refine_span_bounds(
     attained at an adjacent element in sorted order), plus full flank
     length when the identical flank occurs ≥ 2 times. One window per
     side, one bounded fold per row, no UDFs, no collects."""
-    sh = _grid_shingles(df, text_col, id_col, span_len, stride)
+    from .materialize import materialize
+
+    # the shingle grid feeds FOUR consumers here (dup-key meta, the
+    # island hits via sh_dup, and the two boundary-key lookups) — one
+    # materialized SHA-256 pass instead of re-hashing the corpus per
+    # consumer (exchange reuse does not apply across the different
+    # join keys)
+    sh = materialize(_grid_shingles(df, text_col, id_col, span_len, stride))
     dup = _dup_key_meta(sh, min_docs).select("k")
     sh_dup = sh.join(dup, "k")
     hits = sh_dup.select(

@@ -1800,3 +1800,29 @@ def test_refine_span_bounds_fixture(spark):
     for r in one.collect():
         assert r["exact_start"] == r["span_start"]
         assert r["exact_end"] == r["span_end"]
+
+
+def test_pq_blocked_tie_groups_match_driver(spark):
+    """Duplicate-heavy corpus + a shortlist SMALLER than the ADC tie
+    group — the exact shape argpartition's arbitrary tie-breaking used
+    to corrupt: the blocked engine must widen the boundary tie group
+    and keep the same (adc desc, neighbor_id) members the driver
+    engine's global window keeps."""
+    base_vec = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 0.25, 1.5]
+    rows = [(i, base_vec) for i in range(12)]  # 12-way exact tie group
+    rows += [
+        (100 + i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(18)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id").isin(0, 105))
+    cb = S.build_pq_codebook(emb, m=4, bits=2)
+    enc = S.pq_encode(emb, cb)
+    drv = S.pq_topk(emb, qs, k=4, codebook=cb, encoded=enc, shortlist=5)
+    blk = S.pq_topk(
+        emb, qs, k=4, codebook=cb, encoded=enc, shortlist=5,
+        driver_query_limit=0,
+    )
+    d = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in drv.collect())
+    b = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in blk.collect())
+    assert d == b and len(d) == 8
