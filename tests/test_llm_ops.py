@@ -1826,3 +1826,30 @@ def test_pq_blocked_tie_groups_match_driver(spark):
     d = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in drv.collect())
     b = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in blk.collect())
     assert d == b and len(d) == 8
+
+
+def test_pq_blocked_zero_norm_rows_rank_last(spark):
+    """Zero-norm corpus vectors have no cosine direction: the driver
+    engine gives them NULL adc_cos (desc-NULLS-LAST), the blocked
+    engine -inf — both must rank them after every finite candidate,
+    and the engines must agree on the final top-k."""
+    rows = [(i, [float(i + j + 1) for j in range(8)]) for i in range(10)]
+    rows += [(50, [0.0] * 8), (51, [0.0] * 8)]  # zero-norm rows
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") == 0)
+    cb = S.build_pq_codebook(emb, m=4, bits=2)
+    enc = S.pq_encode(emb, cb)
+    # k covers every finite candidate plus one zero-norm slot
+    drv = S.pq_topk(emb, qs, k=10, codebook=cb, encoded=enc, shortlist=12)
+    blk = S.pq_topk(
+        emb, qs, k=10, codebook=cb, encoded=enc, shortlist=12,
+        driver_query_limit=0,
+    )
+    d = [(r["rnk"], r["neighbor_id"]) for r in drv.sort("rnk").collect()]
+    b = [(r["rnk"], r["neighbor_id"]) for r in blk.sort("rnk").collect()]
+    assert d == b, (d, b)
+    # the 9 finite candidates occupy ranks 1-9; the first zero-norm row
+    # (tie-broken by neighbor_id: 50 < 51) takes rank 10 in BOTH engines
+    assert len(d) == 10
+    assert set(n for _, n in d[:9]) == set(range(1, 10))
+    assert d[9][1] == 50, d
