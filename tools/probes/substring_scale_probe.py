@@ -102,4 +102,45 @@ print(
 if at_zero != total:
     print(f"SKEW MISS: {at_zero} != {total}")
     sys.exit(1)
+
+# refine leg (r15): boundary refinement at probe scale — determinism
+# of the refined bounds, the grid-containment invariant
+# (exact_start <= span_start, span_end <= exact_end, extensions
+# < stride), and the wall band. The flank-group pass touches only
+# boundary-key occurrences, so the leg should track the detect leg's
+# wall, not multiply it.
+from hudi_spark_utilities_plus_spark.operators.spans import (
+    refine_span_bounds,
+)
+
+prev = None
+for run in (1, 2):
+    t0 = time.time()
+    ref = refine_span_bounds(inflated, "text", "doc_id", 64, 32).persist()
+    n_ref = ref.count()
+    agg = ref.select(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("grid_c"),
+        F.sum(F.col("exact_end") - F.col("exact_start")).alias("exact_c"),
+        F.sum(
+            (
+                (F.col("exact_start") > F.col("span_start"))
+                | (F.col("exact_end") < F.col("span_end"))
+                | (F.col("span_start") - F.col("exact_start") >= 32)
+                | (F.col("exact_end") - F.col("span_end") >= 32)
+            ).cast("long")
+        ).alias("violations"),
+    ).first()
+    ref.unpersist()
+    print(
+        f"refine run{run}: islands={n_ref} grid_chars={agg['grid_c']} "
+        f"exact_chars={agg['exact_c']} violations={agg['violations']} "
+        f"wall={time.time()-t0:.1f}s"
+    )
+    if agg["violations"]:
+        print(f"REFINE INVARIANT VIOLATED: {agg['violations']} rows")
+        sys.exit(1)
+    if prev is not None and prev != (n_ref, agg["grid_c"], agg["exact_c"]):
+        print(f"NONDETERMINISTIC refine: {prev}")
+        sys.exit(1)
+    prev = (n_ref, agg["grid_c"], agg["exact_c"])
 spark.stop()
