@@ -23,6 +23,15 @@ Bands (r14, quiet host):
   super-10× the 100k counts — more copies per base doc match each
   other), walls 38.8/20.1 s (~8× on 10× docs, near-linear); skew leg
   1,000,000/1,000,000 docs at 7.9 s.
+
+Third leg (r15), REFINE: refine_span_bounds over the same corpus —
+island count must EQUAL the detect leg's, refined bounds must contain
+the grid bounds with extensions < stride, and counts must be exact
+across runs. Bands (quiet host): @100k 93,142 islands, exact_chars
+29,224,470 (= grid + 10.5% recovered boundary chars), walls 7.8-8.8 s
+(tracks the detect leg, does not multiply it); @1M 959,158 islands,
+exact_chars 301,641,888 (+10.6%), walls 35.8-42.1 s — near-linear on
+10x docs, violations 0 at both scales.
 """
 import os, sys, time
 sys.path.insert(0, "/root/repo")
