@@ -1351,7 +1351,7 @@ def _pq_shortlist_blocked(
     qs: DataFrame,
     codebook: dict,
     shortlist: int,
-    q_block_rows: int = 2048,
+    q_block_rows: int = 4096,
     c_block_rows: int = 65536,
 ) -> DataFrame:
     """Executor-side ADC shortlist for BULK query batches — no driver
@@ -1432,17 +1432,25 @@ def _pq_shortlist_blocked(
         Q = np.asarray(list(right["q_vec"]), dtype=np.float64)  # [q, dim]
         qid = right["query_id"].to_numpy()
         pos = dn > 0.0
-        outs = []
+        # accumulate RAW index/value arrays and build ONE DataFrame per
+        # cell at the end — a per-query DataFrame here would mean
+        # q_block_rows tiny frame constructions + a giant concat per
+        # cell, which profiling showed dominating the cell wall
+        sel_parts, q_parts, a_parts = [], [], []
         for t0 in range(0, len(Q), q_tile):
             Qt = Q[t0 : t0 + q_tile]
-            S = np.zeros((len(C), len(Qt)), dtype=np.float64)
+            # accumulate in [tile, n] orientation: the gather
+            # T[:, C[:, i]] is ALREADY that shape, so each subspace
+            # adds contiguously (no strided transposed-view add), and
+            # each query's score vector below is a contiguous row
+            S = np.zeros((len(Qt), len(C)), dtype=np.float64)
             for i in range(m):
                 # ADC tables for this tile, executor-side: [tile, n_cents]
                 T = Qt[:, i * dsub : (i + 1) * dsub] @ cents[i].T
-                S += T[:, C[:, i]].T  # gather per corpus row -> [n, tile]
-            A = np.where(pos[:, None], S / np.where(pos, dn, 1.0)[:, None], -np.inf)
+                S += T[:, C[:, i]]  # gather per corpus row -> [tile, n]
+            A = np.where(pos[None, :], S / np.where(pos, dn, 1.0)[None, :], -np.inf)
             for j in range(len(Qt)):
-                col = A[:, j]
+                col = A[j]
                 # top-(s+1) then drop the self row: the top-s of the
                 # non-self candidates survives exactly. argpartition
                 # breaks VALUE ties arbitrarily, so the boundary tie
@@ -1463,18 +1471,19 @@ def _pq_shortlist_blocked(
                 order = np.lexsort((nid[part], -col[part]))
                 sel = part[order]
                 sel = sel[nid[sel] != qid[t0 + j]][:s_n]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.repeat(qid[t0 + j], len(sel)),
-                            "neighbor_id": nid[sel],
-                            "adc_cos": col[sel],
-                        }
-                    )
-                )
-        if not outs:
+                sel_parts.append(sel)
+                q_parts.append(np.repeat(qid[t0 + j], len(sel)))
+                a_parts.append(col[sel])
+        if not sel_parts:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "adc_cos"])
-        return pd.concat(outs, ignore_index=True)
+        sel_all = np.concatenate(sel_parts)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(q_parts),
+                "neighbor_id": nid[sel_all],
+                "adc_cos": np.concatenate(a_parts),
+            }
+        )
 
     cand = (
         enc_rep.groupBy("cblk", "qblk")
