@@ -237,6 +237,10 @@ for rep in (1, 2):
 # collect the query batch (plan pinned: FlatMapCoGroupsInPandas
 # present) and (b) return brute-truth recall on the 32 sampled probe
 # queries embedded in the batch. ANN_PROBE_BULK_Q=0 skips the leg.
+# Band (quiet host): first recordings 135.9-157.2 s; after the
+# one-DataFrame-per-cell output batching + [tile, n] score orientation
+# + q_block 4096, ~90-100 s at recall 1.000 (ritual re-run: 98.5 s) — ~10^10 scored pairs
+# through the Arrow cells on local[32].
 BULK_Q = int(os.environ.get("ANN_PROBE_BULK_Q", "100000"))
 if BULK_Q > 0:
     corpus_bulk = inflate(BULK_Q)
