@@ -1853,3 +1853,27 @@ def test_pq_blocked_zero_norm_rows_rank_last(spark):
     assert len(d) == 10
     assert set(n for _, n in d[:9]) == set(range(1, 10))
     assert d[9][1] == 50, d
+
+
+def test_pq_blocked_string_ids(spark):
+    """The blocked engine's numpy path (object-dtype id arrays through
+    repeat/lexsort/union-select) must work for STRING ids end to end
+    and agree with the driver engine — the operator API does not
+    restrict id types to longs."""
+    rows = [
+        (f"doc-{i:02d}", [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    qs = emb.filter(F.col("vec_id").isin("doc-00", "doc-07"))
+    cb = S.build_pq_codebook(emb, m=4, bits=2)
+    enc = S.pq_encode(emb, cb)
+    drv = S.pq_topk(emb, qs, k=3, codebook=cb, encoded=enc, shortlist=30)
+    blk = S.pq_topk(
+        emb, qs, k=3, codebook=cb, encoded=enc, shortlist=30,
+        driver_query_limit=0,
+    )
+    d = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in drv.collect())
+    b = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in blk.collect())
+    assert d == b and len(d) == 6
+    assert all(isinstance(q, str) and isinstance(n, str) for q, _, n in b)
