@@ -1877,3 +1877,31 @@ def test_pq_blocked_string_ids(spark):
     b = sorted((r["query_id"], r["rnk"], r["neighbor_id"]) for r in blk.collect())
     assert d == b and len(d) == 6
     assert all(isinstance(q, str) and isinstance(n, str) for q, _, n in b)
+
+
+def test_refine_span_bounds_min_docs_three(spark):
+    """min_docs=3: a block shared by only two docs is NOT duplicated,
+    one shared by three is — and its boundary refinement still
+    recovers the exact copy bounds from the three-way flank groups."""
+    from hudi_spark_utilities_plus_spark.operators import spans as SP
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWX"
+    copy = "zz" + shared + "qq"
+    pair_only = "PAIRBLOCKpairblockPAIRBLOCKpair!"  # 32 chars, in 2 docs
+    docs = [
+        (1, "01" + copy + "345678"),
+        (2, "ABCDEF" + copy + "GHI"),
+        (3, "XY" + copy + "Z123"),
+        (4, "@@" + pair_only + "##"),
+        (5, "%%" + pair_only + "&&"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["exact_start"], r["exact_end"])
+        for r in SP.refine_span_bounds(
+            df, span_len=8, stride=4, min_docs=3
+        ).collect()
+    }
+    # three-way copy refined to exact bounds; the pair-only block and
+    # the pair docs produce NO islands at min_docs=3
+    assert got == {1: (2, 30), 2: (6, 34), 3: (2, 30)}, got
