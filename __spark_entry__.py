@@ -40,64 +40,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # history belongs to SURVEY's per-round sections and the LEDGER_r*.json
 # artifacts, not an ever-growing comment.
 _CHECK_ORDER = [
-    # r15 window (ledger-computed at the product tree, LEDGER_r15.json):
-    # the 41-id text-closure stain — the r15 product commits touch
-    # operators/text.py, and the closure CONTAINS the similarity + spans
-    # families via similarity->dedup->text imports, which is what made
-    # this round's similarity/spans work stain-free — + the new
-    # dedup_substring_refine + 8 oldest-r7 spares = 50 exactly; the 5
-    # remaining r7 rows (subquery_scalar, text_normalize,
-    # url_canonicalize, win_first_last, win_forward_fill) roll to r16.
-    "dedup_substring_refine",
-    "chunk_documents",
-    "contamination_check",
-    "corpus_filter_funnel",
-    "dedup_components",
-    "dedup_containment",
-    "dedup_editdistance",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "graph_triangle_count",
-    "keyword_extract",
-    "lang_id",
-    "mm_features",
-    "mm_frame_sample",
-    "mm_audio_energy",
-    "mm_resize",
-    "ngram_bigrams",
-    "pack_token_budget",
-    "pii_scrub",
-    "quality_model_score",
-    "sample_hash_docs",
-    "split_train_val",
-    "text_quality",
-    "text_repetition",
-    "tfidf_topterms",
-    "token_counts",
-    "word_freq",
-    "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_ivf_index",
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "dedup_embedding_semantic",
-    "dedup_simhash",
-    "dedup_substring_coverage",
-    "dedup_substring_spans",
-    "dedup_substring_strip",
-    "embedding_quantize",
-    "embedding_similar_pairs",
-    "embedding_similar_pairs_lsh",
-    "sample_stratified",
-    "scd2_build",
-    "sql_pipe_syntax",
-    "stream_complete_agg",
-    "stream_dedup_watermark",
-    "stream_sliding",
-    "stream_static_join",
-    "subquery_not_in_nulls",
+    # r16 window (ledger-computed at the product tree, LEDGER_r16.json):
+    # the lake-family round the r15 verdict mandated — the seqmax-race
+    # fix (lake.py) + the Mongo $match apply (sources/standin.py, inside
+    # the lake closure) stain the 26-id lake family; + the new
+    # mongo_match_pushdown id + the 5 r7 leftovers + the 18 oldest-r8
+    # rows as spares = 50 exactly. The text/similarity/spans closure
+    # (41 ids, freshly rowed r15) is untouched by design.
+    "mongo_match_pushdown",
+    "binlog_purge_recovery",
+    "binlog_stream_scan",
+    "es_scan",
+    "hudi_cdc_read",
+    "hudi_clean_grace",
+    "hudi_clean_reclaim",
+    "hudi_cluster_read",
+    "hudi_filegroup_prune",
+    "hudi_hive_sync_read",
+    "hudi_incremental_read",
+    "hudi_insert_overwrite",
+    "hudi_manifest_commit",
+    "hudi_mor_read",
+    "hudi_mor_ro_read",
+    "hudi_partition_overwrite",
+    "hudi_partitioned_upsert",
+    "hudi_point_read",
+    "hudi_rectify_sizes",
+    "hudi_restore_read",
+    "hudi_schema_evolution",
+    "hudi_time_travel",
+    "hudi_upsert",
+    "mongo_scan",
+    "stream_demux",
+    "stream_demux_recovery",
+    "stream_demux_transform",
+    "subquery_scalar",
+    "text_normalize",
+    "url_canonicalize",
+    "win_first_last",
+    "win_forward_fill",
+    "agg_collect_csv",
+    "agg_conditional_family",
+    "agg_having",
+    "agg_stats_moments",
+    "date_spine_fill",
+    "funnel_conversion",
+    "pivot_dynamic",
+    "profile_orders",
+    "retention_cohorts",
+    "sessionize_events",
+    "sql_parameterized",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_trigger",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
 ]
 
 

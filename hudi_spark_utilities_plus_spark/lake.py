@@ -1085,14 +1085,40 @@ class HudiTable:
         return int(txt) if txt else None
 
     def _write_seqmax(self, seq: int) -> None:
+        """Publish ``seq`` into the sidecar MONOTONICALLY — merge
+        max(existing, seq), never a blind replace. The claim path calls
+        this LOCK-FREE (claims are the multi-writer mechanism; the
+        table lock may be disabled), so two concurrent claimers can
+        interleave their sidecar publishes: with a blind replace, A
+        (seq N) landing after B (seq N+1) left the sidecar at N while
+        N+1 was live, and a later claim->auto flip re-issued N+1 — two
+        commits sharing a seq merge as one (the ADVICE r14 race).
+
+        Lock-free convergence: skip when the existing value already
+        covers ``seq``; otherwise tmp+replace, then RE-READ — a racing
+        writer may have replaced with a lower value between our read
+        and our replace, or clobbered ours after it, so retry until the
+        sidecar covers ``seq``. Each writer loops only while the
+        sidecar is below its own seq and only ever publishes its own
+        seq, so the value converges to the max of the racing seqs in at
+        most a handful of iterations (deterministically interleaved and
+        thread-stress pinned in tests/test_units.py). A crash inside
+        the window can still strand the sidecar low — claims survive as
+        allocation ground truth, and the auto-mode floor consults them
+        (``_residual_claim_floor``), so the pair of mechanisms is
+        crash-safe, not just race-safe."""
         try:
             p = self._seqmax_path()
         except NotImplementedError:
             return
-        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(str(seq))
-        os.replace(tmp, p)
+        while True:
+            cur = self._read_seqmax()
+            if cur is not None and cur >= seq:
+                return
+            tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(str(seq))
+            os.replace(tmp, p)
 
     def _drop_seqmax(self) -> None:
         """Invalidate the allocation state — the sidecar AND the claim
@@ -1163,6 +1189,31 @@ class HudiTable:
             )
         return None
 
+    def _residual_claim_floor(self) -> int:
+        """Allocation floor from a SURVIVING local claim dir while the
+        table runs in auto mode (store unresolved): after a claim->auto
+        flip the claims left behind are allocation ground truth — every
+        claim-mode commit holds a claim >= its log seq, and claims are
+        only removed by ``_drop_seqmax`` (compact/restore), which also
+        drops the sidecar so the log-scan fallback re-derives the floor.
+        Consulting them closes the crash half of the sidecar race: a
+        claimer that died between winning seq N+1 and publishing the
+        sidecar (or whose publish was clobbered by a pre-monotonic
+        build) leaves the sidecar at N, and the sidecar alone would
+        re-issue the live N+1 on the first auto-mode allocation.
+
+        Returns 0 when there is no dir / no claims — one ``isdir`` stat
+        on the pure-auto hot path (the dir never exists unless claim
+        mode ran)."""
+        try:
+            d = f"{self._local_fs_path().rstrip('/')}__hudi_seqclaim"
+        except NotImplementedError:
+            return 0
+        if not os.path.isdir(d):
+            return 0
+        claims = _LocalSeqClaimStore(d).list_claims()
+        return (max(claims) + 1) if claims else 0
+
     def _log_scan_next(self, spark: SparkSession) -> int:
         """Bootstrap/fallback: the 1-row max agg over the log's seq
         column (O(log-since-compaction) — the cost the sidecar and the
@@ -1197,7 +1248,10 @@ class HudiTable:
         trusting the stale one alone would re-issue a live seq — two
         commits sharing a seq merge as one. _alloc_seq keeps the
         sidecar coherent on every claim allocation for the same
-        reason."""
+        reason, and the combination runs in BOTH directions: claim mode
+        folds the sidecar into its candidate floor here, auto mode
+        folds surviving claims in via ``_residual_claim_floor`` (the
+        crash half of the sidecar-publish race — see _write_seqmax)."""
         store = (
             self._seq_claim_store() if _store is _UNRESOLVED else _store
         )
@@ -1205,6 +1259,11 @@ class HudiTable:
         floor = self._seq_base() if cached is None else max(
             cached + 1, self._seq_base()
         )
+        if store is None:
+            # auto mode on a table that previously ran claim mode: the
+            # surviving claims outrank a stale-low sidecar (crash inside
+            # the _write_seqmax race window) — see _residual_claim_floor
+            floor = max(floor, self._residual_claim_floor())
         if store is not None:
             # claims are allocation ground truth — consulted BEFORE the
             # log probe (on schemes Spark can't read directly, the probe

@@ -2562,3 +2562,57 @@ def hudi_clean_grace(spark, sf_dir):
         raise AssertionError(f"superseded in-flight files survived: {leftover}")
     head_state.unpersist()
     return t.read(spark)
+
+
+@query(
+    "mongo_match_pushdown",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey >= 3 OR n_name IN ('CANADA', 'BRAZIL')
+    """,
+)
+def mongo_match_pushdown(spark, sf_dir):
+    """A8 driver-visible proof: the Mongo ``pipeline`` $match option is
+    APPLIED server-side by the stand-in (sources/standin.py
+    ``_compile_mongo_pipeline`` — $or / $gte / $in here), not just
+    recorded. The frame below carries NO Spark-side filter — the only
+    place the predicate can run is inside the reader, the same boundary
+    the reference's connector pushes it to (docs/document/01.MongoDB
+    Ingestion.md:186-205). Oracle mirrors the $match in SQL over the
+    lake table the rows were staged from."""
+    import json
+    import os
+    import tempfile
+
+    from .sources.registry import read_mongo
+    from .sources.standin import register_standin_sources
+
+    register_standin_sources(spark)
+    n = _t(spark, sf_dir, "nation")["nation"]
+    rows = (
+        n.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # 25-row dimension — driver-side staging is fine
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="mongo_match_"), "coll.jsonl")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r.asDict()) + "\n")
+    df = read_mongo(
+        spark,
+        {
+            "uri": "mongodb://localhost:27017/lake.nation",
+            "username": "reader",
+            "password": "secret",
+            "pipeline": (
+                '[{"$match": {"$or": ['
+                '{"n_regionkey": {"$gte": 3}}, '
+                '{"n_name": {"$in": ["CANADA", "BRAZIL"]}}]}}]'
+            ),
+            "standin.path": path,
+            "standin.schema": (
+                "n_nationkey INT, n_name STRING, n_regionkey INT"
+            ),
+        },
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey")

@@ -31,8 +31,10 @@ Options understood by both:
   exact options map it received there (driver-side, at plan time) so
   tests can assert what arrived through the format boundary.
 
-Everything else (``uri``, ``es.resource``, ``es.query``, ...) is
-accepted and recorded — exactly what a forwarding test needs.
+The Mongo stand-in APPLIES the connector's ``pipeline`` option
+(A8 `$match` pushdown — see ``_compile_mongo_pipeline``); everything
+else (``uri``, ``es.resource``, ``es.query``, ...) is accepted and
+recorded — exactly what a forwarding test needs.
 """
 
 from __future__ import annotations
@@ -47,10 +49,186 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+# ---------------------------------------------------------------------------
+# Mongo $match pipeline (A8): applied server-side by the stand-in
+# ---------------------------------------------------------------------------
+
+# The reference forwards ``pipeline=[{"$match": ...}]`` to the Mongo
+# connector, which executes it SERVER-side — rows failing the $match
+# never cross the wire (docs/document/01.MongoDB Ingestion.md:186-205,
+# which also documents that "the pipeline can only execute conditional
+# queries" and the MongoCommandException a non-conditional stage
+# raises). The stand-in reproduces both halves: the predicate runs
+# inside the reader (before any row reaches Spark — no Filter node in
+# the plan), and a non-$match stage fails at PLAN time with the
+# documented "Unrecognized pipeline stage name" wording.
+
+_MISSING = object()  # "field absent" — distinct from an explicit null
+
+
+def _mongo_get(doc, path: str):
+    """Dotted-path field access (``a.b`` traverses nested documents)."""
+    cur = doc
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return _MISSING
+    return cur
+
+
+def _scalar_eq(a, b) -> bool:
+    """BSON-bracketed equality: bools only equal bools (Python's
+    ``True == 1`` must not leak through), numerics compare cross-width,
+    everything else same-type."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a == b
+    return type(a) is type(b) and a == b
+
+
+def _mongo_eq(val, lit) -> bool:
+    """Mongo equality: ``null`` matches absent OR null; a scalar literal
+    against an array field matches by CONTAINMENT (``{tags: "x"}``
+    matches ``tags: ["x","y"]`` — Mongo's documented array semantics)."""
+    if lit is None:
+        return val is None or val is _MISSING
+    if val is _MISSING or val is None:
+        return False
+    if isinstance(val, list) and not isinstance(lit, list):
+        return any(_scalar_eq(v, lit) for v in val)
+    if isinstance(val, list) and isinstance(lit, list):
+        return len(val) == len(lit) and all(
+            _mongo_eq(v, x) for v, x in zip(val, lit)
+        )
+    return _scalar_eq(val, lit)
+
+
+def _mongo_ord(val, arg, op: str) -> bool:
+    """$gt/$gte/$lt/$lte with Mongo's type bracketing: values of
+    different BSON brackets (or null/absent) never satisfy an ordered
+    comparison."""
+    if val is _MISSING or val is None or arg is None:
+        return False
+    if isinstance(val, bool) or isinstance(arg, bool):
+        if not (isinstance(val, bool) and isinstance(arg, bool)):
+            return False
+    elif isinstance(val, (int, float)) and isinstance(arg, (int, float)):
+        pass
+    elif isinstance(val, str) and isinstance(arg, str):
+        pass
+    else:
+        return False
+    if op == "$gt":
+        return val > arg
+    if op == "$gte":
+        return val >= arg
+    if op == "$lt":
+        return val < arg
+    return val <= arg  # $lte
+
+
+def _match_value(val, cond) -> bool:
+    """One field condition: an operator document or a literal."""
+    if isinstance(cond, dict) and any(k.startswith("$") for k in cond):
+        for op, arg in cond.items():
+            if op == "$eq":
+                ok = _mongo_eq(val, arg)
+            elif op == "$ne":
+                ok = not _mongo_eq(val, arg)
+            elif op in ("$gt", "$gte", "$lt", "$lte"):
+                ok = _mongo_ord(val, arg, op)
+            elif op == "$in":
+                ok = any(_mongo_eq(val, a) for a in arg)
+            elif op == "$nin":
+                ok = not any(_mongo_eq(val, a) for a in arg)
+            elif op == "$exists":
+                ok = (val is not _MISSING) == bool(arg)
+            elif op == "$not":
+                ok = not _match_value(val, arg)
+            else:
+                raise ValueError(
+                    f"unsupported $match operator '{op}' (stand-in "
+                    "subset: $eq $ne $gt $gte $lt $lte $in $nin "
+                    "$exists $not and $and/$or/$nor)"
+                )
+            if not ok:
+                return False
+        return True
+    return _mongo_eq(val, cond)
+
+
+def _match_doc(doc: dict, query: dict) -> bool:
+    """Standard MongoDB query document: implicit AND of field
+    conditions plus $and/$or/$nor combinators."""
+    for k, cond in query.items():
+        if k == "$and":
+            if not all(_match_doc(doc, q) for q in cond):
+                return False
+        elif k == "$or":
+            if not any(_match_doc(doc, q) for q in cond):
+                return False
+        elif k == "$nor":
+            if any(_match_doc(doc, q) for q in cond):
+                return False
+        elif k.startswith("$"):
+            raise ValueError(
+                f"unsupported $match operator '{k}' (stand-in subset: "
+                "$and/$or/$nor at document level)"
+            )
+        elif not _match_value(_mongo_get(doc, k), cond):
+            return False
+    return True
+
+
+def _compile_mongo_pipeline(raw: str):
+    """Parse the ``pipeline`` option into a document predicate, or None
+    for an empty pipeline. Multiple ``$match`` stages AND together; any
+    OTHER stage name raises with the server's documented wording
+    ("Unrecognized pipeline stage name", MongoCommandException 40324 in
+    the reference's own troubleshooting section) — the connector
+    contract is conditional stages only. Raised driver-side at plan
+    time, like the real connector's aggregate() round trip."""
+    stages = json.loads(raw)
+    if isinstance(stages, dict):
+        stages = [stages]
+    queries = []
+    for st in stages:
+        if not isinstance(st, dict) or len(st) != 1:
+            raise ValueError(
+                f"malformed pipeline stage {st!r}: expected a "
+                'single-key document like {"$match": {...}}'
+            )
+        ((name, query),) = st.items()
+        if name != "$match":
+            raise ValueError(
+                f"Unrecognized pipeline stage name: '{name}' — the "
+                "pipeline can only execute conditional ($match) "
+                "queries (docs/document/01.MongoDB "
+                "Ingestion.md:186-205)"
+            )
+        if not isinstance(query, dict):
+            raise ValueError(f"$match takes a query document, got {query!r}")
+        queries.append(query)
+    if not queries:
+        return None
+
+    def pred(doc: dict) -> bool:
+        return all(_match_doc(doc, q) for q in queries)
+
+    return pred
+
+
 class _StandInReader(DataSourceReader):
-    def __init__(self, schema: StructType, options: dict[str, str]) -> None:
+    def __init__(
+        self, schema: StructType, options: dict[str, str], pred=None
+    ) -> None:
         self._schema = schema
         self._options = dict(options)
+        # the $match predicate (Mongo only) — compiled DRIVER-side at
+        # plan time so a malformed pipeline fails the query, not a task
+        self._pred = pred
         echo = self._options.get("standin.echo")
         if echo:  # reader() runs driver-side at plan time
             with open(echo, "w") as fh:
@@ -78,17 +256,26 @@ class _StandInReader(DataSourceReader):
             for line in fh:
                 if line.strip():
                     obj = json.loads(line)
+                    # "server-side" $match: a non-matching document
+                    # never leaves the reader — Spark's plan carries no
+                    # Filter node (test-pinned), exactly the real
+                    # connector's pushdown boundary
+                    if self._pred is not None and not self._pred(obj):
+                        continue
                     yield tuple(
                         _coerce(obj.get(n), t) for n, t in zip(names, types)
                     )
 
 
-def _infer_sampled_schema(path: str, pool: int) -> str:
+def _infer_sampled_schema(path: str, pool: int, pred=None) -> str:
     """Schema-by-sampling over the first ``pool`` documents, mirroring
     the Mongo connector's samplePoolSize semantics: union of fields seen
     in the pool; long/double/boolean/string leaf types, numeric widening
     long→double, any other conflict widening to string. Fields first
-    appearing after the pool are (by contract) absent."""
+    appearing after the pool are (by contract) absent. ``pred`` is the
+    $match pipeline predicate: the real connector infers from the
+    AGGREGATED (filtered) stream, so only matching documents count
+    toward the pool."""
     fields: dict[str, str] = {}
     seen = 0
     with open(path) as fh:
@@ -97,8 +284,11 @@ def _infer_sampled_schema(path: str, pool: int) -> str:
                 continue
             if seen >= pool:
                 break
+            obj = json.loads(line)
+            if pred is not None and not pred(obj):
+                continue
             seen += 1
-            for k, v in json.loads(line).items():
+            for k, v in obj.items():
                 if isinstance(v, bool):
                     t = "BOOLEAN"
                 elif isinstance(v, int):
@@ -128,6 +318,12 @@ def _infer_sampled_schema(path: str, pool: int) -> str:
 class _StandInSource(DataSource):
     """Shared body; subclasses pin the format name."""
 
+    def _pipeline_pred(self):
+        """The compiled ``pipeline`` $match predicate — Mongo only
+        (the ES connector has no such option; its pushdown is the
+        ``es.query`` DSL, recorded not applied)."""
+        return None
+
     def schema(self):  # DDL string — Spark parses it
         declared = self.options.get("standin.schema")
         if declared:
@@ -135,19 +331,26 @@ class _StandInSource(DataSource):
         path = self.options.get("standin.path")
         if path:
             pool = int(self.options.get("samplePoolSize", "10000"))
-            return _infer_sampled_schema(path, pool)
+            return _infer_sampled_schema(path, pool, self._pipeline_pred())
         return "value STRING"
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _StandInReader(schema, self.options)
+        return _StandInReader(schema, self.options, self._pipeline_pred())
 
 
 class MongoStandInSource(_StandInSource):
-    """Serves ``format("mongodb")`` — the Spark Mongo connector's name."""
+    """Serves ``format("mongodb")`` — the Spark Mongo connector's name.
+    Applies the ``pipeline`` option's $match stages inside the reader
+    (A8 — the reference's server-side filter, docs/document/01.MongoDB
+    Ingestion.md:186-205)."""
 
     @classmethod
     def name(cls) -> str:
         return "mongodb"
+
+    def _pipeline_pred(self):
+        raw = self.options.get("pipeline")
+        return _compile_mongo_pipeline(raw) if raw else None
 
 
 class EsStandInSource(_StandInSource):

@@ -3738,11 +3738,160 @@ def test_seq_claim_mode_flip_stays_monotonic(spark, tmp_path):
     t = tbl("claim")
     t.upsert(rows(1, 6))
     assert t.latest_commit_seq(spark) == 4
-    # every commit distinct: 5 log entries at 5 distinct seqs, newest wins
+    # two CONCURRENT claimers interleaving their sidecar publishes (the
+    # ADVICE r14 race, fixed r16): A wins claim 5, B wins claim 6; B
+    # publishes the sidecar first, A's LOWER publish lands last. The
+    # monotonic max-merge must keep 6 — a blind replace stranded the
+    # sidecar at 5, and the flip back to auto then re-issued the live
+    # seq 6 (two commits sharing a seq merge as one).
+    store = t._seq_claim_store()
+    assert store.claim(5) is True  # claimer A
+    assert store.claim(6) is True  # claimer B
+    t._write_seqmax(6)  # B publishes first
+    t._write_seqmax(5)  # A's stale-low publish interleaves LAST
+    assert t._read_seqmax() == 6
+    # flip back to auto: allocation continues past both live claims
+    # (seqs 5/6 are crash-gaps — claimed, never logged — and gaps are
+    # harmless; re-ISSUING one would not be)
+    t = tbl(None)
+    t.upsert(rows(1, 7))
+    assert t.latest_commit_seq(spark) == 7
+    # every commit distinct: 6 log entries at 6 distinct seqs, newest wins
     log = spark.read.parquet(path + "__hudi_log")
     seqs = sorted(r["__hudi_seq"] for r in log.select("__hudi_seq").collect())
-    assert seqs == [0, 1, 2, 3, 4], seqs
-    assert [r["v"] for r in t.read(spark).collect()] == ["v6"]
+    assert seqs == [0, 1, 2, 3, 4, 7], seqs
+    assert [r["v"] for r in t.read(spark).collect()] == ["v7"]
+
+
+def test_seq_claim_crash_stranded_sidecar_floors_on_claims(spark, tmp_path):
+    """The CRASH half of the sidecar-publish race: a claimer that dies
+    inside the publish window (or a pre-monotonic build whose blind
+    replace lost) strands the sidecar BELOW a live, logged seq. The
+    first auto-mode allocation after the claim->auto flip must floor on
+    the SURVIVING claims (allocation ground truth — they are only ever
+    removed together with the sidecar), not trust the stale sidecar and
+    re-issue the live seq."""
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    path = str(tmp_path / "strand")
+
+    def tbl(mode):
+        return HudiTable(
+            path=path,
+            record_key="id",
+            precombine="ver",
+            table_type="MERGE_ON_READ",
+            options={"hoodie.seq.allocation": mode} if mode else {},
+        )
+
+    rows = lambda k, ver: spark.createDataFrame(  # noqa: E731
+        [(k, ver, f"v{ver}")], "id int, ver int, v string"
+    )
+    t = tbl("claim")
+    t.bulk_insert(rows(1, 1))  # base write — allocates no seq
+    t.upsert(rows(1, 2))
+    t.upsert(rows(1, 3))  # seqs 0,1 claimed AND logged
+    assert t.latest_commit_seq(spark) == 1
+    # strand the sidecar low, bypassing the monotonic merge — exactly
+    # what a crash between claim-win and publish leaves behind
+    with open(path + "__hudi_seqmax", "w") as fh:
+        fh.write("0")
+    t = tbl(None)
+    t.upsert(rows(1, 4))  # must allocate 2, NOT re-issue the live 1
+    assert t.latest_commit_seq(spark) == 2
+    log = spark.read.parquet(path + "__hudi_log")
+    seqs = sorted(r["__hudi_seq"] for r in log.select("__hudi_seq").collect())
+    assert seqs == [0, 1, 2], seqs
+    assert [r["v"] for r in t.read(spark).collect()] == ["v4"]
+
+
+def test_seqmax_publish_monotonic_and_debris_free(tmp_path):
+    """The monotonic publish in isolation: interleaved stale-low
+    publishes never regress the sidecar (every adversarial order of a
+    seeded shuffle reads back as the running max), and the tmp+replace
+    leaves no debris. Note the LOCK-FREE guarantee is deliberately
+    best-effort — a replace delayed past another writer's final verify
+    read can still strand the value low (so can a crash), which is why
+    allocation SAFETY never rests on the sidecar alone: claims are
+    ground truth in claim mode and the residual-claim floor covers the
+    auto flip (pinned end-to-end in the two tests above and the thread
+    race below)."""
+    import os
+    import random
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    t = HudiTable(
+        path=str(tmp_path / "pub"), record_key="id", precombine="ver"
+    )
+    seqs = list(range(100))
+    random.Random(16).shuffle(seqs)
+    hi = -1
+    for s in seqs:
+        t._write_seqmax(s)
+        hi = max(hi, s)
+        assert t._read_seqmax() == hi, (s, hi)
+    assert t._read_seqmax() == 99
+    debris = [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    assert debris == [], debris
+
+
+def test_seq_claim_threaded_allocators_unique_and_no_reissue(spark, tmp_path):
+    """Two CONCURRENT lock-free claim-mode allocators (own table
+    instances, same path, no lock provider — the exact topology of the
+    ADVICE r14 race): every allocated seq is distinct, and after the
+    flip to auto the next allocation exceeds ALL of them even though
+    the racing sidecar publishes may have interleaved arbitrarily —
+    the surviving-claims floor, not sidecar luck, carries the
+    guarantee."""
+    import threading
+
+    from hudi_spark_utilities_plus_spark.lake import HudiTable
+
+    path = str(tmp_path / "race")
+
+    def tbl(mode):
+        return HudiTable(
+            path=path,
+            record_key="id",
+            precombine="ver",
+            table_type="MERGE_ON_READ",
+            options={"hoodie.seq.allocation": mode} if mode else {},
+        )
+
+    t0 = tbl("claim")
+    t0.bulk_insert(
+        spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string")
+    )
+    t0.upsert(
+        spark.createDataFrame([(1, 2, "b")], "id int, ver int, v string")
+    )  # seq 0 claimed+logged: the racing peeks below never need the log
+    got: dict[int, list[int]] = {0: [], 1: []}
+    barrier = threading.Barrier(2)
+
+    def alloc(worker: int) -> None:
+        t = tbl("claim")
+        barrier.wait()
+        for _ in range(20):
+            got[worker].append(t._alloc_seq(spark))
+
+    threads = [threading.Thread(target=alloc, args=(w,)) for w in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    allocated = got[0] + got[1]
+    assert len(set(allocated)) == 40, sorted(allocated)
+    assert min(allocated) == 1 and max(allocated) == 40
+    # flip to auto mid-race-debris: allocation must continue PAST every
+    # claimed seq regardless of where the interleaved publishes left
+    # the sidecar
+    t = tbl(None)
+    assert t._next_seq(spark) == 41
+    t.upsert(
+        spark.createDataFrame([(1, 3, "c")], "id int, ver int, v string")
+    )
+    assert t.latest_commit_seq(spark) == 41
 
 
 def _claim_worker(args):
