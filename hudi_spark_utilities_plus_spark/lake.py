@@ -2451,8 +2451,11 @@ class HudiTable:
     _RANGE_TYPES = ("byte", "short", "integer", "long", "float", "double", "string")
 
     def _manifest_write_batch(
-        self, df: DataFrame
-    ) -> tuple[list[str], dict[str, list], dict[str, list]]:
+        self, df: DataFrame, collect_parts: bool = False
+    ) -> (
+        tuple[list[str], dict[str, list], dict[str, list]]
+        | tuple[list[str], dict[str, list], dict[str, list], tuple[list, bool]]
+    ):
         """Write a commit's data files under an immutable unique dir and
         return ``(paths, ranges, pranges)`` — never reuses or overwrites
         a prior commit's files. ``ranges`` maps each file to its
@@ -2466,7 +2469,22 @@ class HudiTable:
         intact (dates/decimals), which simply disables that pruning
         dimension. Cost: one post-write aggregate over the just-written
         files whose RESULT is k rows (k = files in the commit) —
-        metadata-scale."""
+        metadata-scale. The stats read reuses the batch's KNOWN schema
+        (write preserves it verbatim — no partitionBy directory
+        encoding here), skipping the per-commit schema-inference job a
+        bare ``spark.read.parquet`` pays (footer listing+read: one
+        Spark job locally, one RPC per file on object stores).
+
+        ``collect_parts=True`` additionally returns
+        ``(touched_partition_values, has_null)`` — the distinct
+        partition values of the batch, folded into the SAME stats
+        aggregate as a per-file ``collect_set`` (partition columns are
+        low-cardinality by contract, so the per-file set is small).
+        Callers that need the touched-partition list (dynamic
+        overwrite) previously ran a separate ``distinct().collect()``
+        over the batch — a second full evaluation of the batch plan
+        before the write even started; at 100 TB that is an entire
+        extra pass over the commit's data (r16)."""
         commit_dir = os.path.join(
             self._local_fs_path(), "data", f"commit-{uuid.uuid4().hex[:12]}"
         )
@@ -2489,7 +2507,10 @@ class HudiTable:
             and part in df.columns
             and df.schema[part].dataType.typeName() in self._RANGE_TYPES
         )
-        if (key_ok or part_ok) and files:
+        want_parts = collect_parts and bool(part and part in df.columns)
+        parts_vals: set = set()
+        parts_null = False
+        if (key_ok or part_ok or want_parts) and files:
             from urllib.parse import unquote, urlparse
 
             spark = df.sparkSession
@@ -2500,14 +2521,17 @@ class HudiTable:
                     F.max(key).alias("kmax"),
                     F.max(F.col(key).isNull()).alias("knull"),
                 ]
-            if part_ok:
+            if part_ok or want_parts:
                 aggs += [
                     F.min(part).alias("pmin"),
                     F.max(part).alias("pmax"),
                     F.max(F.col(part).isNull()).alias("pnull"),
                 ]
+            if want_parts:
+                aggs += [F.collect_set(part).alias("pset")]
             stats = (
-                spark.read.parquet(commit_dir)
+                spark.read.schema(df.schema)
+                .parquet(commit_dir)
                 .groupBy(F.input_file_name().alias("f"))
                 .agg(*aggs)
                 .collect()
@@ -2522,6 +2546,11 @@ class HudiTable:
                     ranges[p] = [r["kmin"], r["kmax"], bool(r["knull"])]
                 if part_ok:
                     pranges[p] = [r["pmin"], r["pmax"], bool(r["pnull"])]
+                if want_parts:
+                    parts_vals.update(r["pset"])
+                    parts_null = parts_null or bool(r["pnull"])
+        if collect_parts:
+            return files, ranges, pranges, (sorted(parts_vals), parts_null)
         return files, ranges, pranges
 
     def _manifest_read(
@@ -2752,7 +2781,19 @@ class HudiTable:
         uncertainty only ever costs an unnecessary rewrite. Write cost
         therefore tracks the touched partitions (plus mixed-file
         rewrites), not the table."""
-        parts, has_null = self._touched_partitions(df)
+        # Write the batch FIRST; its touched-partition set comes out of
+        # the post-write stats aggregate (collect_parts) instead of a
+        # separate distinct().collect() — the old order evaluated the
+        # full batch plan twice (once for the distinct, once for the
+        # write). Classification of prior files happens after, against
+        # the batch-derived set; the manifest publish at the end is
+        # still the single atomic commit point, so failure anywhere
+        # before it leaves the table on the old version exactly as
+        # before (the new data dir is unreferenced garbage, same as any
+        # failed commit).
+        new_files, new_ranges, new_pranges, (parts, has_null) = (
+            self._manifest_write_batch(df, collect_parts=True)
+        )
         live = self._manifest_files()
         pranges = self._manifest_pranges()
         pset = set(parts)
@@ -2783,7 +2824,6 @@ class HudiTable:
                 # schema evolution changed the column type): rewrite —
                 # pruning may never fail an overwrite it merely speeds up
                 mixed.append(f)
-        new_files, new_ranges, new_pranges = self._manifest_write_batch(df)
         batch_env = list(new_ranges.values())  # batch files only
         # the disjointness proof below needs an envelope for EVERY
         # batch file (an unenveloped file could hold any key)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .materialize import materialize
+from .materialize import materialize, materialize_counted
 from .text import sha_fingerprint, ws_tokens
 
 # ---------------------------------------------------------------------------
@@ -87,7 +87,7 @@ _SCATTER_MEMO: dict[tuple, bool] = {}
 _SCATTER_MEMO_MAX = 256
 
 
-def scatter(df: DataFrame) -> DataFrame:
+def scatter(df: DataFrame, by: str | None = None) -> DataFrame:
     """Spread rows across the cluster before CPU-heavy per-row work.
 
     Small-file inputs (one parquet file → one scan partition) would
@@ -96,6 +96,18 @@ def scatter(df: DataFrame) -> DataFrame:
     on the input's partition count: a real lake scan already has
     thousands of partitions, and an unconditional repartition there would
     be a full extra shuffle of the corpus for nothing.
+
+    ``by``: hash-partition on that column instead of round-robin. For a
+    UNIQUE-id column the spread is just as even, the round-robin form's
+    local pre-sort (``spark.sql.execution.sortBeforeRepartition``) is
+    skipped, and — the real point — the partitioning is REUSABLE:
+    every downstream groupBy/window whose keys include ``by`` (per-doc
+    aggregates after an explode+broadcast-join chain, window top-k per
+    doc) satisfies its clustering requirement from this one exchange
+    instead of inserting another full shuffle of the derived rows,
+    which at corpus scale are a multiple of the raw bytes (r16:
+    plan-verified on contamination_check — the post-join per-doc
+    aggregation exchange disappears).
 
     Only wrap RAW-SCAN DataFrames (a file read, optionally projected/
     filtered): the partition-count probe converts the plan to an RDD, and
@@ -126,13 +138,40 @@ def scatter(df: DataFrame) -> DataFrame:
             if len(_SCATTER_MEMO) >= _SCATTER_MEMO_MAX:
                 _SCATTER_MEMO.clear()
             _SCATTER_MEMO[key] = sparse
-    return df.repartition(target) if sparse else df
+    if not sparse:
+        return df
+    return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+
+def opaque(col: Column) -> Column:
+    """Predicate-pushdown barrier around an EXPENSIVE projected expression.
+
+    Catalyst's filter-inference rules (InferFiltersFromConstraints /
+    InferFiltersFromGenerate) synthesize predicates like
+    ``isnotnull(size(sh))`` from downstream filters and generates, then
+    push them through the defining Project — re-inlining the full
+    expression BELOW the scatter exchange. Plan-measured on
+    contamination_check at sf0.1: the inferred filter re-evaluated the
+    whole shingle program over every document in the single pre-scatter
+    scan partition — 2.5 s of serial CPU, 63% of the query — while the
+    32-way post-scatter stage computed it all again. At lake scale the
+    same shape is a duplicated full-corpus pass on the narrow pre-shuffle
+    side. Wrapping the projection in a CASE WHEN guarded by a
+    NONDETERMINISTIC always-true predicate makes the Project
+    non-pushable-through, so inferred filters stay above it and reference
+    the column instead of its definition. ``spark_partition_id() >= 0``
+    is used because it is always true by construction, costs nothing per
+    row, and (unlike ``rand() >= -1``) survives Spark 4's expression
+    bounds analysis, which constant-folds comparisons against rand's
+    known [0,1) range. The guard never fires the NULL branch, so values
+    are bit-identical; only plan shape changes (oracle-verified)."""
+    return F.when(F.spark_partition_id() >= 0, col)
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return scatter(df).select(
+    return scatter(df, by=id_col).select(
         F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), n).alias("sh"),
+        opaque(shingles(F.col(text_col), n)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
 
 
@@ -311,8 +350,9 @@ def ngram_jaccard_pairs(
     # DataFrame still references it, so an in-function persist could
     # never be released and leaked one full shingle table per call (see
     # operators/materialize.py).
-    s = materialize(_freq_ordered(base))
-    n_docs = s.count()  # cheap scan of the materialized blocks
+    # one fused job: lazy-checkpoint + count (the count IS the
+    # materializing action — operators/materialize.py)
+    s, n_docs = materialize_counted(_freq_ordered(base))
     base.unpersist()
     t_num, t_den = _rationalize_threshold(threshold)
     # Prefixes in frequency-ascending order (_freq_ordered): on the
@@ -456,11 +496,11 @@ def minhash_lsh_pairs(
     # Only doc/n_sh/shh/sig survive the select: the raw shingle-string
     # array and the mod-P intermediate would otherwise ~triple the
     # cached row (same drop-before-persist as ngram_jaccard_pairs).
-    sigs = materialize(
+    sigs, n_docs = materialize_counted(
         minhash_signatures(df, text_col, id_col, n)
         .select("doc", "n_sh", "shh", "sig")
-    )  # materialize, not persist — see ngram_jaccard_pairs
-    n_docs = sigs.count()
+    )  # materialize (not persist — see ngram_jaccard_pairs), fused
+    # with the broadcast-gate count: one job
     t_num, t_den = _rationalize_threshold(threshold)
     bands = sigs.select(
         "doc",
@@ -657,7 +697,7 @@ def benchmark_overlap(
 
 
 def _freq_ordered(s: DataFrame) -> DataFrame:
-    """Append ``shp``: the doc's shingle hashes reordered by ASCENDING
+    """(doc, shp, shh, n_sh) with ``shp``: the doc's shingle hashes reordered by ASCENDING
     global document frequency (ties by hash) — PPJoin's canonical token
     order. The prefix-filter losslessness argument holds for ANY total
     order applied consistently to every doc; frequency-ascending puts
@@ -689,13 +729,26 @@ def _freq_ordered(s: DataFrame) -> DataFrame:
     # subtree computes once.
     posts_all = s.select("doc", F.explode("shh").alias("h"))
     df_tab = posts_all.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
-    ordered = (
+    # Rebuild shh/n_sh FROM the ordered postings instead of joining back
+    # to ``s``: shp carries exactly the doc's (distinct) shingle hashes,
+    # so shh = array_sort(shp) and n_sh = size(shp) are value-identical
+    # to the originals for every doc that has postings, and docs WITHOUT
+    # postings (null text → null shh, dropped by the explode) were
+    # dropped by the old inner join too. One fewer join = one fewer
+    # exchange + query stage per near-dup operator (r16: the per-stage
+    # cost, not per-row compute, dominated these queries at bench scale,
+    # and at 100 TB the removed exchange is a full postings shuffle).
+    return (
         posts_all.join(df_tab, "h")
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list(F.struct("dfreq", "h"))).alias("_p"))
-        .select("doc", F.transform("_p", lambda p: p["h"]).alias("shp"))
+        .select(
+            "doc",
+            F.transform("_p", lambda p: p["h"]).alias("shp"),
+        )
+        .withColumn("shh", F.array_sort("shp"))
+        .withColumn("n_sh", F.size("shp"))
     )
-    return s.join(ordered, "doc")
 
 
 def _containment_candidates(
@@ -787,9 +840,9 @@ def containment_pairs(
         .persist()
     )
     # materialize, not persist: the returned frame references s, so an
-    # in-function persist leaks (see ngram_jaccard_pairs)
-    s = materialize(_freq_ordered(base))
-    n_docs = s.count()
+    # in-function persist leaks (see ngram_jaccard_pairs); fused with
+    # the broadcast-gate count — one job
+    s, n_docs = materialize_counted(_freq_ordered(base))
     base.unpersist()
     cand = _containment_candidates(s, t_num, t_den, size_ratio)
     # Same verify-join strategy gate as _verify_jaccard: candidates can

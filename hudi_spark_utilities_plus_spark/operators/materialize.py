@@ -71,14 +71,22 @@ def _reliable_cleanup_enabled(sc) -> bool:
     )
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` NOW and return a frame whose plan is a scan of
     the materialized blocks (lineage cut, no CacheManager entry, no
-    unreclaimed checkpoint files — module note on the conf gate)."""
+    unreclaimed checkpoint files — module note on the conf gate).
+
+    ``eager=False`` cuts the lineage immediately but defers the
+    materializing computation to the FIRST action over the returned
+    frame — one job instead of two when the caller's next step is
+    already a full-partition pass (an aggregate/collect that consumes
+    every partition). Only for deterministic frames whose first consumer
+    provably scans everything; nondeterministic single-evaluation
+    callers (global_windows) must stay eager."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         if _reliable_cleanup_enabled(sc):
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=eager)
         # a caller who set a checkpoint dir for executor-loss resilience
         # is being silently downgraded (localCheckpoint blocks die with
         # their executors) — say why, once per context, so the fix
@@ -95,4 +103,37 @@ def materialize(df: DataFrame) -> DataFrame:
                 "loss). Set the cleaner conf at context startup to "
                 "opt in to reliable materialization."
             )
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
+
+
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """``materialize`` fused with a row count: ONE job instead of two.
+
+    The eager form runs a dedicated materialization job, after which
+    callers needing the row count (broadcast-strategy gates) pay a second
+    scan of the blocks. Marking the checkpoint LAZY and driving it with
+    ``count()`` materializes every partition (count consumes each
+    partition's full iterator, so the checkpoint stores complete blocks)
+    and returns the count from the same job. Plan-level count pruning
+    cannot bypass the work: the returned frame's plan is already a scan
+    of the to-be-checkpointed RDD, not the logical tree above it.
+
+    Only for DETERMINISTIC frames where the first consumer is this
+    full-partition count — nondeterministic single-evaluation callers
+    (global_windows) must keep the eager form so no partial evaluation
+    can ever precede materialization."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None and _reliable_cleanup_enabled(sc):
+        out = df.checkpoint(eager=False)
+    else:
+        # same downgrade-warning policy as materialize()
+        if sc.getCheckpointDir() is not None:
+            app_id = sc.applicationId
+            if app_id not in _WARNED_APPS:
+                _WARNED_APPS.add(app_id)
+                _LOG.warning(
+                    "materialize_counted(): checkpoint dir set but the "
+                    "cleaner conf is off — using localCheckpoint."
+                )
+        out = df.localCheckpoint(eager=False)
+    return out, out.count()

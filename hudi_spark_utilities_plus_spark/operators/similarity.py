@@ -494,9 +494,11 @@ def similar_pairs(
     # sides of the candidate join would otherwise re-analyze and
     # re-execute it. materialize, not persist — the returned frame
     # references assigned, so an in-function persist could never be
-    # released (operators/materialize.py); the radii collect below then
-    # reads the materialized blocks.
-    assigned = materialize(assigned)
+    # released (operators/materialize.py). LAZY form: the radii
+    # aggregate below is a full-partition scan, so IT is the
+    # materializing action — one job where the eager form paid a
+    # dedicated materialization pass plus the radii scan (r16).
+    assigned = materialize(assigned, eager=False)
 
     # covering radii from the _cdist the argmin already produced — a
     # plain k-row aggregate, and the action that fills assigned's cache

@@ -1905,3 +1905,80 @@ def test_refine_span_bounds_min_docs_three(spark):
     # three-way copy refined to exact bounds; the pair-only block and
     # the pair docs produce NO islands at min_docs=3
     assert got == {1: (2, 30), 2: (6, 34), 3: (2, 30)}, got
+
+
+def test_materialize_counted_fuses_count_and_cuts_lineage(spark):
+    """materialize_counted must return the exact row count AND a frame
+    whose plan is a scan of the materialized blocks (lineage cut), with
+    values identical to the input — the single-job fusion of
+    materialize() + count() (r16)."""
+    from hudi_spark_utilities_plus_spark.operators.materialize import (
+        materialize_counted,
+    )
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    out, n = materialize_counted(df)
+    assert n == 1000
+    # lineage cut: the returned plan scans the checkpointed RDD, not the
+    # original range
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Range" not in plan, plan
+    got = sorted((r["id"], r["v"]) for r in out.collect())
+    assert got == [(i, 2 * i) for i in range(1000)]
+
+
+def test_opaque_is_value_identical(spark):
+    """opaque() is a plan-shape device only: wrapped expressions must
+    produce bit-identical values (incl. NULL propagation) to the bare
+    expression."""
+    from hudi_spark_utilities_plus_spark.operators.dedup import opaque, shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, ""), (4, "x y")],
+        "doc_id long, text string",
+    )
+    bare = df.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    wrapped = df.select("doc_id", opaque(shingles(F.col("text"), 3)).alias("sh"))
+    assert sorted(map(tuple, bare.collect())) == sorted(
+        map(tuple, wrapped.collect())
+    )
+
+
+def test_freq_ordered_rebuilds_shh_and_nsh_exactly(spark):
+    """_freq_ordered (r16: rebuilds shh/n_sh from the ordered postings
+    instead of joining back to the input — one fewer exchange) must
+    return, per doc: shh == the input's shh, n_sh == the input's n_sh,
+    and shp a permutation of shh ordered by ascending global document
+    frequency (ties by hash)."""
+    from hudi_spark_utilities_plus_spark.operators.dedup import (
+        _freq_ordered,
+        _shingled,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy cat"),
+        (3, "completely different text with no overlap here at all"),
+        (4, None),  # null text: dropped (no postings), as before
+        (5, ""),    # single empty-ish shingle set
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = (
+        _shingled(df, "text", "doc_id", 3)
+        .withColumn(
+            "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
+        )
+        .drop("sh")
+    )
+    want = {
+        r["doc"]: (r["shh"], r["n_sh"])
+        for r in base.collect()
+        if r["shh"]  # docs with no postings are dropped by _freq_ordered
+    }
+    got = {r["doc"]: r for r in _freq_ordered(base).collect()}
+    assert set(got) == set(want)
+    for doc, (shh, n_sh) in want.items():
+        r = got[doc]
+        assert r["shh"] == shh, (doc, r["shh"], shh)
+        assert r["n_sh"] == n_sh
+        assert sorted(r["shp"]) == shh  # permutation of the same hashes
