@@ -2450,6 +2450,81 @@ class HudiTable:
     # intact — the precondition for per-file range pruning
     _RANGE_TYPES = ("byte", "short", "integer", "long", "float", "double", "string")
 
+    # Subset of _RANGE_TYPES whose parquet ROW-GROUP footer statistics
+    # are trusted verbatim as the file envelope: integral types are
+    # stored exactly, and parquet-mr (Spark's writer) keeps string
+    # row-group min/max exact at any length we observed (3000-char
+    # probe) and DROPS them outright (has_min_max=False) rather than
+    # truncating when oversized — so "stats present" ⇒ exact here, and
+    # absence falls back to the distributed aggregate. float/double are
+    # deliberately EXCLUDED: IEEE NaN/-0.0 ordering in footer stats is
+    # writer-defined, while the Spark aggregate pins Spark's ordering.
+    _FOOTER_STAT_TYPES = ("byte", "short", "integer", "long", "string")
+    # Above this many files per commit the driver-side footer read (one
+    # sequential open per file; one RPC each on an object store) loses
+    # to the one distributed stats job — scale knob, local default
+    # covers every realistic local commit.
+    _FOOTER_MAX_FILES_CONF = (
+        "spark.hudi_spark_utilities_plus.lake.footerStatsMaxFiles"
+    )
+    _FOOTER_MAX_FILES = 256
+
+    @staticmethod
+    def _footer_envelopes(
+        files: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]] | None:
+        """Per-file ``{col: [min, max, has_null]}`` read DRIVER-SIDE from
+        the parquet row-group footers the writer already populated —
+        zero Spark jobs, replacing the per-commit distributed stats
+        aggregate (guide §1/§5: the cheapest job is the one not
+        launched). Returns ``None`` whenever ANY needed stat is absent
+        or uncertain (stats dropped for oversized values, unknown null
+        counts, unreadable footer) — callers then run the exact
+        aggregate; correctness never depends on this path. Empty files
+        get no entry, matching the aggregate's no-group behavior."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return None
+        out: dict[str, dict[str, list]] = {}
+        for p in files:
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:
+                return None
+            if md.num_rows == 0:
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            env: dict[str, list] = {}
+            for c in cols:
+                ci = idx.get(c)
+                if ci is None:
+                    return None
+                mn = mx = None
+                has_null = False
+                seen = False
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    if rg.num_rows == 0:
+                        continue
+                    st = rg.column(ci).statistics
+                    if st is None or st.null_count is None:
+                        return None
+                    if st.null_count > 0:
+                        has_null = True
+                    if rg.num_rows - st.null_count > 0:
+                        if not st.has_min_max:
+                            return None
+                        gmn, gmx = st.min, st.max
+                        if not seen or gmn < mn:
+                            mn = gmn
+                        if not seen or gmx > mx:
+                            mx = gmx
+                        seen = True
+                env[c] = [mn, mx, has_null]
+            out[p] = env
+        return out
+
     def _manifest_write_batch(
         self, df: DataFrame, collect_parts: bool = False
     ) -> (
@@ -2467,13 +2542,17 @@ class HudiTable:
         overwrite's drop/carry/rewrite classification. Either is empty
         when its column's dtype doesn't JSON-round-trip with ordering
         intact (dates/decimals), which simply disables that pruning
-        dimension. Cost: one post-write aggregate over the just-written
-        files whose RESULT is k rows (k = files in the commit) —
-        metadata-scale. The stats read reuses the batch's KNOWN schema
-        (write preserves it verbatim — no partitionBy directory
-        encoding here), skipping the per-commit schema-inference job a
-        bare ``spark.read.parquet`` pays (footer listing+read: one
-        Spark job locally, one RPC per file on object stores).
+        dimension. Cost (r16): ZERO Spark jobs on the common path — the
+        envelopes come from the parquet row-group footers the write
+        just produced (``_footer_envelopes``; exactness/fallback
+        contract there). The distributed stats aggregate remains as the
+        exact fallback for non-footer-safe dtypes (float/double),
+        absent stats, commits above the footerStatsMaxFiles conf, and
+        the ``collect_parts`` form (a distinct SET can't be read off
+        min/max); that read reuses the batch's KNOWN schema (write
+        preserves it verbatim — no partitionBy directory encoding
+        here), skipping the per-commit schema-inference job a bare
+        ``spark.read.parquet`` pays.
 
         ``collect_parts=True`` additionally returns
         ``(touched_partition_values, has_null)`` — the distinct
@@ -2510,6 +2589,40 @@ class HudiTable:
         want_parts = collect_parts and bool(part and part in df.columns)
         parts_vals: set = set()
         parts_null = False
+        # Fast path (r16): envelopes straight from the parquet footers
+        # the write just produced — zero Spark jobs per commit instead
+        # of the distributed stats aggregate. Only when the exact
+        # per-file DISTINCT set isn't needed (want_parts requires
+        # collect_set — min/max can't reconstruct it), every needed
+        # column's dtype has trustworthy footer stats, and the commit is
+        # small enough that k sequential driver-side footer opens beat
+        # one distributed job (conf-tunable for object-store scale).
+        if (key_ok or part_ok) and not want_parts and files:
+            need = [c for c, ok in ((key, key_ok), (part, part_ok)) if ok]
+            types_ok = all(
+                df.schema[c].dataType.typeName() in self._FOOTER_STAT_TYPES
+                for c in need
+            )
+            try:
+                max_files = int(
+                    df.sparkSession.conf.get(
+                        self._FOOTER_MAX_FILES_CONF,
+                        str(self._FOOTER_MAX_FILES),
+                    )
+                )
+            except Exception:
+                max_files = self._FOOTER_MAX_FILES
+            if types_ok and len(files) <= max_files:
+                envs = self._footer_envelopes(files, need)
+                if envs is not None:
+                    for p, env in envs.items():
+                        if key_ok:
+                            ranges[p] = env[key]
+                        if part_ok:
+                            pranges[p] = env[part]
+                    if collect_parts:  # part column absent from df
+                        return files, ranges, pranges, ([], False)
+                    return files, ranges, pranges
         if (key_ok or part_ok or want_parts) and files:
             from urllib.parse import unquote, urlparse
 

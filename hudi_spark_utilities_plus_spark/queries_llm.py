@@ -982,10 +982,16 @@ def sessionize_events(spark, sf_dir):
 )
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: duplicate-line fraction
-    (narrow, shuffle-free) + top-word fraction (two partial-aggregated
-    keyed shuffles). Ratios are single double divisions — bit-identical
-    to the oracle."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    (narrow, shuffle-free) + top-word fraction. Ratios are single double
+    divisions — bit-identical to the oracle.
+
+    Scale: the scatter hash-partitions on doc_id (operators/dedup.py),
+    so ONE exchange of the raw docs satisfies every downstream
+    clustering requirement — the (doc_id, word) count agg, the per-doc
+    agg, and the final doc_id equi-join all reuse it instead of
+    shuffling the exploded word rows (a multiple of the raw bytes at
+    corpus scale; r16 plan: 5 exchanges → 1)."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     dup = d.select("doc_id", T.dup_line_fraction(F.col("text")).alias("dup_line_frac"))
     top = T.top_word_fraction(d, "doc_id", "text")
     return dup.join(top, "doc_id")
@@ -1094,12 +1100,15 @@ def tfidf_topterms(spark, sf_dir):
     break on token text; tf/df/score all emitted so the oracle checks
     the full scoring pipeline, not just the winners.
 
-    Scale: explode -> two partial-agg groupBys (doc-term, then term) ->
-    term-keyed join of tf against the much smaller df table -> per-doc
-    window over ~unique-terms-per-doc rows. All shuffles are keyed and
-    partial-aggregated; n_docs joins in as a broadcast scalar, not a
-    driver constant."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    Scale: explode -> tf/df groupBys -> term-keyed join of tf against
+    the much smaller df table (broadcast) -> per-doc window over
+    ~unique-terms-per-doc rows. The scatter hash-partitions on doc_id
+    (operators/dedup.py), so the (doc_id, token) tf aggregation and the
+    final per-doc window both reuse that ONE exchange of the raw docs —
+    only the small term-level df aggregation still shuffles (token-
+    keyed, partial-aggregated); n_docs joins in as a broadcast scalar,
+    not a driver constant (r16 plan: 10 exchanges → 4)."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )

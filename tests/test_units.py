@@ -3930,3 +3930,58 @@ def test_seq_claim_local_store_multiprocess_unique_dense(tmp_path):
         f"not distinct+dense: dupes={len(allseqs) - len(set(allseqs))}, "
         f"max={allseqs[-1]}"
     )
+
+
+def test_footer_envelopes_match_spark_agg_and_fall_back(spark, tmp_path):
+    """_footer_envelopes (r16: zero-Spark-job per-commit stats straight
+    from the parquet row-group footers) must return [min, max, has_null]
+    IDENTICAL to the distributed stats aggregate for footer-safe dtypes
+    — across files, null mixes, and an all-null-in-one-file column —
+    and must return None (the exact-aggregate fallback) when parquet
+    dropped the stats (oversized string values)."""
+    from urllib.parse import unquote, urlparse
+
+    df = spark.createDataFrame(
+        [(1, "a", "O"), (2, None, "F"), (3, "zz", None), (4, "m", "F")],
+        "id int, s string, p string",
+    ).repartition(2, F.col("id"))
+    d = str(tmp_path / "fe")
+    df.write.parquet(d)
+    files = [
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    ]
+    envs = HudiTable._footer_envelopes(files, ["id", "s", "p"])
+    assert envs is not None and set(envs) == set(files)
+    truth = {}
+    for r in (
+        spark.read.schema(df.schema)
+        .parquet(d)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("id"), F.max("id"), F.max(F.col("id").isNull()),
+            F.min("s"), F.max("s"), F.max(F.col("s").isNull()),
+            F.min("p"), F.max("p"), F.max(F.col("p").isNull()),
+        )
+        .collect()
+    ):
+        truth[unquote(urlparse(r[0]).path)] = r
+    assert set(truth) == set(envs)
+    for p, env in envs.items():
+        r = truth[p]
+        assert env["id"] == [r[1], r[2], bool(r[3])], (p, env["id"], r)
+        assert env["s"] == [r[4], r[5], bool(r[6])], (p, env["s"], r)
+        assert env["p"] == [r[7], r[8], bool(r[9])], (p, env["p"], r)
+    # oversized string values: parquet drops has_min_max -> whole-path
+    # fallback for that column, while integral stats stay usable
+    big = spark.createDataFrame(
+        [(1, "q" * 100_000)], "id int, s string"
+    ).coalesce(1)
+    d2 = str(tmp_path / "fe_big")
+    big.write.parquet(d2)
+    files2 = [
+        os.path.join(d2, f) for f in os.listdir(d2) if f.endswith(".parquet")
+    ]
+    assert HudiTable._footer_envelopes(files2, ["s"]) is None
+    assert HudiTable._footer_envelopes(files2, ["id"]) == {
+        files2[0]: {"id": [1, 1, False]}
+    }
