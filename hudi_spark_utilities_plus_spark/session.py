@@ -32,7 +32,6 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -58,7 +57,24 @@ def build_spark_session(
         merged.update(conf)
     for k, v in merged.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Shuffle parallelism tracks the session's ACTUAL core count (the
+    # bench runs at several $SPARK_GRAFT_CPUS values to measure scaling —
+    # a constant tuned for one core count mis-sizes every other run, and
+    # a cluster's capacity intent arrives via explicit conf). Same
+    # only-if-Spark's-200-default guard as tune_runtime: a caller- or
+    # submit-script-configured value is never clobbered (r16; results
+    # are partition-count independent by design — perf-only).
+    if "spark.sql.shuffle.partitions" not in merged:
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(max(1, spark.sparkContext.defaultParallelism)),
+                )
+        except Exception:
+            pass
+    return spark
 
 
 def tune_runtime(spark: SparkSession) -> SparkSession:

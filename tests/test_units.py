@@ -3985,3 +3985,38 @@ def test_footer_envelopes_match_spark_agg_and_fall_back(spark, tmp_path):
     assert HudiTable._footer_envelopes(files2, ["id"]) == {
         files2[0]: {"id": [1, 1, False]}
     }
+
+
+def test_session_shuffle_partitions_track_core_count():
+    """build_spark_session (r16) derives spark.sql.shuffle.partitions
+    from the session's ACTUAL parallelism — the bench runs at several
+    $SPARK_GRAFT_CPUS values to measure scaling, so a constant tuned for
+    one core count mis-sizes every other run — while an explicit caller
+    conf is never clobbered. Subprocess: the decision happens at session
+    build, which the shared fixture already spent."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, {repo!r})
+from hudi_spark_utilities_plus_spark.session import build_spark_session
+s = build_spark_session(app_name="sp-t", master="local[3]",
+                        conf={{"spark.ui.enabled": "false"}})
+assert s.sparkContext.defaultParallelism == 3
+assert s.conf.get("spark.sql.shuffle.partitions") == "3", \\
+    s.conf.get("spark.sql.shuffle.partitions")
+s.stop()
+s2 = build_spark_session(app_name="sp-t2", master="local[3]",
+                         conf={{"spark.ui.enabled": "false",
+                                "spark.sql.shuffle.partitions": "11"}})
+assert s2.conf.get("spark.sql.shuffle.partitions") == "11"
+s2.stop()
+print("OK")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, (
+        out.stdout[-2000:], out.stderr[-2000:]
+    )
