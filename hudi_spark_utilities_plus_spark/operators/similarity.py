@@ -1381,7 +1381,15 @@ def _pq_shortlist_blocked(
     tiles so the [chunk × tile] score matrix stays ~130 MB; cell count
     c_blocks·q_blocks gives the scheduler uniform work units. Zero-norm
     corpus rows score -inf (ranked last — the driver path's NULL-last
-    ordering) rather than dividing by zero."""
+    ordering) rather than dividing by zero.
+
+    Engine-parity scope (ADVICE r15): ADC here is a tiled gemm
+    (Qt @ cents[i].T) where the driver engine runs per-query gemv —
+    BLAS builds may differ in the last ulp, so driver/blocked equality
+    is exact wherever per-cell shortlists COVER the global one
+    (shortlist ≥ corpus, the tested regime) and otherwise agrees up to
+    shortlist membership at an ulp-tied cut; the exact-cosine rerank
+    re-scores every surviving candidate identically either way."""
     import math
 
     spark = qs.sparkSession
@@ -1524,6 +1532,14 @@ def pq_topk(
     returned cos_sim values and tie order match brute force wherever
     the shortlist contains the true neighbors.
 
+    Precondition: corpus ``id_col`` values are UNIQUE (the normal ANN
+    contract). The per-cell self-exclusion budgets exactly one self row
+    per query; duplicate corpus ids sharing a query's id would shave
+    that cell's candidate margin relative to the driver engine's global
+    window (ADVICE r15 — documented rather than widened: every caller
+    feeds unique ids, and widening the take per cell for a contract
+    violation would tax the universal case).
+
     ``driver_query_limit`` picks the shortlist engine. At or below it
     (a query BATCH, not a second corpus — the ceiling is the one knob
     to tune if driver memory differs), the batch is collected and
@@ -1557,15 +1573,16 @@ def pq_topk(
     _check_query_dim(qs, "q_vec", codebook["dim"])
     qrows = None
     if driver_query_limit > 0:
-        # limit(N+1) probes the batch size AND doubles as the collect on
-        # the small path — at ≤ N rows the "limit" is the whole batch
-        probe = (
-            qs.select("query_id", "q_vec")
-            .limit(driver_query_limit + 1)
-            .collect()
-        )
-        if len(probe) <= driver_query_limit:
-            qrows = probe
+        # Size probe as a limited COUNT, not a collect (r16, ADVICE r15):
+        # the old limit(N+1).collect() shipped up to N+1 full query
+        # VECTORS to the driver only to discard them whenever the batch
+        # turned out bulk — at high dim that is a ~100 MB driver pull
+        # thrown away before the blocked engine re-executes the same
+        # plan anyway. The count ships one long; only a CONFIRMED-small
+        # batch (≤ N rows, metadata-scale by definition) is collected.
+        probe_n = qs.limit(driver_query_limit + 1).count()
+        if probe_n <= driver_query_limit:
+            qrows = qs.select("query_id", "q_vec").collect()
     if qrows is not None and not qrows:
         # empty result typed from the INPUTS: query_id like the caller's
         # id column, neighbor_id like the encoded corpus id — a
