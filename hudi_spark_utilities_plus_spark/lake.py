@@ -357,6 +357,20 @@ class HudiTable:
     _lock_local: threading.local = field(
         default_factory=threading.local, repr=False, compare=False
     )
+    # per-instance base-schema memo (r17): Spark 4 launches a 1-task
+    # footer job for EVERY `spark.read.parquet(...).schema` inference,
+    # so each exists() probe / merge read paid one. The memo holds the
+    # schema from THIS instance's own genesis write or from one actual
+    # inference, normalized all-nullable (inference's posture), and is
+    # dropped whenever this instance rewrites base files — the next
+    # read re-infers once. Unpartitioned non-manifest tables only: on
+    # hive layouts the partition column's type comes from directory-
+    # value inference, which a cached write-side schema would override.
+    # Trust model matches the other per-instance memos (seq store,
+    # lock): an EXTERNAL writer evolving the schema mid-lifetime is
+    # outside the single-writer-per-instance contract; cross-process
+    # readers always start cold and infer.
+    _base_schema_memo: object = field(default=None, repr=False, compare=False)
 
     @classmethod
     def from_props(cls, props: dict[str, str]) -> "HudiTable":
@@ -400,6 +414,18 @@ class HudiTable:
         else:
             if not os.path.exists(local):
                 return False
+            # driver-side table probe (r17): any parquet data file
+            # under the root means a read can succeed — replaces a
+            # per-call Spark footer-inference job (Spark 4 launches a
+            # 1-task job for every `spark.read.parquet(...).schema`,
+            # one per upsert/delete exists() probe). A root holding
+            # only _SUCCESS/hidden files stays False, matching the
+            # probe; an unreadable/corrupt footer is the one corner
+            # that now surfaces at read time instead of here.
+            for _dirpath, _dirs, files in os.walk(local):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
         try:
             spark.read.parquet(self.path).schema
             return True
@@ -416,6 +442,182 @@ class HudiTable:
             except Exception:
                 return False
         return os.path.isdir(f"{local.rstrip('/')}__hudi_log")
+
+    def _memo_base_schema(self, schema) -> None:
+        """Populate the per-instance base-schema memo (unpartitioned
+        non-manifest tables only — see the field note), normalized
+        all-nullable to match what inference would report."""
+        if (
+            schema is not None
+            and self.partition_field is None
+            and not self._is_manifest
+        ):
+            from pyspark.sql.types import StructField, StructType
+
+            self._base_schema_memo = StructType(
+                [StructField(f.name, f.dataType, True) for f in schema.fields]
+            )
+
+    def _base_read(self, spark: SparkSession) -> DataFrame:
+        """Base-files DataFrame. Supplies the memoized schema (no
+        Spark 4 footer-inference job) when this instance knows it;
+        otherwise infers once and memoizes."""
+        if self._base_schema_memo is not None:
+            return spark.read.schema(self._base_schema_memo).parquet(
+                self.path
+            )
+        df = spark.read.parquet(self.path)
+        self._memo_base_schema(df.schema)
+        return df
+
+    def _base_schema(self, spark: SparkSession):
+        """The base files' Spark schema, driver-side (memoized or a
+        single inference); None when unavailable."""
+        try:
+            if self._is_manifest:
+                return self._manifest_read(spark).schema
+            return self._base_read(spark).schema
+        except Exception:
+            return None
+
+    def _log_full_schema(self, spark: SparkSession):
+        """EXACT full schema of the delta log, derived DRIVER-SIDE (r17,
+        the timeline analogue of the r16 manifest footer-stats trick):
+        candidate = base schema + (__hudi_op string, __hudi_seq long),
+        verified against every log file's parquet footer via pyarrow —
+        column names must be ⊆ the candidate's and each file's arrow
+        type must equal the BASE footer's arrow type for that column
+        (same writer ⇒ same physical encoding; no arrow→Spark type
+        conversion is ever trusted). Any surprise — log-side schema
+        evolution, retyping, unreadable footer, non-local scheme,
+        partitioned layout (dir-encoded values need Spark's own
+        discovery), or more files than the footerStatsMaxFiles conf
+        (object-store posture: k sequential driver RPCs lose to one
+        job) — returns None and the caller pays the distributed
+        mergeSchema inference exactly as before. Callers' downstream is
+        name-based (unionByName / named selects), so column order
+        differences vs a merged inference are immaterial."""
+        try:
+            import pyarrow.parquet as _pq
+        except Exception:
+            return None
+        if self.partition_field:
+            return None
+        try:
+            local = self._local_fs_path()
+        except NotImplementedError:
+            return None
+        logdir = f"{local.rstrip('/')}__hudi_log"
+        try:
+            log_files = [
+                os.path.join(logdir, f)
+                for f in os.listdir(logdir)
+                if f.endswith(".parquet")
+            ]
+            base_files = sorted(
+                os.path.join(local, f)
+                for f in os.listdir(local)
+                if f.endswith(".parquet")
+            )
+        except OSError:
+            return None
+        if not log_files or not base_files:
+            return None
+        try:
+            max_files = int(
+                spark.conf.get(
+                    self._FOOTER_MAX_FILES_CONF, str(self._FOOTER_MAX_FILES)
+                )
+            )
+        except Exception:
+            max_files = self._FOOTER_MAX_FILES
+        if len(log_files) > max_files:
+            return None
+        base_schema = self._base_schema(spark)
+        if base_schema is None:
+            return None
+        try:
+            base_arrow = {
+                f.name: str(f.type) for f in _pq.read_schema(base_files[0])
+            }
+            if set(base_arrow) != set(base_schema.fieldNames()):
+                return None
+            for p in log_files:
+                for f in _pq.read_schema(p):
+                    if f.name == "__hudi_op":
+                        if str(f.type) not in ("string", "large_string"):
+                            return None
+                    elif f.name == "__hudi_seq":
+                        if str(f.type) != "int64":
+                            return None
+                    elif str(f.type) != base_arrow.get(f.name):
+                        return None
+        except Exception:
+            return None
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return StructType(
+            list(base_schema.fields)
+            + [
+                StructField("__hudi_op", StringType()),
+                StructField("__hudi_seq", LongType()),
+            ]
+        )
+
+    def _log_read(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        base_schema=None,
+    ) -> DataFrame:
+        """Delta-log DataFrame without the distributed mergeSchema
+        inference job wherever the schema is derivable driver-side.
+
+        ``columns``: a NARROW projection every log entry is guaranteed
+        to carry (writer invariant: each entry is the batch frame —
+        which always holds the record key — plus __hudi_op/__hudi_seq),
+        so an explicit schema of just those fields is exact with no
+        verification; data-column types come from ``base_schema``.
+        ``columns=None``: the full merge read — exact only under the
+        footer-verified contract of ``_log_full_schema``. Either path
+        falls back to the r16-and-earlier mergeSchema read whenever the
+        cheap schema is unavailable; correctness never depends on the
+        fast path."""
+        if columns is not None:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            fields = []
+            for c in columns:
+                if c == "__hudi_seq":
+                    fields.append(StructField("__hudi_seq", LongType()))
+                elif c == "__hudi_op":
+                    fields.append(StructField("__hudi_op", StringType()))
+                elif base_schema is not None and c in base_schema.fieldNames():
+                    fields.append(base_schema[c])
+                else:
+                    fields = None
+                    break
+            if fields is not None:
+                return spark.read.schema(StructType(fields)).parquet(
+                    self._log_path
+                )
+        else:
+            schema = self._log_full_schema(spark)
+            if schema is not None:
+                return spark.read.schema(schema).parquet(self._log_path)
+        return spark.read.option("mergeSchema", "true").parquet(
+            self._log_path
+        )
 
     def read(
         self,
@@ -575,8 +777,11 @@ class HudiTable:
             and self._has_log(spark)
         ):
             guard = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self._log_path)
+                self._log_read(
+                    spark,
+                    columns=[self.record_key],
+                    base_schema=self._base_schema(spark),
+                )
                 .select(self.record_key)
                 .distinct()
             )
@@ -585,7 +790,7 @@ class HudiTable:
                 spark, keys=_keys, part_spec=part_spec, guard_keys=guard
             )
             if self._is_manifest
-            else spark.read.parquet(self.path)
+            else self._base_read(spark)
         )
         if in_filter is not None:
             base = base.filter(in_filter)
@@ -598,10 +803,12 @@ class HudiTable:
             # selection — it reaches the parquet scan (and on
             # hive-layout tables prunes partition directories)
             return base.filter(pfilter) if pfilter is not None else base
-        # mergeSchema: delete markers carry fewer columns than upsert
-        # entries; without it parquet samples ONE file's schema and
-        # upsert rows can lose their data/precombine columns to nulls
-        log = spark.read.option("mergeSchema", "true").parquet(self._log_path)
+        # full-width log read: delete markers carry fewer columns than
+        # upsert entries, so the schema is either derived driver-side
+        # and footer-verified (_log_read, no Spark job — missing marker
+        # columns null-fill exactly as a merged inference would) or
+        # falls back to the mergeSchema inference job
+        log = self._log_read(spark)
         if in_filter is not None:
             log = log.filter(in_filter)
         if _keys is not None:
@@ -678,8 +885,11 @@ class HudiTable:
         if not self._has_log(spark):
             return self.read(spark).limit(0)
         changed = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(self._log_path)
+            self._log_read(
+                spark,
+                columns=[self.record_key, "__hudi_seq"],
+                base_schema=self._base_schema(spark),
+            )
             .filter(F.col("__hudi_seq") > since_seq)
             .select(self.record_key)
             .distinct()
@@ -787,6 +997,9 @@ class HudiTable:
             )
         else:
             self._writer(df, "append").parquet(self.path)
+            # genesis/append wrote exactly df's columns — memo so later
+            # reads/probes skip the footer-inference job
+            self._memo_base_schema(df.schema)
         self._maybe_sync_catalog(spark)
 
     # insert shares the bulk path in the parquet fallback (no small-file
@@ -795,7 +1008,9 @@ class HudiTable:
 
     def overwrite(self, df: DataFrame) -> None:
         df = self._with_partition_col(df)
+        self._base_schema_memo = None
         self._writer(df, "overwrite").parquet(self.path)
+        self._memo_base_schema(df.schema)
         self._maybe_sync_catalog(df.sparkSession)
 
     def _with_partition_col(
@@ -1219,7 +1434,7 @@ class HudiTable:
         column (O(log-since-compaction) — the cost the sidecar and the
         claim dir exist to avoid paying per append)."""
         row = (
-            spark.read.option("mergeSchema", "true").parquet(self._log_path)
+            self._log_read(spark, columns=["__hudi_seq"])
             .agg(F.max("__hudi_seq").alias("m"))
             .collect()[0]
         )
@@ -1422,8 +1637,11 @@ class HudiTable:
         key = self.record_key
         if self._has_log(spark):
             touched = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self._log_path)
+                self._log_read(
+                    spark,
+                    columns=[key, "__hudi_seq"],
+                    base_schema=self._base_schema(spark),
+                )
                 .filter(F.col("__hudi_seq") > since_seq)
                 .select(key)
                 .distinct()
@@ -1501,11 +1719,7 @@ class HudiTable:
         import shutil
 
         log_local = f"{self._local_fs_path().rstrip('/')}__hudi_log"
-        kept = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(self._log_path)
-            .filter(F.col("__hudi_seq") <= to_seq)
-        )
+        kept = self._log_read(spark).filter(F.col("__hudi_seq") <= to_seq)
         if kept.limit(1).count() == 0:
             shutil.rmtree(log_local)
             self._drop_seqmax()
@@ -2488,40 +2702,64 @@ class HudiTable:
             return None
         out: dict[str, dict[str, list]] = {}
         for p in files:
+            # the WHOLE per-file stats walk sits inside the fallback
+            # try (ADVICE r16): an unexpected pyarrow error on any
+            # stats accessor must demote to the exact distributed
+            # aggregate, never abort the write
             try:
                 md = pq.ParquetFile(p).metadata
+                if md.num_rows == 0:
+                    continue
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                env: dict[str, list] = {}
+                for c in cols:
+                    ci = idx.get(c)
+                    if ci is None:
+                        return None
+                    # truncation guard (ADVICE r16): where this pyarrow
+                    # exposes exactness flags, byte-array (string)
+                    # columns must assert exact min AND max — a writer
+                    # with statistics truncation enabled would
+                    # otherwise silently yield widened string bounds.
+                    # Absent flags (older pyarrow) keep the empirical
+                    # trust contract probed in r16 (parquet-mr DROPS
+                    # oversized string stats rather than truncating).
+                    want_exact = (
+                        md.schema.column(ci).physical_type == "BYTE_ARRAY"
+                    )
+                    mn = mx = None
+                    has_null = False
+                    seen = False
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        if rg.num_rows == 0:
+                            continue
+                        st = rg.column(ci).statistics
+                        if st is None or st.null_count is None:
+                            return None
+                        if st.null_count > 0:
+                            has_null = True
+                        if rg.num_rows - st.null_count > 0:
+                            if not st.has_min_max:
+                                return None
+                            if want_exact and (
+                                getattr(st, "is_min_value_exact", True)
+                                is False
+                                or getattr(st, "is_max_value_exact", True)
+                                is False
+                            ):
+                                return None
+                            gmn, gmx = st.min, st.max
+                            if not seen or gmn < mn:
+                                mn = gmn
+                            if not seen or gmx > mx:
+                                mx = gmx
+                            seen = True
+                    env[c] = [mn, mx, has_null]
             except Exception:
                 return None
-            if md.num_rows == 0:
-                continue
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            env: dict[str, list] = {}
-            for c in cols:
-                ci = idx.get(c)
-                if ci is None:
-                    return None
-                mn = mx = None
-                has_null = False
-                seen = False
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    if rg.num_rows == 0:
-                        continue
-                    st = rg.column(ci).statistics
-                    if st is None or st.null_count is None:
-                        return None
-                    if st.null_count > 0:
-                        has_null = True
-                    if rg.num_rows - st.null_count > 0:
-                        if not st.has_min_max:
-                            return None
-                        gmn, gmx = st.min, st.max
-                        if not seen or gmn < mn:
-                            mn = gmn
-                        if not seen or gmx > mx:
-                            mx = gmx
-                        seen = True
-                env[c] = [mn, mx, has_null]
             out[p] = env
         return out
 
@@ -2852,6 +3090,9 @@ class HudiTable:
         suffix = uuid.uuid4().hex[:8]
         staging = f"{local.rstrip('/')}__staging_{suffix}"
         backup = f"{local.rstrip('/')}__prev_{suffix}"
+        # base files are about to change: drop the schema memo first so
+        # a crash mid-rename leaves the next reader inferring fresh
+        self._base_schema_memo = None
         # _writer carries the membership guard: callers materialize a
         # missing partition column via _with_partition_col, but a
         # direct call must not crash on a column the frame doesn't
@@ -2865,6 +3106,7 @@ class HudiTable:
         os.replace(staging, local)
         if had_old:
             shutil.rmtree(backup)
+        self._memo_base_schema(df.schema)
 
     def _manifest_overwrite_partitions(
         self, df: DataFrame, spark: SparkSession

@@ -360,11 +360,7 @@ def ngram_jaccard_pairs(
     # candidates for 8,508 true pairs, vs 38,460 under hash order —
     # so the verify join does zero wasted intersections.
     prefix_len = _lossless_prefix_len(F.size("shp"), t_num, t_den)
-    posts = s.select(
-        "doc",
-        "n_sh",
-        F.posexplode(F.slice("shp", 1, prefix_len)).alias("pos", "shingle"),
-    )
+    posts = _prefix_posts(s, prefix_len)
     # PPJoin positional filter, lossless: both prefixes follow the same
     # global token order, so a collision at (0-based) positions px, py
     # bounds the whole intersection by 1 + min(n_x-px-1, n_y-py-1). A
@@ -696,6 +692,42 @@ def benchmark_overlap(
     )
 
 
+def _prefix_posts(s: DataFrame, prefix_len) -> DataFrame:
+    """Exploded prefix postings (doc, n_sh, pos, shingle) for the
+    candidate self-joins, with the SINGLETON PRUNE (r17, guide §3.2):
+    when ``s`` carries the aligned doc-frequency array ``shc``
+    (_freq_ordered), postings whose shingle occurs in exactly one
+    document are dropped BEFORE the self-join exchange. Lossless for
+    every prefix-collision candidate scheme: a candidate (a, b) exists
+    only through a shingle BOTH docs contain, which forces its global
+    doc-frequency ≥ 2 — a dfreq-1 posting can only ever join itself
+    and is discarded by ``doc_a < doc_b``. ``pos`` keeps the ORIGINAL
+    prefix position (the prune filters after posexplode), so the
+    PPJoin positional bound is unchanged. Hash-ordered callers without
+    ``shc`` get the plain explode."""
+    if "shc" not in s.columns:
+        pref = "shp" if "shp" in s.columns else "shh"
+        return s.select(
+            "doc",
+            "n_sh",
+            F.posexplode(F.slice(pref, 1, prefix_len)).alias("pos", "shingle"),
+        )
+    return (
+        s.select(
+            "doc",
+            "n_sh",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("shp", 1, prefix_len).alias("h"),
+                    F.slice("shc", 1, prefix_len).alias("c"),
+                )
+            ).alias("pos", "sc"),
+        )
+        .filter(F.col("sc.c") >= 2)
+        .select("doc", "n_sh", "pos", F.col("sc.h").alias("shingle"))
+    )
+
+
 def _freq_ordered(s: DataFrame) -> DataFrame:
     """(doc, shp, shh, n_sh) with ``shp``: the doc's shingle hashes reordered by ASCENDING
     global document frequency (ties by hash) — PPJoin's canonical token
@@ -745,6 +777,14 @@ def _freq_ordered(s: DataFrame) -> DataFrame:
         .select(
             "doc",
             F.transform("_p", lambda p: p["h"]).alias("shp"),
+            # the aligned global doc-frequencies (r17): prefix joins
+            # prune postings whose shingle no OTHER doc contains
+            # (dfreq == 1 ⇒ no partner can hold the shingle, in prefix
+            # or anywhere) BEFORE the self-join exchange — the
+            # zero-extra-join form of a bloom/semi-join pre-filter
+            # (guide §3.2); on natural corpora the frequency-ascending
+            # prefix is dominated by exactly these singletons
+            F.transform("_p", lambda p: p["dfreq"]).alias("shc"),
         )
         .withColumn("shh", F.array_sort("shp"))
         .withColumn("n_sh", F.size("shp"))
@@ -770,11 +810,7 @@ def _containment_candidates(
     prefix_len = _lossless_prefix_len(
         F.size(pref), t_num, t_den * size_ratio
     )
-    posts = s.select(
-        "doc",
-        "n_sh",
-        F.posexplode(F.slice(pref, 1, prefix_len)).alias("pos", "shingle"),
-    )
+    posts = _prefix_posts(s, prefix_len)
     # Positional filter (integer-exact): a collision at 0-based (px, py)
     # bounds the intersection by 1 + min(n_x-px-1, n_y-py-1); containment
     # ≥ t_num/t_den needs inter·t_den ≥ t_num·n_min. The first common

@@ -121,7 +121,19 @@ def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
     Only for DETERMINISTIC frames where the first consumer is this
     full-partition count — nondeterministic single-evaluation callers
     (global_windows) must keep the eager form so no partial evaluation
-    can ever precede materialization."""
+    can ever precede materialization.
+
+    Reliable-checkpoint caveat (ADVICE r16): the one-job fusion holds
+    for the localCheckpoint branch (blocks are stored by the count's
+    own tasks). On the RELIABLE branch, ``checkpoint(eager=False)``
+    writes its files in a separate job scheduled after the count — a
+    second full lineage recompute (Spark core's two-pass reliable
+    checkpoint; no persist() is injected here because the frames on
+    this path are deterministic and typically count-once). Callers on
+    the reliable branch that want one compute pass should persist()
+    before calling and unpersist() after — not done by default since
+    the cluster-posture branch is opt-in via the cleaner conf and the
+    common path here is localCheckpoint."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None and _reliable_cleanup_enabled(sc):
         out = df.checkpoint(eager=False)

@@ -202,24 +202,19 @@ def cosine_topk_bruteforce(
 # ---------------------------------------------------------------------------
 
 
-def _centroid_means(assigned: DataFrame) -> DataFrame:
-    """Element-wise mean vector per cluster, pure DataFrame ops:
-    posexplode → (cluster, pos) means → rebuild ordered arrays."""
-    exploded = assigned.select(
-        "cluster", F.posexplode("v").alias("pos", "val")
-    )
-    means = exploded.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+def _centroid_means_rows(assigned: DataFrame, vec_field: str) -> list:
+    """Per-(cluster, position) element means as k × dim COLLECTED rows —
+    metadata-scale (k clusters × vector dim). The ordered-array rebuild
+    the r16 form ran as a second, cluster-keyed Spark aggregation
+    (posexplode → (cluster, pos) means → collect_list/array_sort) is
+    driver-side assembly in ``_kmeans`` instead: one Spark stage per
+    Lloyd round, not two, with the SAME per-(cluster, pos) ``avg``
+    aggregate — centroid values are bit-identical (r17)."""
     return (
-        means.groupBy("cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("m")))
-            ).alias("pm")
-        )
-        .select(
-            "cluster",
-            F.transform("pm", lambda s: s["m"]).alias("centroid"),
-        )
+        assigned.select("cluster", F.posexplode(vec_field).alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()  # k × dim rows (metadata)
     )
 
 
@@ -243,8 +238,26 @@ def _assign_nearest(
     deterministic. (Earlier designs: a ``when(d<best,...)`` fold doubles
     the tree per centroid — 2^k — and OOMs the analyzer at k=16;
     per-centroid literal fold subtrees are linear but still dominate
-    wall time at small scale.)"""
+    wall time at small scale.)
+
+    Both projected columns are wrapped in ``opaque()`` (guide §4.4, the
+    r16 pushdown barrier): the k×dim argmin tree must never become a
+    Catalyst CONSTRAINT. Constraint propagation turns the alias into
+    ``cluster = <argmin tree>``, localCheckpoint preserves it through
+    the lineage cut (Spark keeps origin constraints on LogicalRDD), and
+    InferFiltersFromConstraints then substitutes it across the
+    candidate join's ``cluster == ca`` equality — producing a filter
+    over the (ca, cb) pair list that references ``nv`` from the OTHER
+    side, which fails task-side binding with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the first (cold) execution
+    (r17 fix; reproduced on Spark 4.1.2 — cold run of
+    embedding_similar_pairs failed, warm rerun passed, which the
+    bench's exception-swallowing warmup had been masking). The
+    nondeterministic guard suppresses the constraint; values are
+    bit-identical (the guard is always true)."""
     import json as _json
+
+    from .dedup import opaque
 
     cvecs = F.from_json(
         F.lit(_json.dumps([v for _, v in centroids])), "array<array<double>>"
@@ -255,13 +268,17 @@ def _assign_nearest(
     dists = F.transform(cvecs, lambda c: _sq_dist(F.col(vec_field), c))
     out = docs.withColumn(
         "cluster",
-        F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int")),
+        opaque(
+            F.element_at(
+                cids, F.array_position(dists, F.array_min(dists)).cast("int")
+            )
+        ),
     )
     if with_dist:
         # distance to the OWN centroid falls out of the argmin for free —
         # callers needing covering radii avoid a whole second plan that
         # re-evaluates the distance trees against a broadcast join
-        out = out.withColumn("_cdist", F.sqrt(F.array_min(dists)))
+        out = out.withColumn("_cdist", opaque(F.sqrt(F.array_min(dists))))
     return out
 
 
@@ -292,11 +309,20 @@ def _kmeans(
     assigned = _assign_nearest(docs, vec_field, cents)
     rounds = max(1, iters)  # ≥1 Lloyd round so means are real
     for i in range(rounds):
+        # driver-side array assembly over the k × dim mean rows
+        # (_centroid_means_rows). Ordering note: cents order is the
+        # tie-break order of _assign_nearest's argmin; sorted cluster
+        # ids make it deterministic across partition layouts (the r16
+        # collect order was the final agg's hash-partition order —
+        # core-count dependent). Distinct centroids tie only on exact
+        # double distance equality; equivalence over the registered
+        # corpora is pinned by the r17 old-vs-new output diff + oracle
+        # sweeps (OPTIMIZATION_r17.md §D).
+        by_c: dict[int, dict[int, float]] = {}
+        for r in _centroid_means_rows(assigned, vec_field):
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
         cents = [
-            (r["cluster"], list(r["centroid"]))
-            for r in _centroid_means(
-                assigned.select(F.col(vec_field).alias("v"), "cluster")
-            ).collect()  # k rows (metadata)
+            (c, [pm[p] for p in sorted(pm)]) for c, pm in sorted(by_c.items())
         ]
         assigned = _assign_nearest(
             docs, vec_field, cents, with_dist=with_dist and i == rounds - 1
@@ -1579,10 +1605,23 @@ def pq_topk(
         # turned out bulk — at high dim that is a ~100 MB driver pull
         # thrown away before the blocked engine re-executes the same
         # plan anyway. The count ships one long; only a CONFIRMED-small
-        # batch (≤ N rows, metadata-scale by definition) is collected.
+        # batch (≤ N rows, metadata-scale by definition) is collected —
+        # and that collect is itself LIMIT-bounded (ADVICE r16): if qs
+        # is unstable between the two evaluations the pull still cannot
+        # exceed N+1 rows, and an over-limit re-evaluation falls through
+        # to the blocked engine instead of trusting the stale count.
+        # Deliberate trade (r16): the small path pays 2 jobs
+        # (count + collect) where pre-r16 paid 1, so the bulk path
+        # never ships vectors it will discard.
         probe_n = qs.limit(driver_query_limit + 1).count()
         if probe_n <= driver_query_limit:
-            qrows = qs.select("query_id", "q_vec").collect()
+            qrows = (
+                qs.select("query_id", "q_vec")
+                .limit(driver_query_limit + 1)
+                .collect()
+            )
+            if len(qrows) > driver_query_limit:
+                qrows = None  # unstable probe — use the blocked engine
     if qrows is not None and not qrows:
         # empty result typed from the INPUTS: query_id like the caller's
         # id column, neighbor_id like the encoded corpus id — a

@@ -317,41 +317,55 @@ def refine_span_bounds(
     grown — so the refinement exactly closes the snap-to-grid gap for
     the alignment class the detector sees.
 
-    Shape, flagged-regions-only: the pass touches (a) the islands
-    (already small), (b) the occurrences of ISLAND-BOUNDARY keys only,
-    immediately collapsed to distinct (key, flank) groups with a
-    count — a boilerplate key in a million documents contributes a
-    handful of distinct flanks, never a million comparison rows. Per
-    key group the best partner extension is max common-prefix with
-    the lexicographic NEIGHBOR flanks (the classic sorted-neighbor
-    LCP bound: for any set of strings, each element's maximum LCP is
-    attained at an adjacent element in sorted order), plus full flank
-    length when the identical flank occurs ≥ 2 times. One window per
-    side, one bounded fold per row, no UDFs, no collects."""
+    Shape, flagged-regions-only (r17 single-pass form): ONE pass over
+    the occurrences of duplicated keys computes each occurrence's own
+    (lflank, rflank) next to the text; that materialized occurrence
+    table feeds BOTH downstream consumers — (a) the island merge, where
+    the boundary shingle key and the island's own flanks fall out of
+    the per-group argmin/argmax (``min_by/max_by`` on the grid
+    position: the island's left boundary IS its min-pos occurrence, so
+    that occurrence's lflank/key are exactly the island's — the three
+    joins the r16 form paid to re-attach text and boundary keys are
+    gone), and (b) the flank groups, both sides fused into one
+    (k, side, flank) aggregation with a count — a boilerplate key in a
+    million documents still contributes a handful of distinct flanks,
+    never a million comparison rows. Per (k, side) group the best
+    partner extension is max common-prefix with the lexicographic
+    NEIGHBOR flanks (the classic sorted-neighbor LCP bound: for any
+    set of strings, each element's maximum LCP is attained at an
+    adjacent element in sorted order), plus full flank length when the
+    identical flank occurs ≥ 2 times. The extensions re-attach through
+    ONE join: islands unpivot to (side, k, flank) rows, join the ext
+    table, and re-group on the island identity (exactly one l and one
+    r match per island by construction — every island boundary IS an
+    occurrence, so its flank group always exists). One window, one
+    bounded fold per row, no UDFs, no collects."""
     from .materialize import materialize
 
-    # the shingle grid feeds FOUR consumers here (dup-key meta, the
-    # island hits via sh_dup, and the two boundary-key lookups) — one
-    # materialized SHA-256 pass instead of re-hashing the corpus per
-    # consumer (exchange reuse does not apply across the different
-    # join keys)
-    sh = materialize(_grid_shingles(df, text_col, id_col, span_len, stride))
+    # the shingle grid feeds two consumers (dup-key meta, the island
+    # hits via sh_dup) — one materialized SHA-256 pass instead of
+    # re-hashing the corpus per consumer. LAZY: the dup-meta distinct
+    # exchange is a full-partition scan, so it is the materializing
+    # action (no dedicated checkpoint job).
+    sh = materialize(
+        _grid_shingles(df, text_col, id_col, span_len, stride), eager=False
+    )
     dup = _dup_key_meta(sh, min_docs).select("k")
     sh_dup = sh.join(dup, "k")
-    hits = sh_dup.select(
-        "doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e")
-    )
-    spans = (
-        _merge_islands(hits)
-        .agg(
-            F.min("pos").alias("span_start"),
-            F.max("e").alias("span_end"),
-            F.count("*").alias("n_shingles"),
-        )
-        .drop("_grp")
-    )
     if stride <= 1:
         # the grid IS character-exact at stride 1 — nothing to refine
+        hits = sh_dup.select(
+            "doc_id", "pos", (F.col("pos") + F.lit(span_len)).alias("e")
+        )
+        spans = (
+            _merge_islands(hits)
+            .agg(
+                F.min("pos").alias("span_start"),
+                F.max("e").alias("span_end"),
+                F.count("*").alias("n_shingles"),
+            )
+            .drop("_grp")
+        )
         return spans.select(
             "doc_id",
             "span_start",
@@ -366,117 +380,128 @@ def refine_span_bounds(
         F.col(text_col).alias("_text"),
         F.length(F.col(text_col)).cast("long").alias("_n"),
     )
-    # flanks of EVERY occurrence of a duplicated key, collapsed to
-    # (k, flank, cnt) groups: left flank reversed so common-SUFFIX
-    # becomes common-prefix under one shared fold
-    occ = sh_dup.join(base, "doc_id")
+    # every occurrence of a duplicated key with ITS OWN flanks computed
+    # once, next to the text: left flank reversed so common-SUFFIX
+    # becomes common-prefix under one shared fold. Materialized (lazy)
+    # because both the island merge and the flank-group aggregation
+    # consume it — their first exchange is a full-partition scan.
     lfl = F.least(F.lit(fl).cast("long"), F.col("pos"))
     rfl = F.least(
         F.lit(fl).cast("long"),
         F.col("_n") - (F.col("pos") + F.lit(span_len)),
     )
-    lgroups = (
-        occ.select(
+    occ = materialize(
+        sh_dup.join(base, "doc_id").select(
+            "doc_id",
+            "pos",
             "k",
             F.reverse(
                 F.col("_text").substr(
                     (F.col("pos") - lfl + 1).cast("int"), lfl.cast("int")
                 )
-            ).alias("flank"),
-        )
-        .groupBy("k", "flank")
-        .agg(F.count("*").alias("cnt"))
-    )
-    rgroups = (
-        occ.select(
-            "k",
+            ).alias("lflank"),
             F.col("_text")
             .substr(
                 (F.col("pos") + F.lit(span_len) + 1).cast("int"),
                 rfl.cast("int"),
             )
-            .alias("flank"),
+            .alias("rflank"),
+        ),
+        eager=False,
+    )
+    # island merge with the boundary keys/flanks captured in-aggregate:
+    # grid positions are unique per doc, so min_by/max_by on pos are
+    # deterministic, and the min-pos occurrence's lflank (computed over
+    # least(fl, pos) chars before pos) IS the island's lflank (pos =
+    # span_start there); symmetrically max-pos ⇒ e = span_end for the
+    # right boundary (e = pos + span_len is monotone in pos).
+    hits = occ.withColumn("e", F.col("pos") + F.lit(span_len))
+    spans = (
+        _merge_islands(hits)
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").alias("n_shingles"),
+            F.min_by("k", "pos").alias("k_l"),
+            F.max_by("k", "pos").alias("k_r"),
+            F.min_by("lflank", "pos").alias("lflank"),
+            F.max_by("rflank", "pos").alias("rflank"),
         )
-        .groupBy("k", "flank")
+        .drop("_grp")
+    )
+    # both flank sides in ONE aggregation + ONE window: a row's side
+    # tag rides in the group key, so per-(k, side) ordering/LCP is
+    # exactly the old per-side computation
+    groups = (
+        occ.select(
+            "k",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("l").alias("side"), F.col("lflank").alias("flank")
+                    ),
+                    F.struct(
+                        F.lit("r").alias("side"), F.col("rflank").alias("flank")
+                    ),
+                )
+            ).alias("sf"),
+        )
+        .select("k", F.col("sf.side").alias("side"), F.col("sf.flank").alias("flank"))
+        .groupBy("k", "side", "flank")
         .agg(F.count("*").alias("cnt"))
     )
-
-    def _ext(groups: DataFrame) -> DataFrame:
-        w = Window.partitionBy("k").orderBy("flank")
-        prev_lcp = _common_prefix_len(
-            F.col("flank"), F.lag("flank").over(w)
-        )
-        next_lcp = _common_prefix_len(
-            F.col("flank"), F.lead("flank").over(w)
-        )
-        return groups.select(
-            "k",
-            "flank",
-            F.when(F.col("cnt") >= 2, F.length("flank"))
-            .otherwise(F.greatest(prev_lcp, next_lcp))
-            .cast("long")
-            .alias("ext"),
-        )
-
-    lext = _ext(lgroups)
-    rext = _ext(rgroups)
-    # island boundary keys + this island's own flanks
-    spb = spans.join(base, "doc_id")
-    l_anchor = F.least(F.lit(fl).cast("long"), F.col("span_start"))
-    r_anchor = F.least(
-        F.lit(fl).cast("long"), F.col("_n") - F.col("span_end")
+    w = Window.partitionBy("k", "side").orderBy("flank")
+    prev_lcp = _common_prefix_len(F.col("flank"), F.lag("flank").over(w))
+    next_lcp = _common_prefix_len(F.col("flank"), F.lead("flank").over(w))
+    ext = groups.select(
+        "k",
+        "side",
+        "flank",
+        F.when(F.col("cnt") >= 2, F.length("flank"))
+        .otherwise(F.greatest(prev_lcp, next_lcp))
+        .cast("long")
+        .alias("ext"),
     )
-    keyed = (
-        spb.join(
-            sh.select(
-                "doc_id",
-                F.col("pos").alias("span_start"),
-                F.col("k").alias("k_l"),
-            ),
-            ["doc_id", "span_start"],
-        )
-        .join(
-            sh.select(
-                "doc_id",
-                (F.col("pos") + F.lit(span_len)).alias("span_end"),
-                F.col("k").alias("k_r"),
-            ),
-            ["doc_id", "span_end"],
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            "n_shingles",
-            F.col("k_l"),
-            F.col("k_r"),
-            F.reverse(
-                F.col("_text").substr(
-                    (F.col("span_start") - l_anchor + 1).cast("int"),
-                    l_anchor.cast("int"),
-                )
-            ).alias("lflank"),
-            F.col("_text")
-            .substr((F.col("span_end") + 1).cast("int"), r_anchor.cast("int"))
-            .alias("rflank"),
-        )
+    # single attach join: islands unpivot to one row per boundary side,
+    # join the ext table on (k, side, flank), re-group on the island
+    # identity ((doc_id, span_start) is unique — islands are disjoint
+    # per doc). Inner join semantics match the r16 two-join form: every
+    # boundary's flank group exists (the boundary is an occurrence), so
+    # exactly one l and one r row survive per island.
+    unp = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_shingles",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l").alias("side"),
+                    F.col("k_l").alias("k"),
+                    F.col("lflank").alias("flank"),
+                ),
+                F.struct(
+                    F.lit("r").alias("side"),
+                    F.col("k_r").alias("k"),
+                    F.col("rflank").alias("flank"),
+                ),
+            )
+        ).alias("sf"),
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_shingles",
+        F.col("sf.side").alias("side"),
+        F.col("sf.k").alias("k"),
+        F.col("sf.flank").alias("flank"),
     )
     out = (
-        keyed.join(
-            lext.select(
-                F.col("k").alias("k_l"),
-                F.col("flank").alias("lflank"),
-                F.col("ext").alias("ext_l"),
-            ),
-            ["k_l", "lflank"],
-        )
-        .join(
-            rext.select(
-                F.col("k").alias("k_r"),
-                F.col("flank").alias("rflank"),
-                F.col("ext").alias("ext_r"),
-            ),
-            ["k_r", "rflank"],
+        unp.join(ext, ["k", "side", "flank"])
+        .groupBy("doc_id", "span_start", "span_end", "n_shingles")
+        .agg(
+            F.max(F.when(F.col("side") == "l", F.col("ext"))).alias("ext_l"),
+            F.max(F.when(F.col("side") == "r", F.col("ext"))).alias("ext_r"),
         )
     )
     return out.select(

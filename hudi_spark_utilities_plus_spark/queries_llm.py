@@ -311,8 +311,13 @@ def dedup_substring_spans(spark, sf_dir):
     per-doc regions covered by length-64 grid shingles (stride 32)
     whose SHA-256 key occurs in >= 2 distinct documents. Exact oracle:
     DuckDB recomputes the same grid, distinct-doc counts, and island
-    merge relationally."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    merge relationally.
+
+    Scale: the scatter hash-partitions on doc_id (operators/dedup.py),
+    so the per-doc island-merge window reuses the one exchange of the
+    raw docs (explode + broadcast semi-join preserve partitioning)
+    instead of re-shuffling the exploded shingle rows (r17)."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     return SP.duplicated_spans(
         d, "text", "doc_id", span_len=64, stride=32, min_docs=2
     )
@@ -341,7 +346,7 @@ def dedup_substring_coverage(spark, sf_dir):
     verdict (drop only when MORE than half duplicated: 2*dup_chars >
     doc_len; exactly-half and empty docs keep). Every document rows
     out — short and clean docs carry dup_chars = 0, keep = true."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     return SP.substring_dup_coverage(
         d, "text", "doc_id", span_len=64, stride=32, min_docs=2
     )
@@ -401,7 +406,7 @@ def dedup_substring_strip(spark, sf_dir):
     canonical docs pass through verbatim). Exact oracle: DuckDB
     recomputes the owner rule, the removable-hit island merge, and the
     splice (string_agg of kept segments ordered by cut position)."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     return SP.strip_duplicated_spans(
         d, "text", "doc_id", span_len=64, stride=32, min_docs=2
     )
@@ -488,8 +493,14 @@ def dedup_substring_refine(spark, sf_dir):
     adjacent-grid-shingle argument in the operator docstring). Exact
     oracle: DuckDB recomputes the flank groups, the sorted-neighbor
     LCP (as an uncorrelated 31-row series join), and the boundary
-    joins relationally."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"])
+    joins relationally.
+
+    Scale (r17): the operator runs one occurrence pass (flanks computed
+    in place, boundary keys via min_by/max_by in the island merge, one
+    fused flank-group agg + window, one attach join) — see
+    operators/spans.py; the scatter hash-partitions the raw docs on
+    doc_id so the occurrence join's base side reuses that exchange."""
+    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     return SP.refine_span_bounds(
         d, "text", "doc_id", span_len=64, stride=32, min_docs=2
     )
@@ -990,7 +1001,9 @@ def text_repetition(spark, sf_dir):
     clustering requirement — the (doc_id, word) count agg, the per-doc
     agg, and the final doc_id equi-join all reuse it instead of
     shuffling the exploded word rows (a multiple of the raw bytes at
-    corpus scale; r16 plan: 5 exchanges → 1)."""
+    corpus scale; r16 plan: 5 → 3 Exchange nodes — the scatter plus
+    two broadcast-side exchanges — and the final join flipped
+    SMJ → BroadcastHashJoin; plans/r16/text_repetition_after.txt)."""
     d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
     dup = d.select("doc_id", T.dup_line_fraction(F.col("text")).alias("dup_line_frac"))
     top = T.top_word_fraction(d, "doc_id", "text")
@@ -1100,21 +1113,33 @@ def tfidf_topterms(spark, sf_dir):
     break on token text; tf/df/score all emitted so the oracle checks
     the full scoring pipeline, not just the winners.
 
-    Scale: explode -> tf/df groupBys -> term-keyed join of tf against
-    the much smaller df table (broadcast) -> per-doc window over
-    ~unique-terms-per-doc rows. The scatter hash-partitions on doc_id
-    (operators/dedup.py), so the (doc_id, token) tf aggregation and the
-    final per-doc window both reuse that ONE exchange of the raw docs —
-    only the small term-level df aggregation still shuffles (token-
-    keyed, partial-aggregated); n_docs joins in as a broadcast scalar,
-    not a driver constant (r16 plan: 10 exchanges → 4)."""
-    d = scatter(_t(spark, sf_dir, "documents")["documents"], by="doc_id")
+    Scale: explode -> tf groupBy (reusing the scatter's hash(doc_id)
+    exchange) -> the (doc_id, token, tf) table MATERIALIZED once (lazy
+    localCheckpoint; the df-aggregation's shuffle map stage is the
+    materializing action) -> term-keyed join of tf against the much
+    smaller df table (broadcast) -> per-doc window. r16 computed the
+    explode + tf aggregation TWICE (once per consumer, the plan held
+    two canonically-identical scan subtrees deduped only by runtime
+    ReusedExchange); r17 materializes tf so each of explode/tf-agg
+    runs structurally once — at corpus scale the exploded token stream
+    is a multiple of the raw bytes. n_docs counts the RAW table (a
+    column-pruned count-only scan, no scatter shuffle) and joins in as
+    a broadcast scalar, not a driver constant (r16 plan: 10 → 7
+    Exchange nodes; r17: 7 → 6 with one structural scan+agg instead of
+    two — plans/r17/tfidf_topterms_after.txt)."""
+    from .operators.materialize import materialize
+
+    raw = _t(spark, sf_dir, "documents")["documents"]
+    d = scatter(raw, by="doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = materialize(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = raw.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")
         .crossJoin(F.broadcast(nd))

@@ -61,16 +61,30 @@ def build_spark_session(
     # Shuffle parallelism tracks the session's ACTUAL core count (the
     # bench runs at several $SPARK_GRAFT_CPUS values to measure scaling —
     # a constant tuned for one core count mis-sizes every other run, and
-    # a cluster's capacity intent arrives via explicit conf). Same
-    # only-if-Spark's-200-default guard as tune_runtime: a caller- or
-    # submit-script-configured value is never clobbered (r16; results
-    # are partition-count independent by design — perf-only).
+    # a cluster's capacity intent arrives via explicit conf). Guards
+    # (r17, ADVICE r16): (a) an explicitly configured value is detected
+    # via the STARTUP SparkConf (spark-defaults / --conf / builder), so
+    # a deliberate "200" is no longer mistaken for Spark's default —
+    # the value-equality heuristic remains only as tune_runtime's
+    # fallback where no startup conf is reachable; (b) the derive is
+    # LOCAL-master-only — on a cluster with dynamic allocation,
+    # defaultParallelism at session build can reflect zero registered
+    # executors and would mis-size the whole session. Results are
+    # partition-count independent by design — perf-only.
     if "spark.sql.shuffle.partitions" not in merged:
         try:
-            if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            sc = spark.sparkContext
+            if (
+                sc.master.startswith("local")
+                and not sc.getConf().contains("spark.sql.shuffle.partitions")
+                # value check too: getOrCreate may have handed us a
+                # REUSED session whose owner set the conf at runtime
+                and spark.conf.get("spark.sql.shuffle.partitions", "200")
+                == "200"
+            ):
                 spark.conf.set(
                     "spark.sql.shuffle.partitions",
-                    str(max(1, spark.sparkContext.defaultParallelism)),
+                    str(max(1, sc.defaultParallelism)),
                 )
         except Exception:
             pass
@@ -100,14 +114,26 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     # default mainly taxes the stateful streaming ids: 200 state-store
     # partitions per micro-batch on a 32-core box). A deliberately
     # configured value — e.g. 2000 for a large cluster — is capacity
-    # intent and must not be clobbered. defaultParallelism, not a
-    # hardcoded 32: on other hosts the literal is simply wrong. Results
-    # are partition-count independent by design either way — perf-only.
+    # intent and must not be clobbered; a startup-conf-set value is
+    # detected exactly, and the value-equality check remains for
+    # runtime sets. KNOWN EDGE (ADVICE r16, documented): an owner who
+    # deliberately chose the literal 200 via a runtime spark.conf.set
+    # is indistinguishable from Spark's default here and gets the
+    # core-count derive — inherent to the heuristic; results are
+    # partition-count independent by design either way (perf-only).
+    # LOCAL masters only: under dynamic allocation a cluster session's
+    # defaultParallelism at call time can reflect zero registered
+    # executors and would mis-size every later stage.
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        sc = spark.sparkContext
+        if (
+            sc.master.startswith("local")
+            and not sc.getConf().contains("spark.sql.shuffle.partitions")
+            and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+        ):
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(max(1, spark.sparkContext.defaultParallelism)),
+                str(max(1, sc.defaultParallelism)),
             )
     except Exception:
         pass

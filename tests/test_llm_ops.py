@@ -1982,3 +1982,50 @@ def test_freq_ordered_rebuilds_shh_and_nsh_exactly(spark):
         assert r["shh"] == shh, (doc, r["shh"], shh)
         assert r["n_sh"] == n_sh
         assert sorted(r["shp"]) == shh  # permutation of the same hashes
+
+
+def test_prefix_singleton_prune_is_lossless(spark):
+    """r17 (guide §3.2): _prefix_posts drops prefix postings whose
+    shingle no other document contains (dfreq == 1) before the
+    candidate self-join. The candidate set must be IDENTICAL with and
+    without the prune (a candidate needs a shingle both docs contain,
+    forcing dfreq >= 2), while the posting volume strictly drops on a
+    corpus with unique shingles."""
+    docs = [
+        # doc 1's trigrams are a SUBSET of doc 2's (full containment),
+        # so (1, 2) survives every lossless candidate filter
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "totally unrelated words that appear nowhere else ever"),
+        (4, "another completely unique document body with rare terms"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = (
+        D._shingled(df, "text", "doc_id", 3)
+        .withColumn(
+            "shh", F.array_sort(F.transform("sh", lambda x: F.xxhash64(x)))
+        )
+        .drop("sh")
+    )
+    s = D._freq_ordered(base)
+    pruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in D._containment_candidates(s, 9, 10, 2).collect()
+    }
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in D._containment_candidates(s.drop("shc"), 9, 10, 2).collect()
+    }
+    assert pruned == plain == {(1, 2)}
+    full = F.size("shp")
+    n_pruned = D._prefix_posts(s, full).count()
+    n_plain = D._prefix_posts(s.drop("shc"), full).count()
+    assert n_pruned < n_plain  # docs 3/4 contribute no postings at all
+    # exact-Jaccard pairs through the pruned pipeline stay exact
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.7
+        ).collect()
+    }
+    assert pairs == {(1, 2)}

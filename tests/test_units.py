@@ -4020,3 +4020,172 @@ print("OK")
     assert out.returncode == 0 and "OK" in out.stdout, (
         out.stdout[-2000:], out.stderr[-2000:]
     )
+
+
+def test_tune_runtime_respects_startup_shuffle_conf():
+    """r17 guard (ADVICE r16): a shuffle-partition value configured at
+    STARTUP — even the literal 200, previously indistinguishable from
+    Spark's default — is never clobbered by tune_runtime's core-count
+    derive; an untouched default still is. Subprocess: the decision
+    reads the startup SparkConf, which the shared fixture already
+    spent."""
+    import subprocess
+    import sys
+
+    import subprocess as sp
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # two separate subprocesses: SQL confs leak across stop/getOrCreate
+    # inside one python process, which would fake the second case
+    explicit = """
+import sys; sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from hudi_spark_utilities_plus_spark.session import tune_runtime
+s = (SparkSession.builder.master("local[3]").appName("tr-t")
+     .config("spark.ui.enabled", "false")
+     .config("spark.sql.shuffle.partitions", "200").getOrCreate())
+tune_runtime(s)
+assert s.conf.get("spark.sql.shuffle.partitions") == "200", \\
+    s.conf.get("spark.sql.shuffle.partitions")
+print("OK")
+""".format(repo=repo)
+    default = """
+import sys; sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from hudi_spark_utilities_plus_spark.session import tune_runtime
+s = (SparkSession.builder.master("local[3]").appName("tr-t2")
+     .config("spark.ui.enabled", "false").getOrCreate())
+tune_runtime(s)
+assert s.conf.get("spark.sql.shuffle.partitions") == "3", \\
+    s.conf.get("spark.sql.shuffle.partitions")
+print("OK")
+""".format(repo=repo)
+    for code in (explicit, default):
+        out = sp.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0 and "OK" in out.stdout, (
+            out.stdout[-2000:], out.stderr[-2000:]
+        )
+
+
+def test_kmeans_driver_assembled_means_are_bit_identical(spark):
+    """r17: _kmeans assembles centroid arrays driver-side from the
+    k × dim (cluster, pos, mean) rows; the removed second Spark
+    aggregation (collect_list/array_sort rebuild) must have produced
+    EXACTLY the same doubles — same per-(cluster, pos) avg rows, so
+    equality must be bitwise, not approximate."""
+    import random
+
+    from hudi_spark_utilities_plus_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(5)], i % 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, nv array<double>, cluster int"
+    )
+    # new path: driver-side assembly over the collected mean rows
+    by_c = {}
+    for r in S._centroid_means_rows(df, "nv"):
+        by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    got = {c: [pm[p] for p in sorted(pm)] for c, pm in by_c.items()}
+    # r16 path: the in-Spark ordered-array rebuild, reproduced inline
+    old = {
+        r["cluster"]: list(r["centroid"])
+        for r in (
+            df.select("cluster", F.posexplode("nv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "cluster", F.transform("pm", lambda s: s["m"]).alias("centroid")
+            )
+            .collect()
+        )
+    }
+    assert got == old  # exact float equality, not approx
+
+
+def test_log_read_schema_matches_merge_inference(spark, tmp_path):
+    """r17 timeline fast path: the driver-side footer-verified log
+    schema must (a) equal mergeSchema inference field-for-field on a
+    mixed upsert/delete-marker log, (b) yield an identical read()
+    result, and (c) REFUSE (None → fallback) when a log entry carries
+    a column the base never had (log-side schema evolution)."""
+    t = HudiTable(
+        path=str(tmp_path / "t"),
+        record_key="k",
+        precombine="ts",
+        table_type="MERGE_ON_READ",
+    )
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k long, ts long, v string"
+    )
+    t.bulk_insert(base)
+    t.upsert(
+        spark.createDataFrame([(2, 25, "b2")], "k long, ts long, v string"),
+        spark,
+    )
+    t.delete(spark.createDataFrame([(3,)], "k long"), spark)
+    fast = t._log_full_schema(spark)
+    assert fast is not None
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(t._log_path).schema
+    )
+    assert {f.name: f.dataType for f in fast.fields} == {
+        f.name: f.dataType for f in merged.fields
+    }
+    got = {
+        (r["k"], r["ts"], r["v"]) for r in t.read(spark).collect()
+    }
+    assert got == {(1, 10, "a"), (2, 25, "b2")}
+    # narrow key/seq read agrees with the merged read
+    narrow = t._log_read(
+        spark, columns=["k", "__hudi_seq"], base_schema=t._base_schema(spark)
+    )
+    assert {r["k"] for r in narrow.select("k").collect()} == {2, 3}
+    # (c) log-side evolution: an upsert whose frame carries a NEW column
+    t.upsert(
+        spark.createDataFrame(
+            [(4, 40, "d", 99)], "k long, ts long, v string, extra long"
+        ),
+        spark,
+    )
+    assert t._log_full_schema(spark) is None  # fallback engages
+    evolved = t.read(spark)
+    assert "extra" in evolved.columns
+    assert {
+        (r["k"], r["ts"], r["v"], r["extra"]) for r in evolved.collect()
+    } == {(1, 10, "a", None), (2, 25, "b2", None), (4, 40, "d", 99)}
+
+
+def test_exists_fs_probe_edges(spark, tmp_path):
+    """r17: exists() decides driver-side on local paths (no Spark
+    footer-inference job). Missing dir / dir with only non-parquet
+    files => False; any parquet data file (including nested) => True."""
+    t = HudiTable(path=str(tmp_path / "t"), record_key="k", precombine="ts")
+    assert not t.exists(spark)
+    os.makedirs(t.path)
+    (tmp_path / "t" / "_SUCCESS").write_text("")
+    assert not t.exists(spark)
+    df = spark.createDataFrame([(1, 10)], "k long, ts long")
+    t.bulk_insert(df)
+    assert t.exists(spark)
+    tp = HudiTable(
+        path=str(tmp_path / "p"),
+        record_key="k",
+        precombine="ts",
+        partition_field="d",
+    )
+    tp.bulk_insert(spark.createDataFrame([(1, 10, "x")], "k long, ts long, d string"))
+    assert tp.exists(spark)  # nested hive-layout files found

@@ -1,10 +1,10 @@
-"""Dump .explain('formatted') for headline queries to plans/r16/.
+"""Dump .explain('formatted') for headline queries to plans/$SPARK_GRAFT_PLANS_DIR (default r17)/.
 
 Usage: python tools/explain_dump.py [suffix] [q1,q2,...]
   suffix: 'before' or 'after' (default 'before')
   q list: defaults to the full bench HEADLINE set.
 
-Writes plans/r16/<name>_<suffix>.txt. Uses the same session shape as
+Writes plans/$SPARK_GRAFT_PLANS_DIR (default r17)/<name>_<suffix>.txt. Uses the same session shape as
 bench.py so plan shapes match what the bench executes.
 """
 
@@ -43,7 +43,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
